@@ -1,0 +1,3 @@
+from .registry import QUERIES, QuerySpec, get_queries, get_oracle_sql
+
+__all__ = ["QUERIES", "QuerySpec", "get_queries", "get_oracle_sql"]

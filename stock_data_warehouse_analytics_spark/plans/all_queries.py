@@ -1,0 +1,4 @@
+"""Import side-effect module: pulls in every query module so the
+registry is fully populated.  ``registry.get_queries()`` imports this."""
+
+from . import tpch_olap  # noqa: F401

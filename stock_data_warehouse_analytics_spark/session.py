@@ -1,0 +1,65 @@
+"""SparkSession builder tuned for both local test runs and cluster scale.
+
+The reference has no session concept (single-process pandas).  Here we
+centralize the configs that matter at 100 TB:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  auto broadcast-join demotion/promotion),
+- explicit shuffle partition default sized from the local CPU budget
+  (on a real cluster AQE re-coalesces upward from this),
+- Arrow enabled for the few Pandas-UDF paths (mining/multimodal),
+- UTC session timezone so timestamp semantics are deterministic and
+  match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "tune_for_engine"]
+
+
+def _cpus() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "") or os.cpu_count() or 8)
+    except ValueError:
+        return 8
+
+
+def tune_for_engine(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally provided session.
+
+    The driver hands us its own SparkSession in ``entry()``/``queries()``;
+    static confs can't change there, but these runtime ones can.
+    """
+    conf = spark.conf
+    conf.set("spark.sql.session.timeZone", "UTC")
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark
+
+
+def get_spark(
+    app_name: str = "stock-data-warehouse-analytics-spark",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = _cpus()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return tune_for_engine(builder.getOrCreate())

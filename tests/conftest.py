@@ -1,0 +1,22 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MEDIUM = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from stock_data_warehouse_analytics_spark.session import get_spark
+
+    cpus = min(8, os.cpu_count() or 8)
+    spark = get_spark("tests", master=f"local[{cpus}]", shuffle_partitions=8)
+    yield spark
+    spark.stop()

@@ -1,0 +1,36 @@
+"""Every registered query must hash-match its DuckDB oracle — the local
+mirror of the driver's CORRECTNESS gate, run at sf0.01 (same as driver).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from stock_data_warehouse_analytics_spark.plans.registry import (
+    QUERIES,
+    get_queries,
+)
+
+from .conftest import SF_MEDIUM
+from .oracle_utils import compare_query
+
+get_queries()  # populate registry
+ORACLE_NAMES = sorted(n for n, s in QUERIES.items() if s.oracle is not None)
+ROWS_ONLY_NAMES = sorted(n for n, s in QUERIES.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, name):
+    spec = QUERIES[name]
+    rep = compare_query(name, spec.fn, spec.oracle, spark, SF_MEDIUM)
+    assert rep.ok, (
+        f"{name}: errors={rep.errors} mismatched={rep.mismatched_cells} "
+        f"max_abs_diff={rep.max_abs_diff} first={rep.first_diff}"
+    )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_query_runs(spark, name):
+    df = QUERIES[name].fn(spark, SF_MEDIUM)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
