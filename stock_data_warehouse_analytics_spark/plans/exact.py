@@ -112,6 +112,74 @@ def sql_dcovar_samp(ex: str, ey: str) -> str:
     return f"((({sxy}) - ({sx}) * ({sy}) / ({n})) / (({n}) - 1))"
 
 
+# ---------------------------------------------------------------------------
+# Windowed variants: same exact-decimal-moment technique over window frames.
+# DuckDB computes sliding sums with a segment tree (different add order than
+# Spark's frame iteration), so double window-sums drift too — decimal fixes it.
+# ---------------------------------------------------------------------------
+
+
+def dsum_w(col: Column | str, w) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_SUM_TYPE)).over(w).cast("double")
+
+
+def sql_dsum_w(expr: str, over: str) -> str:
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL({_PREC - 10},{_SCALE}))) "
+        f"OVER {over} AS DOUBLE)"
+    )
+
+
+def davg_w(col: Column | str, w) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum_w(c, w) / F.count(c).over(w)
+
+
+def sql_davg_w(expr: str, over: str) -> str:
+    return f"({sql_dsum_w(expr, over)} / COUNT({expr}) OVER {over})"
+
+
+def dstddev_samp_w(col: Column | str, w) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    s = dsum_w(c, w)
+    m2 = dsum_w(c * c, w)
+    n = F.count(c).over(w)
+    return F.sqrt((m2 - s * s / n) / (n - F.lit(1)))
+
+
+def sql_dstddev_samp_w(expr: str, over: str) -> str:
+    s = sql_dsum_w(expr, over)
+    m2 = sql_dsum_w(f"({expr}) * ({expr})", over)
+    n = f"COUNT({expr}) OVER {over}"
+    return f"SQRT((({m2}) - ({s}) * ({s}) / ({n})) / (({n}) - 1))"
+
+
+def dcorr_w(x: Column | str, y: Column | str, w) -> Column:
+    cx = F.col(x) if isinstance(x, str) else x
+    cy = F.col(y) if isinstance(y, str) else y
+    sx, sy = dsum_w(cx, w), dsum_w(cy, w)
+    sxx, syy, sxy = dsum_w(cx * cx, w), dsum_w(cy * cy, w), dsum_w(cx * cy, w)
+    n = F.count(cx * cy).over(w)
+    num = sxy - sx * sy / n
+    den = F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+    return num / den
+
+
+def sql_dcorr_w(ex: str, ey: str, over: str) -> str:
+    sx, sy = sql_dsum_w(ex, over), sql_dsum_w(ey, over)
+    sxx = sql_dsum_w(f"({ex}) * ({ex})", over)
+    syy = sql_dsum_w(f"({ey}) * ({ey})", over)
+    sxy = sql_dsum_w(f"({ex}) * ({ey})", over)
+    n = f"COUNT(({ex}) * ({ey})) OVER {over}"
+    num = f"(({sxy}) - ({sx}) * ({sy}) / ({n}))"
+    den = (
+        f"(SQRT(({sxx}) - ({sx}) * ({sx}) / ({n})) * "
+        f"SQRT(({syy}) - ({sy}) * ({sy}) / ({n})))"
+    )
+    return f"({num} / {den})"
+
+
 def dcorr(x: Column | str, y: Column | str) -> Column:
     """Pearson corr from exact moments (bit-identical across engines)."""
     cx = F.col(x) if isinstance(x, str) else x
