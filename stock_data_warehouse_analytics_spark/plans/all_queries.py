@@ -3,3 +3,4 @@ registry is fully populated.  ``registry.get_queries()`` imports this."""
 
 from . import tpch_olap  # noqa: F401
 from . import tpch_joins  # noqa: F401
+from . import tpch_windows  # noqa: F401

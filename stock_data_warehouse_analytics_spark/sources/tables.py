@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TESTDATA_TABLES = (
     "region",
@@ -36,7 +37,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which the vectorized
+        # parquet reader rejects; read the raw int64 nanos and truncate
+        # to microsecond timestamp_ntz — exactly what DuckDB's reader
+        # does implicitly, so oracle comparisons line up.  Integer DIV
+        # keeps full precision (double division would lose low bits of
+        # the ~1.7e18 nanos epoch).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.read.parquet(path)
+            .withColumn(
+                "ts", F.expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz")
+            )
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        )
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
