@@ -70,14 +70,29 @@ def cumulative_sum(col: str | Column, w: WindowSpec) -> Column:
 
 
 def cumulative_product(col: str | Column, w: WindowSpec) -> Column:
-    """W5 — ``cumprod()`` via exp∘sum∘log1p (datavisualization.py:607).
+    """W5 — ``cumprod()`` with full pandas semantics
+    (datavisualization.py:607).  Spark has no product aggregate, so:
+    |product| via exp∘sum∘log|x|, sign via parity of the running
+    negative count, zero latching via a running any-zero flag, and
+    pandas ``skipna=True`` null behavior (null rows emit null but do
+    not contribute downstream — Spark's null-ignoring window sums give
+    this for free).
 
-    Valid while ``1 + col > 0`` — true for gross returns of positive
-    prices; callers on other domains must guard (SURVEY.md §4.2 item 2).
-    """
+    The naive exp∘sum∘log1p shortcut breaks on the reference's own
+    data: the summary panel multiplies ``1 + Return`` with Return in
+    *percent*, so factors are routinely negative (SURVEY.md §4.2
+    item 2 understates this)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.exp(
-        F.sum(F.log1p(c)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    n_neg = F.sum(F.when(c < 0, 1).otherwise(0)).over(cum)
+    any_zero = F.max(F.when(c == 0, 1).otherwise(0)).over(cum)
+    # log(0) is null in Spark and window sums skip nulls, so a zero
+    # factor doesn't poison the magnitude — the any_zero latch zeroes
+    # the result from that row on, exactly like a true product.
+    magnitude = F.exp(F.sum(F.log(F.abs(c))).over(cum))
+    sign = F.when(F.pmod(n_neg, F.lit(2)) == 1, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return F.when(c.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(any_zero == 1, F.lit(0.0)).otherwise(sign * magnitude)
     )
 
 
