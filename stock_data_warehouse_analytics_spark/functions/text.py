@@ -1,0 +1,149 @@
+"""Text-analysis expressions for the LLM-data-pipeline surface
+(BASELINE.json north star; SURVEY.md §7.6): token counting, quality
+scoring, n-gram language ID, document fingerprinting.
+
+All pure built-in column expressions — at 100 TB these run inside
+whole-stage codegen on the scan output with no Python boundary.  Each
+has an exact DuckDB SQL mirror in ``plans/llm_text.py`` (same regexes,
+same arithmetic) so the driver's oracle can hash-compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "avg_word_len",
+    "punct_ratio",
+    "stopword_hits",
+    "stopword_ratio",
+    "quality_score",
+    "lang_scores",
+    "predicted_lang",
+    "md5_fingerprint",
+    "rolling_hash",
+    "shingles",
+]
+
+# Minimal per-language stopword vocabularies for the n-gram/stopword
+# language-ID heuristic.  Word-boundary regexes keep Spark and DuckDB
+# tokenization byte-identical.
+LANG_STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "a", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por"],
+    "fr": ["le", "la", "de", "et", "un", "en", "que", "pour"],
+    "de": ["der", "die", "und", "das", "von", "zu", "ein", "mit"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不"],
+}
+
+
+def _norm(text: Column) -> Column:
+    return F.lower(F.trim(text))
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (shared spec with the SQL oracle:
+    ``string_split_regex(lower(trim(x)), '\\s+')``)."""
+    return F.split(_norm(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def avg_word_len(text: Column) -> Column:
+    """Mean token length = non-whitespace chars / token count."""
+    chars = F.length(F.regexp_replace(_norm(text), r"\s+", ""))
+    return chars.cast("double") / token_count(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(n > 0, punct.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def _stopword_regex(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def stopword_hits(text: Column, lang: str = "en") -> Column:
+    """Count of stopword occurrences via regexp_extract_all — identical
+    count semantics in DuckDB."""
+    rx = _stopword_regex(LANG_STOPWORDS[lang])
+    return F.size(F.regexp_extract_all(_norm(text), F.lit(rx)))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return stopword_hits(text, lang).cast("double") / token_count(text)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality heuristic in [0,1]: length signal +
+    stopword density + punctuation penalty.  Deterministic double
+    arithmetic, mirrored exactly in SQL."""
+    len_sig = F.least(F.lit(1.0), token_count(text) / F.lit(100.0))
+    stop_sig = F.least(F.lit(1.0), stopword_ratio(text) * 5)
+    punct_pen = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(text) * 10)
+    return len_sig * 0.4 + stop_sig * 0.3 + punct_pen * 0.3
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-density scores (n-gram heuristic)."""
+    n = token_count(text)
+    return {
+        lang: stopword_hits(text, lang).cast("double") / n for lang in LANG_STOPWORDS
+    }
+
+
+def predicted_lang(text: Column) -> Column:
+    """argmax language by score; ties break by language-code order
+    (explicit chained comparison so SQL mirrors bit-for-bit)."""
+    scores = lang_scores(text)
+    langs = sorted(LANG_STOPWORDS)
+    best = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        is_better = scores[lang] > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return best
+
+
+def md5_fingerprint(text: Column) -> Column:
+    """Whitespace-normalized md5 — identical hex on any engine."""
+    return F.md5(F.regexp_replace(_norm(text), r"\s+", " "))
+
+
+def rolling_hash(text: Column, mod: int = (1 << 31) - 1, base: int = 31) -> Column:
+    """Polynomial rolling hash over characters: h = (h·base + code) mod m.
+    Pure integer arithmetic (products < 2^63), so Spark ``aggregate``
+    and DuckDB ``list_reduce`` agree exactly — a cross-engine document
+    fingerprint with no hash-library dependence."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingle array (distinct), the unit for Jaccard /
+    MinHash dedup.  transform over a 0..n-k index range keeps it pure
+    expression — no explode needed until the caller wants one."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens(text), (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )

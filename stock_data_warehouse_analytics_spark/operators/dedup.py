@@ -1,0 +1,241 @@
+"""Deduplication operators for the LLM-data-pipeline surface
+(BASELINE.json north star): exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Every stage is relational (explode → join → group) so it scales as
+ordinary shuffles; the only parameters are hash constants, all derived
+deterministically (md5 → integer) so a DuckDB oracle can reproduce the
+exact same signatures.
+
+Scale design:
+- candidate generation is always *banded* (LSH bands / simhash bands):
+  no O(n²) pair enumeration at scale; pairs only form inside a bucket.
+- signatures are fixed-width columns, not variable blobs — shuffle-
+  friendly and cheap to band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_fingerprint, shingles, tokens
+
+__all__ = [
+    "MINHASH_PRIME",
+    "minhash_params",
+    "hash_int60",
+    "exact_dedup_groups",
+    "shingle_table",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_candidate_pairs",
+    "simhash",
+    "simhash_near_pairs",
+]
+
+# Mersenne prime 2^31−1: keeps a·(h mod p)+b < 2^62 — no int64 overflow
+# in either engine, so the arithmetic is bit-identical cross-engine.
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def minhash_params(n: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per permutation — small fixed odd multipliers,
+    no RNG (reproducible across engines/sessions by construction)."""
+    return [(2 * i + 3, 7 * i + 1) for i in range(n)]
+
+
+def hash_int60(col: Column) -> Column:
+    """First 15 hex digits of md5 as a 60-bit non-negative int64 — the
+    shared cross-engine string→int hash primitive
+    (DuckDB mirror: ``('0x' || substr(md5(x),1,15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized md5 fingerprint;
+    keeps the min doc_id as survivor.  One shuffle on a 32-char key."""
+    return (
+        docs.select(
+            "doc_id", md5_fingerprint(F.col(text_col)).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("survivor_doc_id"),
+        )
+    )
+
+
+def shingle_table(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, shingle) long table of distinct word k-grams."""
+    return docs.select(
+        "doc_id", F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, *, k: int = 3, threshold: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """n-gram Jaccard near-dup: inverted-index self-join on shingle →
+    per-pair intersection count → |A∪B| from per-doc sizes.
+
+    The shingle join is the scalable formulation (candidates only where
+    at least one shingle collides); at 100 TB you'd additionally cap
+    hot shingles (stop-shingle removal) — here the vocabulary is small
+    enough that the skew is bounded."""
+    sh = shingle_table(docs, text_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, *, n_hashes: int = 16, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """MinHash signatures: shingle → 60-bit hash → per-permutation
+    ``(a·(h mod p) + b) mod p`` → min per doc.  One explode + one
+    grouped agg; signature is ``n_hashes`` long columns."""
+    sh = shingle_table(docs, text_col, k)
+    hm = hash_int60(F.col("shingle")) % MINHASH_PRIME
+    sig_cols = [
+        F.min((F.lit(a) * hm + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(n_hashes))
+    ]
+    return sh.groupBy("doc_id").agg(*sig_cols)
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    *,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature (rows = n/bands),
+    hash each band, self-join per (band, band_hash) bucket.  Distinct
+    pairs out; verification (true Jaccard) composes via
+    :func:`ngram_jaccard_pairs` on the candidates."""
+    rows = n_hashes // bands
+    sig = minhash_signatures(docs, n_hashes=n_hashes, k=k, text_col=text_col)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.band_hash")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(text: Column, *, bits: int = 60) -> Column:
+    """SimHash over whitespace tokens (occurrence-weighted): for each
+    bit j, sum ±1 across token hashes; bit set iff the sum is positive.
+
+    Stays per-row (no explode, no shuffle): one md5 per token into a
+    hash array, then a single fold accumulating all ``bits`` counters
+    in an array (literal bit masks — one bit-test per bit per token)."""
+    toks = tokens(text)
+    token_hashes = F.transform(toks, hash_int60)
+    init = F.array_repeat(F.lit(0).cast("long"), bits)
+
+    def merge(acc: Column, h: Column) -> Column:
+        contrib = F.array(
+            *[
+                F.when(h.bitwiseAND(F.lit(1 << j)) != 0, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for j in range(bits)
+            ]
+        )
+        return F.zip_with(acc, contrib, lambda x, y: x + y)
+
+    sums = F.aggregate(token_hashes, init, merge)
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out + F.when(
+            F.element_at(sums, j + 1) > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    *,
+    max_hamming: int = 8,
+    bands: int = 4,
+    bits: int = 60,
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup: band the 60-bit hash into 15-bit chunks; a pair
+    within hamming distance ≤ bits/bands−1 must agree on ≥1 band
+    (pigeonhole), so bucket-join per band then filter by true hamming
+    distance via bit_count(xor)."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = docs.select("doc_id", simhash(F.col(text_col), bits=bits).alias("sh"))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("sh"), b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_val"),
+        )
+        for b in range(bands)
+    ]
+    banded = sh.select(
+        "doc_id", "sh", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "sh", "bb.band", "bb.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(b, on=["band", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

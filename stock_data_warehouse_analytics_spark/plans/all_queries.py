@@ -4,3 +4,6 @@ registry is fully populated.  ``registry.get_queries()`` imports this."""
 from . import tpch_olap  # noqa: F401
 from . import tpch_joins  # noqa: F401
 from . import tpch_windows  # noqa: F401
+from . import llm_text  # noqa: F401
+from . import llm_dedup  # noqa: F401
+from . import llm_similarity  # noqa: F401

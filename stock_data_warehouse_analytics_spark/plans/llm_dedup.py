@@ -1,0 +1,169 @@
+"""Deduplication queries over ``documents`` — exact, n-gram Jaccard,
+MinHash-LSH, SimHash.  Oracle SQL is generated from the same constants
+(``operators/dedup.py``) so signatures are bit-identical cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import (
+    MINHASH_PRIME,
+    exact_dedup_groups,
+    minhash_candidate_pairs,
+    minhash_params,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from ..sources.tables import load_table
+from .registry import register
+
+_SQL_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+_SQL_SHINGLES = f"""
+toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= 3 THEN list_distinct(
+           list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         ELSE [array_to_string(t, ' ')] END) AS shingle
+  FROM toks
+)
+"""
+
+_SQL_H60 = "(('0x' || substr(md5(shingle), 1, 15))::BIGINT)"
+
+
+@register(
+    "dedup_exact",
+    tags=("llm", "dedup", "exact"),
+    oracle="""
+SELECT
+  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+  COUNT(*) AS n_docs,
+  MIN(doc_id) AS survivor_doc_id
+FROM documents
+GROUP BY 1
+ORDER BY fingerprint
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups (hash-groupBy on normalized content md5)."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(d).orderBy("fingerprint")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    tags=("llm", "dedup", "jaccard"),
+    oracle=f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(c / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(c / (sa.n + sb.n - c), 6) >= 0.5
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (threshold 0.5) via the
+    inverted-index shingle join."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, k=3, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+def _sql_minhash_pairs(n_hashes: int = 16, bands: int = 4) -> str:
+    rows = n_hashes // bands
+    sig_cols = ",\n    ".join(
+        f"MIN(({a} * hm + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_params(n_hashes))
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({concat}) AS band_hash FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"mh{b * rows + r}::VARCHAR" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SQL_SHINGLES},
+hm AS (SELECT doc_id, ({_SQL_H60} % {MINHASH_PRIME}) AS hm FROM sh),
+sig AS (SELECT doc_id, {sig_cols} FROM hm GROUP BY doc_id),
+banded AS (
+{band_rows}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b USING (band, band_hash)
+WHERE a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    tags=("llm", "dedup", "minhash"),
+    oracle=_sql_minhash_pairs(),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) candidate pairs — deterministic
+    md5-derived permutation hashes, bucket join, no O(n²)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(d, n_hashes=16, bands=4).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _sql_simhash_pairs(bits: int = 60, bands: int = 4, max_hamming: int = 8) -> str:
+    width = bits // bands
+    mask = (1 << width) - 1
+    bit_sums = ",\n    ".join(
+        f"SUM(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)" for j in range(bits)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, sh, {b} AS band, (sh >> {b * width}) & {mask} AS band_val FROM sim"
+        for b in range(bands)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS t FROM documents),
+th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+bitsums AS (SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id),
+sim AS (SELECT doc_id, ({assemble}) AS sh FROM bitsums),
+banded AS (
+{band_rows}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sh, b.sh)) AS hamming
+FROM banded a JOIN banded b USING (band, band_val)
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_simhash",
+    tags=("llm", "dedup", "simhash"),
+    oracle=_sql_simhash_pairs(),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(60-bit) near-dup pairs, banded (15-bit × 4) candidate
+    join, hamming ≤ 8."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, max_hamming=8, bands=4).orderBy(
+        "doc_a", "doc_b"
+    )

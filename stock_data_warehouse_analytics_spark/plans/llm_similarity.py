@@ -1,0 +1,141 @@
+"""Similarity-search queries over ``embeddings`` (array<float>, dim 64).
+
+Probed invariant: Spark's zip_with+aggregate left-fold dot product is
+bit-identical to DuckDB ``list_dot_product`` on DOUBLE[] casts, so the
+cosine oracles compare exactly.  Ranking is on round(cosine, 6) with id
+tiebreaks — well-defined under any residual FP noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    _plane,
+    neardup_cosine_pairs,
+    topk_bruteforce,
+    topk_lsh,
+)
+from ..sources.tables import load_table
+from .registry import register
+
+_DIM = 64
+_SQL_COS = (
+    "ROUND(list_dot_product(qv, cv) / "
+    "(SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(cv, cv))), 6)"
+)
+
+
+@register(
+    "sim_topk_bruteforce",
+    tags=("llm", "similarity", "topk"),
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_SQL_COS} AS cosine
+  FROM q, c WHERE query_id != neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
+ORDER BY query_id, rnk
+""",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors (vec_id < 8):
+    broadcast queries × corpus scan, windowed rank — the ANN correctness
+    baseline."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return topk_bruteforce(e, e.filter(F.col("vec_id") < 8), k=5)
+
+
+def _sql_signature(vec_expr: str, n_planes: int = 16) -> str:
+    terms = []
+    for p in range(n_planes):
+        consts = ", ".join(repr(x) for x in _plane(_DIM, p))
+        terms.append(
+            f"(CASE WHEN list_dot_product([{consts}]::DOUBLE[], {vec_expr}) > 0 "
+            f"THEN {1 << p}::BIGINT ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "sim_topk_lsh",
+    tags=("llm", "similarity", "ann", "lsh"),
+    oracle=f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS (SELECT vec_id, v, {_sql_signature('v')} AS sig FROM base),
+q AS (SELECT vec_id AS query_id, v AS qv, sig AS qsig FROM sigs WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, sig AS csig FROM sigs),
+scored AS (
+  SELECT query_id, neighbor_id, {_SQL_COS} AS cosine
+  FROM q, c
+  WHERE query_id != neighbor_id AND bit_count(xor(qsig, csig)) <= 4
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
+ORDER BY query_id, rnk
+""",
+)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via 16-plane hyperplane-LSH prefilter (hamming ≤ 4 on
+    sign signatures) + exact re-rank.  Planes are md5-derived constants,
+    reproduced verbatim in the oracle — the scale path, oracle-checked."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return topk_lsh(
+        e,
+        e.filter(F.col("vec_id") < 8),
+        k=5,
+        dim=_DIM,
+        n_planes=16,
+        max_hamming=4,
+    )
+
+
+@register(
+    "emb_neardup_exact",
+    tags=("llm", "dedup", "embedding"),
+    oracle=f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.v, b.v) /
+               (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM base a JOIN base b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.35
+ORDER BY id_a, id_b
+""",
+)
+def emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact O(n²) baseline,
+    threshold 0.35 ≈ corpus 99.9th percentile).  The banded-LSH variant
+    for scale is ``emb_neardup_lsh``."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return neardup_cosine_pairs(e, threshold=0.35, exact=True)
+
+
+@register(
+    "emb_neardup_lsh",
+    tags=("llm", "dedup", "embedding", "ann"),
+    oracle=None,  # recall-bounded candidate set; verified vs exact in pytest
+)
+def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with LSH signature prefilter (hamming ≤ 6 of 16
+    planes) — the 100 TB path: candidate generation is an integer
+    filter, vector math only on survivors.  Approximate by design
+    (recall measured in tests), hence rows-only for the driver."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return neardup_cosine_pairs(
+        e, threshold=0.35, exact=False, n_planes=16, max_hamming=6
+    )

@@ -1,0 +1,158 @@
+"""Text-analysis queries over ``documents`` (LLM-pipeline surface).
+
+The SQL oracles are generated from the SAME stopword lists / constants
+as the Spark expressions in ``functions/text.py`` — one source of truth,
+two engines, hash-identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_STOPWORDS,
+    avg_word_len,
+    md5_fingerprint,
+    predicted_lang,
+    punct_ratio,
+    quality_score,
+    rolling_hash,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from ..sources.tables import load_table
+from .registry import register
+
+_SQL_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
+_SQL_NTOK = f"len({_SQL_TOKENS})"
+
+
+def _sql_stop_hits(lang: str) -> str:
+    rx = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+    return f"len(regexp_extract_all(lower(trim(text)), '{rx}'))"
+
+
+_SQL_PUNCT = (
+    r"((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE"
+    r" / length(text))"
+)
+
+
+def _sql_predicted_lang() -> str:
+    """Mirror of functions.text.predicted_lang's fold, same lang order."""
+    langs = sorted(LANG_STOPWORDS)
+    score = {lg: f"({_sql_stop_hits(lg)}::DOUBLE / {_SQL_NTOK})" for lg in langs}
+    best, best_score = f"'{langs[0]}'", score[langs[0]]
+    for lg in langs[1:]:
+        cond = f"({score[lg]} > {best_score})"
+        best = f"(CASE WHEN {cond} THEN '{lg}' ELSE {best} END)"
+        best_score = f"(CASE WHEN {cond} THEN {score[lg]} ELSE {best_score} END)"
+    return best
+
+
+@register(
+    "text_stats",
+    tags=("llm", "text", "quality"),
+    oracle=f"""
+SELECT
+  doc_id,
+  {_SQL_NTOK} AS n_tokens,
+  ROUND(length(regexp_replace(lower(trim(text)), '\\s+', '', 'g'))::DOUBLE / {_SQL_NTOK}, 6) AS avg_word_len,
+  ROUND({_SQL_PUNCT}, 6) AS punct_ratio,
+  ROUND({_sql_stop_hits('en')}::DOUBLE / {_SQL_NTOK}, 6) AS stopword_ratio,
+  ROUND(
+    LEAST(1.0, {_SQL_NTOK} / 100.0) * 0.4
+    + LEAST(1.0, ({_sql_stop_hits('en')}::DOUBLE / {_SQL_NTOK}) * 5) * 0.3
+    + (1.0 - LEAST(1.0, {_SQL_PUNCT} * 10)) * 0.3, 6) AS quality
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring per document — pure expressions
+    over the scan, no shuffle at all (the 100 TB shape: embarrassingly
+    parallel map)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        F.round(avg_word_len(t), 6).alias("avg_word_len"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_langid_confusion",
+    tags=("llm", "text", "langid"),
+    oracle=f"""
+SELECT lang, {_sql_predicted_lang()} AS predicted, COUNT(*) AS n
+FROM documents
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword densities, argmax) aggregated as
+    a labelled-vs-predicted confusion table."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", predicted_lang(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@register(
+    "text_fingerprints",
+    tags=("llm", "text", "fingerprint"),
+    oracle="""
+SELECT
+  doc_id,
+  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+  list_reduce(
+    list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+    (acc, x) -> (acc * 31 + x) % 2147483647
+  ) AS rhash
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: normalized md5 + polynomial rolling hash
+    (pure integer fold — engine-independent by construction)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        md5_fingerprint(F.col("text")).alias("fingerprint"),
+        rolling_hash(F.col("text")).alias("rhash"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_token_hist",
+    tags=("llm", "text", "explode"),
+    oracle=f"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest({_SQL_TOKENS}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+""",
+)
+def text_token_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token histogram (explode → count → top-k): the shape of
+    every vocabulary/BPE-prep job."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
