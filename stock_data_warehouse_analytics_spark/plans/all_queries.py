@@ -7,3 +7,5 @@ from . import tpch_windows  # noqa: F401
 from . import llm_text  # noqa: F401
 from . import llm_dedup  # noqa: F401
 from . import llm_similarity  # noqa: F401
+from . import streaming_windows  # noqa: F401
+from . import tpch_mining  # noqa: F401

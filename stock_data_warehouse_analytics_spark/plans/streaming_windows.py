@@ -1,0 +1,97 @@
+"""Batch-equivalent event-time window queries with DuckDB oracles.
+
+Tumbling/sliding mirror via epoch-microsecond bucket arithmetic
+(integer, exact); sessions via gaps-and-islands.  The same Spark
+expressions run under readStream — see streaming/event_windows.py and
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+from ..streaming.event_windows import session_agg, sliding_agg, tumbling_agg
+from .exact import sql_dsum
+from .registry import register
+
+_US_5M = 5 * 60 * 1_000_000
+_US_10M = 10 * 60 * 1_000_000
+
+
+@register(
+    "stream_tumbling_counts",
+    tags=("streaming", "window", "agg"),
+    oracle=f"""
+SELECT
+  make_timestamp((epoch_us(ts) // {_US_5M}) * {_US_5M}) AS window_start,
+  event_type,
+  COUNT(*) AS n,
+  {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling event-time windows per event_type."""
+    return tumbling_agg(load_table(spark, sf_dir, "events"), minutes=5)
+
+
+@register(
+    "stream_sliding_counts",
+    tags=("streaming", "window", "agg"),
+    oracle=f"""
+WITH assigned AS (
+  SELECT
+    make_timestamp(((epoch_us(ts) // {_US_5M}) - k) * {_US_5M}) AS window_start,
+    value
+  FROM events, (SELECT unnest([0, 1]) AS k)
+  WHERE epoch_us(ts) >= ((epoch_us(ts) // {_US_5M}) - k) * {_US_5M}
+    AND epoch_us(ts) <  ((epoch_us(ts) // {_US_5M}) - k) * {_US_5M} + {_US_10M}
+)
+SELECT window_start, COUNT(*) AS n, {sql_dsum('value')} AS total_value
+FROM assigned
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — overlapping assignment (each
+    event lands in 2 windows)."""
+    return sliding_agg(
+        load_table(spark, sf_dir, "events"), width_minutes=10, slide_minutes=5
+    )
+
+
+@register(
+    "stream_session_agg",
+    tags=("streaming", "session", "window"),
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {_US_10M}
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id, ts, value,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM ordered
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM islands
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+)
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (10 min) per user via session_window —
+    oracle mirrors with gaps-and-islands (identical session boundaries:
+    Spark merges events with gap ≤ 10 min; the island break condition
+    is gap > 10 min)."""
+    return session_agg(load_table(spark, sf_dir, "events"), gap_minutes=10)

@@ -1,0 +1,184 @@
+"""Event-time windowing (SURVEY.md §2.10 / §7.6): tumbling, sliding and
+session windows over the ``events`` table, plus a true Structured
+Streaming pipeline.
+
+The reference has no streaming at all; this is the mandated extension
+surface.  Each operator is written **batch-equivalently** — the exact
+same ``F.window`` / ``session_window`` expressions run under
+``readStream`` (see :func:`streaming_session`) — so the DuckDB oracle
+can verify the windowed-aggregation semantics, and the streaming test
+checks stream-vs-batch result equality.
+
+Scale notes: windowed aggs shuffle once on (window, key); watermarks
+bound state for unbounded input; session windows merge in the state
+store under streaming and via gaps-and-islands under batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tumbling_agg",
+    "sliding_agg",
+    "session_agg",
+    "streaming_session",
+    "run_stream_batch_equiv",
+]
+
+
+def tumbling_agg(events: DataFrame, minutes: int = 5) -> DataFrame:
+    """Tumbling event-time windows: count + sum(value) per
+    (window_start, event_type)."""
+    from ..plans.exact import dsum
+
+    win = F.window("ts", f"{minutes} minutes")
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def sliding_agg(
+    events: DataFrame, width_minutes: int = 10, slide_minutes: int = 5
+) -> DataFrame:
+    """Sliding windows (width > slide ⇒ overlapping assignment)."""
+    from ..plans.exact import dsum
+
+    win = F.window("ts", f"{width_minutes} minutes", f"{slide_minutes} minutes")
+    return (
+        events.groupBy(win.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+        .orderBy("window_start")
+    )
+
+
+def session_agg(events: DataFrame, gap_minutes: int = 10) -> DataFrame:
+    """Session windows per user (gap-based).  Uses ``session_window``
+    so the identical expression streams; the oracle mirrors it with
+    gaps-and-islands SQL."""
+    from ..plans.exact import dsum
+
+    sw = F.session_window("ts", f"{gap_minutes} minutes")
+    return (
+        events.groupBy(sw.alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def sessionize_islands(events: DataFrame, gap_minutes: int = 10) -> DataFrame:
+    """Batch sessionization via gaps-and-islands windows (the classic
+    relational formulation) — same sessions as :func:`session_agg`,
+    exposed for engines/flows without session_window."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lit(gap_minutes * 60)
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > gap),
+        1,
+    ).otherwise(0)
+    df = events.withColumn(
+        "_sid", F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        df.groupBy("user_id", "_sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("_sid")
+    )
+
+
+def streaming_session(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    checkpoint_dir: str,
+    out_table: str = "stream_out",
+    minutes: int = 5,
+    watermark: str = "30 minutes",
+):
+    """True Structured Streaming: file source → watermark → tumbling
+    window agg → memory sink (append on window close).
+
+    Watermark semantics: events later than ``watermark`` behind the max
+    seen event time are dropped; state for closed windows is evicted —
+    the property that bounds memory on unbounded input."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .json(source_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{minutes} minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return (
+        stream.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_stream_batch_equiv(
+    spark: SparkSession, events: DataFrame, tmp_dir: str, minutes: int = 5
+) -> tuple[DataFrame, DataFrame]:
+    """Drive the streaming pipeline over a file dump of ``events`` and
+    return (stream_result, batch_result) for equivalence checking.
+    ``append`` mode emits only watermark-closed windows, so the batch
+    side drops the final open window(s) the same way the test does."""
+    import os
+
+    src = os.path.join(tmp_dir, "src")
+    ckpt = os.path.join(tmp_dir, "ckpt")
+    events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).coalesce(4).write.mode("overwrite").json(src)
+
+    q = streaming_session(
+        spark, src, checkpoint_dir=ckpt, out_table="stream_out", minutes=minutes
+    )
+    q.awaitTermination()
+    stream_result = spark.table("stream_out")
+    batch_result = (
+        events.groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+    return stream_result, batch_result

@@ -1,0 +1,115 @@
+"""Structured Streaming stream-vs-batch equivalence, multimodal
+plumbing, and ANN recall checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMALL
+
+
+def test_stream_batch_equivalence(spark, tmp_path):
+    """The windowed agg under readStream(availableNow) must equal the
+    batch computation for every window the watermark closed."""
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+    from stock_data_warehouse_analytics_spark.streaming.event_windows import (
+        run_stream_batch_equiv,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    stream_df, batch_df = run_stream_batch_equiv(
+        spark, events, str(tmp_path), minutes=5
+    )
+    s = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 6))
+        for r in stream_df.collect()
+    }
+    b = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 6))
+        for r in batch_df.collect()
+    }
+    assert len(s) > 0
+    # append mode emits only watermark-closed windows: stream ⊆ batch,
+    # and every emitted window matches the batch result exactly
+    for key, val in s.items():
+        assert b[key] == val
+    # all but the windows near max event time must have been emitted
+    missing = set(b) - set(s)
+    max_start = max(k[0] for k in b)
+    assert all((max_start - k[0]).total_seconds() <= 40 * 60 for k in missing)
+
+
+def test_sessionize_islands_matches_session_window(spark):
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+    from stock_data_warehouse_analytics_spark.streaming.event_windows import (
+        session_agg,
+        sessionize_islands,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    a = {
+        (r.user_id, r.session_start): r.n_events
+        for r in session_agg(events, 10).collect()
+    }
+    b = {
+        (r.user_id, r.session_start): r.n_events
+        for r in sessionize_islands(events, 10).collect()
+    }
+    assert a == b
+
+
+def test_multimodal_plumbing(spark):
+    from stock_data_warehouse_analytics_spark.operators.multimodal import (
+        attach_blob,
+        blob_stats,
+        decode_image_stub,
+        fake_decode_features,
+        frame_sample,
+    )
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    blobs = attach_blob(docs)
+
+    stats = blob_stats(blobs).collect()
+    assert all(r.n_bytes == r.payload_len and r.n_bytes > 0 for r in stats)
+
+    feats = fake_decode_features(blobs, dim=8).collect()
+    assert all(len(r.features) == 8 for r in feats)
+    assert len(feats) == len(stats)
+    # determinism
+    feats2 = fake_decode_features(blobs, dim=8).collect()
+    assert {r.doc_id: r.features for r in feats} == {
+        r.doc_id: r.features for r in feats2
+    }
+
+    frames = frame_sample(blobs, stride=16, frame_len=4)
+    n_frames = frames.count()
+    assert n_frames > len(stats)  # fan-out happened
+    assert frames.columns == ["doc_id", "frame_idx", "frame_md5"]
+
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        decode_image_stub(blobs.limit(1)).collect()
+
+
+def test_ann_lsh_recall(spark):
+    """LSH top-k must reach decent recall vs brute force on sf0.001."""
+    from stock_data_warehouse_analytics_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_lsh,
+    )
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_bruteforce(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_lsh(emb, q, k=5, dim=64, n_planes=16, max_hamming=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
