@@ -60,26 +60,27 @@ def topk_bruteforce(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k cosine neighbors: broadcast the (small) query set
-    against the full corpus, per-row cosine, rank per query.
+    against the full corpus, per-row dot product, rank per query.
 
-    This is the correctness baseline: O(|Q|·N) with the corpus read
-    once and never shuffled — only the tiny per-query top-k heaps move
-    (rank window partitioned by query_id over a corpus-partitioned
-    scan).  Similarity is rounded to 6 before ranking with an id
+    Norms are computed ONCE per vector (normalize-at-ingest), so each
+    of the O(|Q|·N) comparisons is a single dot product — the corpus is
+    read once and never shuffled; only the tiny per-query top-k heaps
+    move.  Similarity is rounded to 6 before ranking with an id
     tiebreak, making the result well-defined under FP noise."""
     from pyspark.sql import Window
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"), normalize(F.col(vec_col)).alias("_qn")
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
-        )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), normalize(F.col(vec_col)).alias("_cn")
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot(F.col("_qn"), F.col("_cn")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -142,12 +143,12 @@ def topk_lsh(
     sig = lambda c: hyperplane_signature(c, dim=dim, n_planes=n_planes)  # noqa: E731
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
+        normalize(F.col(vec_col)).alias("_qn"),
         sig(F.col(vec_col)).alias("_qsig"),
     )
     c = emb.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
+        normalize(F.col(vec_col)).alias("_cn"),
         sig(F.col(vec_col)).alias("_csig"),
     )
     ham = F.bit_count(F.col("_qsig").bitwiseXOR(F.col("_csig")))
@@ -157,7 +158,7 @@ def topk_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+            F.round(dot(F.col("_qn"), F.col("_cn")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -173,32 +174,69 @@ def neardup_cosine_pairs(
     *,
     threshold: float = 0.9,
     dim: int = 64,
-    n_planes: int = 16,
-    max_hamming: int = 6,
+    n_planes: int = 32,
+    bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = False,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs.  ``exact=True`` does the
-    O(n²) self-join (oracle-checkable baseline); default banded-LSH
-    prefilters candidates by signature hamming distance so the pair
-    space stays tractable at corpus scale."""
-    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    if not exact:
-        base = base.withColumn(
-            "sig", hyperplane_signature(F.col("v"), dim=dim, n_planes=n_planes)
-        )
-    a, b = base.alias("a"), base.alias("b")
-    joined = a.join(b, F.col("a.id") < F.col("b.id"))
-    if not exact:
-        joined = joined.filter(
-            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))) <= max_hamming
-        )
-    return (
-        joined.select(
+    """Embedding-cosine near-duplicate pairs.
+
+    ``exact=True``: O(n²) self-join on pre-normalized vectors — the
+    oracle-checkable baseline (norms computed n times, not n²).
+
+    Default (scale path): banded hyperplane-LSH — signatures split into
+    ``bands`` chunks, candidates only where a whole band matches (a
+    bucket equi-join, never an all-pairs comparison), then exact cosine
+    on survivors.  By pigeonhole, any pair within ``bands−1`` sign-bit
+    flips of each other is guaranteed a shared band; cosine≥threshold
+    pairs flip few bits, so recall stays high (measured in tests)."""
+    base = emb.select(
+        F.col(id_col).alias("id"), normalize(F.col(vec_col)).alias("vn")
+    )
+    if exact:
+        a, b = base.alias("a"), base.alias("b")
+        pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+            F.col("a.vn").alias("_va"),
+            F.col("b.vn").alias("_vb"),
+        )
+    else:
+        width = n_planes // bands
+        mask = (1 << width) - 1
+        sigged = base.withColumn(
+            "sig", hyperplane_signature(F.col("vn"), dim=dim, n_planes=n_planes)
+        )
+        band_structs = [
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftright(F.col("sig"), bi * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for bi in range(bands)
+        ]
+        banded = sigged.select(
+            "id", "vn", F.explode(F.array(*band_structs)).alias("bb")
+        ).select("id", "vn", "bb.band", "bb.band_val")
+        a, b = banded.alias("a"), banded.alias("b")
+        pairs = (
+            a.join(b, on=["band", "band_val"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.vn").alias("_va"),
+                F.col("b.vn").alias("_vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")

@@ -21,20 +21,21 @@ from ..sources.tables import load_table
 from .registry import register
 
 _DIM = 64
-_SQL_COS = (
-    "ROUND(list_dot_product(qv, cv) / "
-    "(SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(cv, cv))), 6)"
-)
+# normalize-once mirror of operators.similarity.normalize: per-element
+# divide by the fold-computed L2 norm, then cosine is one dot product.
+_SQL_NORM = "list_transform(v, x -> x / sqrt(list_dot_product(v, v)))"
 
 
 @register(
     "sim_topk_bruteforce",
     tags=("llm", "similarity", "topk"),
     oracle=f"""
-WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
-c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+WITH base AS (SELECT vec_id, {_SQL_NORM} AS vn
+              FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+q AS (SELECT vec_id AS query_id, vn AS qn FROM base WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, vn AS cn FROM base),
 scored AS (
-  SELECT query_id, neighbor_id, {_SQL_COS} AS cosine
+  SELECT query_id, neighbor_id, ROUND(list_dot_product(qn, cn), 6) AS cosine
   FROM q, c WHERE query_id != neighbor_id
 ),
 ranked AS (
@@ -69,12 +70,13 @@ def _sql_signature(vec_expr: str, n_planes: int = 16) -> str:
     "sim_topk_lsh",
     tags=("llm", "similarity", "ann", "lsh"),
     oracle=f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-sigs AS (SELECT vec_id, v, {_sql_signature('v')} AS sig FROM base),
-q AS (SELECT vec_id AS query_id, v AS qv, sig AS qsig FROM sigs WHERE vec_id < 8),
-c AS (SELECT vec_id AS neighbor_id, v AS cv, sig AS csig FROM sigs),
+WITH base AS (SELECT vec_id, v, {_SQL_NORM} AS vn
+              FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+sigs AS (SELECT vec_id, vn, {_sql_signature('v')} AS sig FROM base),
+q AS (SELECT vec_id AS query_id, vn AS qn, sig AS qsig FROM sigs WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, vn AS cn, sig AS csig FROM sigs),
 scored AS (
-  SELECT query_id, neighbor_id, {_SQL_COS} AS cosine
+  SELECT query_id, neighbor_id, ROUND(list_dot_product(qn, cn), 6) AS cosine
   FROM q, c
   WHERE query_id != neighbor_id AND bit_count(xor(qsig, csig)) <= 4
 ),
@@ -106,11 +108,11 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_neardup_exact",
     tags=("llm", "dedup", "embedding"),
     oracle=f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH base AS (SELECT vec_id, {_SQL_NORM} AS vn
+              FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         ROUND(list_dot_product(a.v, b.v) /
-               (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 6) AS cosine
+         ROUND(list_dot_product(a.vn, b.vn), 6) AS cosine
   FROM base a JOIN base b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.35
@@ -131,11 +133,11 @@ def emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # recall-bounded candidate set; verified vs exact in pytest
 )
 def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with LSH signature prefilter (hamming ≤ 6 of 16
-    planes) — the 100 TB path: candidate generation is an integer
-    filter, vector math only on survivors.  Approximate by design
-    (recall measured in tests), hence rows-only for the driver."""
+    """Near-dup pairs via banded hyperplane-LSH (32 planes, 8 bands):
+    candidate generation is a bucket equi-join — never an all-pairs
+    scan — then exact cosine on survivors.  The 100 TB path; recall
+    measured in tests, hence rows-only for the driver."""
     e = load_table(spark, sf_dir, "embeddings")
     return neardup_cosine_pairs(
-        e, threshold=0.35, exact=False, n_planes=16, max_hamming=6
+        e, threshold=0.35, exact=False, n_planes=32, bands=8
     )

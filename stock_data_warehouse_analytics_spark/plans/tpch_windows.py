@@ -181,7 +181,7 @@ WITH r AS (
 ), cum AS (
   SELECT user_id, ts, event_id,
     EXP({sql_dsum_w('LN(1 + ret)', _W_CUM)}) AS cum_ret
-  FROM r WHERE ret IS NOT NULL
+  FROM r WHERE ret IS NOT NULL AND ret > -1
 ), dd AS (
   SELECT user_id,
     (cum_ret - MAX(cum_ret) OVER {_W_CUM}) / MAX(cum_ret) OVER {_W_CUM} AS drawdown
@@ -203,9 +203,11 @@ def win_cumprod_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine)."""
     e = load_table(spark, sf_dir, "events")
     w = _events_w()
+    # ret = −1 (a zero value after a non-zero) would put ln(0) in the
+    # fold — excluded on both engines; ret < −1 can't occur (value ≥ 0).
     ret = e.select(
         "user_id", "ts", "event_id", lag_pct_change("value", w).alias("ret")
-    ).filter(F.col("ret").isNotNull())
+    ).filter(F.col("ret").isNotNull() & (F.col("ret") > -1))
     # operators.windows.cumulative_product is exp(plain double sum); here
     # the log1p terms go through the decimal sum to mirror the oracle
     # bit-for-bit (the operator itself is exercised by the stock pipeline).

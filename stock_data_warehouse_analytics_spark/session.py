@@ -36,6 +36,9 @@ def tune_for_engine(spark: SparkSession) -> SparkSession:
     """
     conf = spark.conf
     conf.set("spark.sql.session.timeZone", "UTC")
+    # Non-ANSI arithmetic: x/0 → NULL, matching DuckDB (and the
+    # reference's pandas pipeline never errors on bad rows either).
+    conf.set("spark.sql.ansi.enabled", "false")
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -59,6 +62,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
