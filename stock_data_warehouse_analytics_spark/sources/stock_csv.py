@@ -29,6 +29,7 @@ __all__ = [
     "read_raw",
     "clean_raw",
     "load_stock_facts",
+    "load_cleaned",
     "write_csv_single",
 ]
 
@@ -131,6 +132,20 @@ def load_stock_facts(
         branches = [clean_raw(read_raw(spark, os.path.join(input_dir, "*.csv")))]
     return reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), branches
+    )
+
+
+def load_cleaned(spark: SparkSession, path: str) -> DataFrame:
+    """S3 — typed scan of already-cleaned CSVs (the ``pd.read_csv(
+    'cleaned/All.csv', parse_dates=['Date'])`` entry point used by every
+    downstream reference script, e.g. olap_analysis.py:29).  Explicit
+    FACT_SCHEMA: no inference pass over the data, stable types."""
+    from ..schemas import FACT_SCHEMA
+
+    return (
+        spark.read.schema(FACT_SCHEMA)
+        .option("header", True)
+        .csv(path)
     )
 
 
