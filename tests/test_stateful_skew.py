@@ -1,0 +1,140 @@
+"""Stateful streaming operator + skew helpers: correctness vs the plain
+formulations."""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMALL
+
+
+def test_stateful_running_totals_matches_batch(spark, tmp_path):
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+    from stock_data_warehouse_analytics_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "src")
+    events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    ).coalesce(2).write.mode("overwrite").json(src)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # last update per user (multiple micro-batches → multiple rows;
+    # the final one carries the complete running total)
+    out = spark.sql(
+        """
+        SELECT user_id, n_events, total_value, max_value FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY n_events DESC) AS rn
+          FROM stateful_out) WHERE rn = 1
+        """
+    ).collect()
+    got = {r.user_id: (r.n_events, r.total_value, r.max_value) for r in out}
+
+    want = {
+        r.user_id: (r.n, r.t, r.m)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("t"),
+            F.max("value").alias("m"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0], u
+        assert math.isclose(got[u][1], want[u][1], rel_tol=1e-9), u
+        assert got[u][2] == want[u][2], u
+
+
+def test_salted_aggregate_equals_plain(spark):
+    from stock_data_warehouse_analytics_spark.operators.skew import salted_aggregate
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    events = load_table(spark, SF_SMALL, "events")
+    got = {
+        r.event_type: (r.n, round(r.total, 6), r.mx)
+        for r in salted_aggregate(
+            events,
+            ["event_type"],
+            {"n": ("value", "count"), "total": ("value", "sum"), "mx": ("value", "max")},
+        ).collect()
+    }
+    want = {
+        r.event_type: (r.n, round(r.total, 6), r.mx)
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_equals_plain(spark):
+    from stock_data_warehouse_analytics_spark.operators.skew import salted_join
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, SF_SMALL, "customer").select("c_custkey", "c_mktsegment")
+    cust = cust.withColumnRenamed("c_custkey", "o_custkey")
+
+    got = (
+        salted_join(orders, cust, "o_custkey", n_salts=4)
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    want = (
+        orders.join(cust, "o_custkey")
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    assert {r.c_mktsegment: r["count"] for r in got} == {
+        r.c_mktsegment: r["count"] for r in want
+    }
+
+
+def test_encoding_fallback_latin1(spark, tmp_path):
+    """S1 — the reference's latin1 retry (preprocess_stocks.py:124-127):
+    a CSV with latin1 bytes parses via the fallback encoding."""
+    from stock_data_warehouse_analytics_spark.sources.stock_csv import (
+        clean_raw,
+        read_raw,
+    )
+
+    raw = '"Date","Close","Open","High","Low","Volume","Change%"\n'
+    raw += '"26/09/2025","36,500.0","37,050.0","37,050.0","36,500.0","903.30K","-2.41%"\n'
+    p = tmp_path / "LAT1.csv"
+    p.write_bytes(raw.encode("latin1"))
+
+    df = clean_raw(read_raw(spark, str(p), encoding="ISO-8859-1"), ticker="LAT1")
+    row = df.collect()[0]
+    assert row.Close == 36500.0 and row.Volume == 903300
+    assert row.Ticker == "LAT1"
+    assert str(row.Date) == "2025-09-26"
