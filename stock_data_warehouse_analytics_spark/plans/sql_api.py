@@ -1,0 +1,94 @@
+"""Queries exercising the ``spark.sql`` surface and relational TF-IDF.
+
+The engine's SQL entry point: testdata tables registered as temp views
+(``sources.tables.register_views``), query written in SQL — Catalyst
+compiles it to the same physical plan the DataFrame API would get.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import register_views
+from .exact import sql_dsum
+from .registry import register
+
+# Q6-shaped: the same SQL text runs on both engines (modulo the
+# timestamp literal spelling), so the oracle is nearly verbatim.
+_Q6_BODY = f"""
+SELECT
+  {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register(
+    "sql_q6_forecast_revenue",
+    tags=("sql-api", "agg", "filter"),
+    oracle=_Q6_BODY,
+)
+def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape submitted through ``spark.sql`` on registered
+    views — identical SQL text on both engines; Catalyst still pushes
+    the three filters into the parquet scan."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q6_BODY)
+
+
+@register(
+    "text_tfidf_topterms",
+    tags=("llm", "text", "tfidf"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.term,
+         tf.tf * (LN((n.n_docs + 1.0) / (df.df + 1)) + 1) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT term, ROUND({sql_dsum('tfidf')}, 6) AS total_tfidf
+FROM scored
+GROUP BY term
+ORDER BY total_tfidf DESC, term
+LIMIT 10
+""",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational TF-IDF (explicit vocabulary): corpus top-10 terms by
+    summed tf·idf with smooth idf = ln((N+1)/(df+1))+1.  The hashed
+    ``pyspark.ml`` variant (no vocabulary state) is
+    ``operators/text_ml.tfidf_features`` — exercised in tests; hashing
+    is engine-specific so this explicit form carries the oracle."""
+    from ..functions.text import tokens
+    from ..sources.tables import load_table
+    from .exact import dsum
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    n_docs = docs.count()
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = df_.withColumn(
+        "idf", F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1)) + 1
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "term", (F.col("tf") * F.col("idf")).alias("tfidf")
+    )
+    return (
+        scored.groupBy("term")
+        .agg(F.round(dsum("tfidf"), 6).alias("total_tfidf"))
+        .orderBy(F.desc("total_tfidf"), "term")
+        .limit(10)
+    )

@@ -138,3 +138,19 @@ def test_encoding_fallback_latin1(spark, tmp_path):
     assert row.Close == 36500.0 and row.Volume == 903300
     assert row.Ticker == "LAT1"
     assert str(row.Date) == "2025-09-26"
+
+
+def test_tfidf_ml_pipeline(spark):
+    """HashingTF+IDF scale path: sparse vectors, deterministic given
+    the same input."""
+    from stock_data_warehouse_analytics_spark.operators.text_ml import (
+        tfidf_features,
+    )
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    out = tfidf_features(docs, num_features=1 << 10)
+    rows = out.select("doc_id", "tfidf").collect()
+    assert len(rows) == docs.count()
+    v = rows[0].tfidf
+    assert v.size == 1 << 10 and v.numNonzeros() > 0
