@@ -1,0 +1,111 @@
+"""Second OLAP batch: exact percentiles and time-series resampling
+(OHLC bars) — warehouse staples beyond the reference's own surface,
+both oracle-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .exact import dsum, sql_dsum
+from .registry import register
+
+
+@register(
+    "olap_percentiles",
+    tags=("agg", "percentile"),
+    oracle="""
+SELECT
+  l_returnflag,
+  ROUND(quantile_cont(l_extendedprice, 0.5), 6)  AS median_price,
+  ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+  ROUND(quantile_cont(l_quantity, 0.5), 6)       AS median_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def olap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (Spark ``percentile`` ↔
+    DuckDB ``quantile_cont``, same (1−g)·lo + g·hi rule).  At 100 TB
+    you'd switch to ``approx_percentile`` (t-digest, one pass, bounded
+    memory) — exposed rows-only since sketches are engine-specific."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias(
+                "median_price"
+            ),
+            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias(
+                "p95_price"
+            ),
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "olap_daily_ohlc",
+    tags=("agg", "resample", "ohlc"),
+    oracle=f"""
+SELECT
+  CAST(ts AS DATE) AS day,
+  event_type,
+  FIRST(value ORDER BY ts, event_id) AS open,
+  MAX(value)                         AS high,
+  MIN(value)                         AS low,
+  LAST(value ORDER BY ts, event_id)  AS close,
+  {sql_dsum('value')}                AS volume,
+  COUNT(*)                           AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def olap_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to OHLC bars — the canonical stock-
+    warehouse downsample (daily bars → weekly bars in the reference's
+    domain), here over the events stream.  open/close via
+    ``min_by``/``max_by`` on a (ts, event_id) struct — deterministic
+    under ties, one grouped agg, mirrored by DuckDB ordered aggregates."""
+    e = load_table(spark, sf_dir, "events")
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy(
+            F.col("ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            dsum("value").alias("volume"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@register(
+    "olap_approx_percentiles",
+    tags=("agg", "percentile", "sketch"),
+    oracle=None,  # approximate sketch — engine-specific, rows-only
+)
+def olap_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-pass bounded-memory percentile for 100 TB inputs:
+    ``approx_percentile`` (Greenwald-Khanna/t-digest style)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+            ).alias("approx_p50_p95")
+        )
+        .orderBy("l_returnflag")
+    )
