@@ -1,0 +1,113 @@
+"""Incremental materialized rollup (hypertable-style continuous
+aggregate): maintain a day-partitioned aggregate table that absorbs new
+event batches idempotently — the pattern behind every incrementally-
+maintained warehouse table.
+
+Mechanics (no table format dependency — plain parquet):
+- the rollup is parquet partitioned by ``day``;
+- a new batch only touches the days it contains, so the merge
+  recomputes exactly those partitions (old rollup rows for affected
+  days + new deltas → combined aggregate) and rewrites them via
+  **dynamic partition overwrite** — untouched days are never read or
+  written;
+- aggregates carried are algebraic (count/sum/min/max), so merging
+  partials is exact regardless of how batches split the data.
+
+At 100 TB this is the difference between an O(new data) nightly merge
+and an O(history) recompute.  ``foreachBatch`` wires the same function
+to a Structured Streaming source (micro-batch = delta).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["daily_rollup", "upsert_daily_rollup", "stream_into_rollup"]
+
+_KEYS = ["day", "event_type"]
+_AGG_SCHEMA = (
+    "day date, event_type string, n long, total_value double, "
+    "min_value double, max_value double"
+)
+
+
+def daily_rollup(events: DataFrame) -> DataFrame:
+    """The rollup expression: one row per (day, event_type)."""
+    return events.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("total_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def _merge(old: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two partial rollups — algebraic re-aggregation."""
+    return (
+        old.unionByName(delta)
+        .groupBy(*_KEYS)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("total_value").alias("total_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
+def upsert_daily_rollup(
+    spark: SparkSession, new_events: DataFrame, rollup_path: str
+) -> None:
+    """Absorb ``new_events`` into the rollup at ``rollup_path``:
+    read ONLY the affected day partitions, merge, dynamically overwrite
+    those partitions."""
+    delta = daily_rollup(new_events)
+    days = [r.day for r in delta.select("day").distinct().collect()]
+    if not days:
+        return
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if os.path.exists(rollup_path):
+        old = (
+            spark.read.schema(_AGG_SCHEMA)
+            .parquet(rollup_path)
+            .filter(F.col("day").isin(days))  # partition-pruned read
+        )
+        merged = _merge(old, delta)
+    else:
+        merged = delta
+    # dynamic mode: only partitions present in `merged` are replaced
+    merged.write.mode("overwrite").partitionBy("day").parquet(rollup_path)
+
+
+def stream_into_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    rollup_path: str,
+    *,
+    checkpoint_dir: str,
+):
+    """Structured-Streaming maintenance of the same rollup: each
+    micro-batch runs the identical upsert through ``foreachBatch`` —
+    exactly-once per batch via the checkpoint, idempotent day rewrites."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_daily_rollup(spark, batch_df, rollup_path)
+
+    return (
+        spark.readStream.schema(schema)
+        .json(source_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
