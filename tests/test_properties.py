@@ -142,6 +142,46 @@ _num_strategy = st.one_of(
 )
 
 
+def _py_parse_volume(v: str):
+    import re as _re
+
+    s = v.strip()
+    if s in ("", "-", "—", "nan"):
+        return None
+    s = s.replace(",", "").replace(" ", "")
+    m = _re.match(r"^(-?[\d\.]+)([KkMmBb]?)$", s)
+    if m:
+        try:
+            num = float(m.group(1))
+        except ValueError:
+            return None
+        mult = {"K": 1e3, "M": 1e6, "B": 1e9, "": 1.0}[m.group(2).upper()]
+        try:
+            return int(num * mult)
+        except (ValueError, OverflowError):
+            return None
+    try:
+        return int(float(s))
+    except (ValueError, OverflowError):
+        return None
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(values=st.lists(_num_strategy, min_size=1, max_size=40))
+def test_parse_volume_matches_reference_semantics(spark, values):
+    from stock_data_warehouse_analytics_spark.functions.parsers import parse_volume
+
+    df = spark.createDataFrame([(v,) for v in values], ["s"])
+    got = [r[0] for r in df.select(parse_volume(F.col("s"))).collect()]
+    want = [_py_parse_volume(v) for v in values]
+    for g, w, v in zip(got, want, values):
+        assert g == w, (v, g, w)
+
+
 @settings(
     max_examples=30,
     deadline=None,
