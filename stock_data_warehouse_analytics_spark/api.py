@@ -30,7 +30,12 @@ class StockWarehouse:
     def __init__(
         self, spark: SparkSession, path: str, *, cleaned: bool = False
     ) -> None:
-        self.spark = spark
+        from .session import tune_for_engine
+
+        # an externally created session may run with default confs
+        # (200 shuffle partitions, no AQE coalescing) — on the bounded
+        # stock data that means thousands of empty tasks per query.
+        self.spark = tune_for_engine(spark)
         self._path = path
         self._cleaned = cleaned
 

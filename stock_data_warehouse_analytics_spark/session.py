@@ -39,6 +39,10 @@ def tune_for_engine(spark: SparkSession) -> SparkSession:
     # Non-ANSI arithmetic: x/0 → NULL, matching DuckDB (and the
     # reference's pandas pipeline never errors on bad rows either).
     conf.set("spark.sql.ansi.enabled", "false")
+    # Seed shuffle width from the actual CPU budget instead of the 200
+    # default — AQE coalesces downward at runtime, and on a real
+    # cluster it re-splits upward, so this is a floor, not a ceiling.
+    conf.set("spark.sql.shuffle.partitions", str(_cpus()))
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
