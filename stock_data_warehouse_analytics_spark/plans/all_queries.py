@@ -11,3 +11,4 @@ from . import streaming_windows  # noqa: F401
 from . import tpch_mining  # noqa: F401
 from . import sql_api  # noqa: F401
 from . import tpch_olap2  # noqa: F401
+from . import tpch_misc  # noqa: F401

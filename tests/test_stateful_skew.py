@@ -154,3 +154,34 @@ def test_tfidf_ml_pipeline(spark):
     assert len(rows) == docs.count()
     v = rows[0].tfidf
     assert v.size == 1 << 10 and v.numNonzeros() > 0
+
+
+def test_corrupt_csv_rows_become_nulls_not_crashes(spark, tmp_path):
+    """Messy real-world input: truncated rows, garbage numerics, bad
+    dates — the ETL must degrade to nulls per-cell (PERMISSIVE +
+    try_cast semantics), never fail the job."""
+    from stock_data_warehouse_analytics_spark.sources.stock_csv import (
+        clean_raw,
+        read_raw,
+    )
+
+    content = (
+        '"Ngày","Lần cuối","Mở","Cao","Thấp","KL","% Thay đổi"\n'
+        '"26/09/2025","36,500.0","37,050.0","37,050.0","36,500.0","903.30K","-2.41%"\n'
+        '"not-a-date","garbage","##","??","—","12XYZ","pct"\n'
+        '"27/09/2025","1,000.0"\n'  # truncated row
+        '"","","","","","",""\n'
+    )
+    p = tmp_path / "MESS.csv"
+    p.write_text(content, encoding="utf-8")
+
+    df = clean_raw(read_raw(spark, str(p)), ticker="MESS")
+    rows = df.collect()
+    assert len(rows) == 4  # every line survives
+    good = [r for r in rows if r.Close == 36500.0]
+    assert len(good) == 1 and good[0].Volume == 903300
+    bad = [r for r in rows if r.Date is None]
+    # garbage row: all parsed cells null, no exception
+    assert any(r.Close is None and r.Volume is None for r in bad)
+    trunc = [r for r in rows if r.Close == 1000.0]
+    assert len(trunc) == 1 and trunc[0].Open is None
