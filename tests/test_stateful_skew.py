@@ -185,3 +185,26 @@ def test_corrupt_csv_rows_become_nulls_not_crashes(spark, tmp_path):
     assert any(r.Close is None and r.Volume is None for r in bad)
     trunc = [r for r in rows if r.Close == 1000.0]
     assert len(trunc) == 1 and trunc[0].Open is None
+
+
+def test_unknown_extra_column_passes_through(spark, tmp_path):
+    """P1 pass-through rule (preprocess_stocks.py:115-116): columns not
+    in COL_MAP survive the ETL unchanged, after the fact columns."""
+    from stock_data_warehouse_analytics_spark.sources.stock_csv import (
+        clean_raw,
+        read_raw,
+    )
+
+    content = (
+        '"Ngày","Lần cuối","Mở","Cao","Thấp","KL","% Thay đổi"," Ghi chú "\n'
+        '"26/09/2025","36,500.0","37,050.0","37,050.0","36,500.0","903.30K","-2.41%","note-1"\n'
+    )
+    p = tmp_path / "XTRA.csv"
+    p.write_text(content, encoding="utf-8")
+
+    df = clean_raw(read_raw(spark, str(p)), ticker="XTRA")
+    # header normalization strips whitespace/newlines; unknown name kept
+    assert "Ghi chú" in df.columns
+    row = df.collect()[0]
+    assert row["Ghi chú"] == "note-1"
+    assert row.Close == 36500.0  # known columns still parse
