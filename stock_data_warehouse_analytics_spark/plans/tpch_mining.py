@@ -24,10 +24,10 @@ from .registry import register
 WITH m AS (
   SELECT event_type,
     COUNT(*)::DOUBLE AS n,
-    {sql_dsum('epoch_us(ts) / 3600000000.0')} AS sx,
+    {sql_dsum("(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) / 3600000000.0")} AS sx,
     {sql_dsum('value')} AS sy,
-    {sql_dsum('(epoch_us(ts) / 3600000000.0) * (epoch_us(ts) / 3600000000.0)')} AS sxx,
-    {sql_dsum('(epoch_us(ts) / 3600000000.0) * value')} AS sxy,
+    {sql_dsum("((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) / 3600000000.0) * ((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) / 3600000000.0)")} AS sxx,
+    {sql_dsum("((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) / 3600000000.0) * value")} AS sxy,
     {sql_dsum('value * value')} AS syy
   FROM events GROUP BY event_type
 )
@@ -44,9 +44,16 @@ def mining_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1/M3 analog — closed-form OLS (value ~ event-time in hours) per
     event_type from exact decimal moments: slope, intercept, in-sample
     R² (squared Pearson corr).  All distributed partial+final aggs —
-    the regression itself is just arithmetic on six moments."""
+    the regression itself is just arithmetic on six moments.
+
+    x is hours since 2024-01-01, NOT since the Unix epoch: at epoch
+    magnitude, x² ≈ 2.2e11 has a double ulp (3e-5) larger than the
+    decimal scale boundary (1e-6), re-opening the shortest-repr vs
+    exact-binary cast divergence plans/exact.py exists to avoid (found
+    by the sf0.1 oracle sweep — sf0.01 passed by luck)."""
     e = load_table(spark, sf_dir, "events")
-    x = F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000.0
+    origin_us = 1_704_067_200_000_000  # epoch_us(2024-01-01T00:00Z)
+    x = (F.unix_micros(F.col("ts").cast("timestamp")) - origin_us) / 3_600_000_000.0
     df = e.select("event_type", x.alias("x"), F.col("value").alias("y"))
     m = df.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
