@@ -1,0 +1,213 @@
+"""Advanced join family Spark lacks as single operators: as-of join,
+range/band join, multiset set-ops.  Each is composed from shuffle-lean
+DataFrame primitives (SURVEY.md custom-operator rule (a): composition of
+existing ops) and oracle-checked against DuckDB's native forms (ASOF
+JOIN, inequality join, INTERSECT/EXCEPT ALL).
+
+The as-of join is the canonical stock-warehouse operator the reference's
+domain implies but pandas gives away for free (``pd.merge_asof``): align
+each observation with the latest prior reading from another series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .exact import davg, dsum, sql_davg, sql_dsum
+from .registry import register
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    probe_ts: str = "ts",
+    build_ts: str = "ts",
+    value_col: str = "asof_value",
+) -> DataFrame:
+    """As-of join: for every probe row, attach the ``value_col`` of the
+    latest build row with ``build_ts <= probe_ts`` and equal ``on`` key
+    (ties at equal timestamps include the build row, matching DuckDB
+    ``ASOF JOIN ... ON probe.ts >= build.ts`` and ``pd.merge_asof``).
+
+    Scale shape: ONE shuffle on the key column — both sides are unioned
+    with a side tag and swept by a single ``last(ignorenulls)`` window.
+    No range-bucketing, no per-key loop, no broadcast; state per row is
+    O(1), so the plan survives a 100 TB probe side unchanged.  (The
+    alternative — point-in-interval range join — shuffles twice and
+    explodes build rows per time bucket.)
+
+    ``build`` must be unique per (key, ts); pre-aggregate upstream if
+    not, or the picked row is nondeterministic.
+    """
+    p = probe.withColumn("__tag", F.lit(1)).withColumn(value_col, F.lit(None))
+    b = (
+        build.select(
+            F.col(on),
+            F.col(build_ts).alias(probe_ts),
+            F.col(value_col),
+        )
+        .withColumn("__tag", F.lit(0))
+    )
+    # build (tag 0) sorts before probe (tag 1) at equal ts → inclusive
+    w = (
+        Window.partitionBy(on)
+        .orderBy(probe_ts, "__tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = F.last(value_col, ignorenulls=True).over(w)
+    return (
+        p.select(*probe.columns, "__tag", value_col)
+        .unionByName(b, allowMissingColumns=True)
+        .withColumn(value_col, filled)
+        .filter(F.col("__tag") == 1)
+        .drop("__tag")
+    )
+
+
+@register(
+    "join_asof_purchase_value",
+    tags=("join", "asof", "window"),
+    oracle=f"""
+WITH build AS (
+  SELECT user_id, ts, MAX(value) AS last_purchase
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+probe AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT probe.user_id % 16 AS user_bucket,
+       COUNT(*) AS n_clicks,
+       COUNT(last_purchase) AS n_matched,
+       ROUND({sql_davg('last_purchase')}, 6) AS avg_last_purchase
+FROM probe ASOF LEFT JOIN build
+  ON probe.user_id = build.user_id AND probe.ts >= build.ts
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def join_asof_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (``pd.merge_asof`` / DuckDB ``ASOF JOIN`` analog): each
+    click event picks up the same user's latest prior purchase value,
+    via the union + last(ignorenulls) window sweep in :func:`asof_join`
+    — one shuffle, no range explosion.  Aggregated per user bucket so
+    the compared result stays small."""
+    e = load_table(spark, sf_dir, "events")
+    probe = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    build = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase"))
+    )
+    joined = asof_join(
+        probe, build, on="user_id", value_col="last_purchase"
+    )
+    return (
+        joined.groupBy((F.col("user_id") % 16).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.count("last_purchase").alias("n_matched"),
+            F.round(davg("last_purchase"), 6).alias("avg_last_purchase"),
+        )
+        .orderBy("user_bucket")
+    )
+
+
+_BANDS = [
+    (0.0, 50_000.0, "low"),
+    (50_000.0, 150_000.0, "mid"),
+    (150_000.0, 300_000.0, "high"),
+    (300_000.0, 1e18, "whale"),
+]
+
+
+@register(
+    "join_range_price_bands",
+    tags=("join", "range", "broadcast"),
+    oracle=f"""
+SELECT band,
+       COUNT(*) AS n_orders,
+       ROUND({sql_davg('o_totalprice')}, 2) AS avg_price,
+       {sql_dsum('o_totalprice')} AS revenue
+FROM orders
+JOIN (VALUES {', '.join(f"({lo!r}, {hi!r}, '{b}')" for lo, hi, b in _BANDS)})
+  AS bands(lo, hi, band)
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+ORDER BY band
+""",
+)
+def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: fact rows matched to [lo, hi) intervals via a
+    non-equi broadcast join — the physical plan is
+    BroadcastNestedLoopJoin with the interval predicate, which is the
+    right shape when the interval side is tiny and static.  If the band
+    table grew unbounded you'd bucketize (equi-join on
+    ``width_bucket``-style keys) instead; for a fixed ladder the
+    broadcast costs O(|fact| × |bands|) comparisons with zero shuffle of
+    the fact."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    bands = spark.createDataFrame(_BANDS, "lo double, hi double, band string")
+    cond = (F.col("o_totalprice") >= F.col("lo")) & (
+        F.col("o_totalprice") < F.col("hi")
+    )
+    return (
+        o.join(F.broadcast(bands), cond)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(davg("o_totalprice"), 2).alias("avg_price"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "set_multiset_custkeys",
+    tags=("setop", "intersect-all", "except-all"),
+    oracle="""
+SELECT 'common' AS op, COUNT(*) AS n_rows, COUNT(DISTINCT custkey) AS n_keys
+FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+)
+UNION ALL
+SELECT 'urgent_surplus' AS op, COUNT(*) AS n_rows, COUNT(DISTINCT custkey) AS n_keys
+FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+)
+ORDER BY op
+""",
+)
+def set_multiset_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set-ops (``intersectAll`` / ``exceptAll`` — the ALL
+    flavors SURVEY.md §2.8 notes as free Spark capability): per-key
+    multiplicities min(a,b) and max(a-b, 0).  Spark plans both as a
+    single shuffle on the row value with a count comparison — no O(n²)
+    pairing."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("custkey")
+    )
+
+    def summarize(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(
+            F.lit(op).alias("op"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("custkey").alias("n_keys"),
+        )
+
+    return (
+        summarize(urgent.intersectAll(high), "common")
+        .unionByName(summarize(urgent.exceptAll(high), "urgent_surplus"))
+        .orderBy("op")
+    )

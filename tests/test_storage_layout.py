@@ -104,3 +104,45 @@ def test_partitioned_fact_prunes_partitions(spark, tmp_path):
     n_hvn = read.count()
     assert n_hvn == fact.filter(F.col("Ticker") == "HVN").count()
     assert n_hvn > 0
+
+
+def test_multiformat_roundtrip(spark, tmp_path):
+    """write_table/read_table: every built-in format round-trips the
+    nation table losslessly (csv/json via an explicit schema — type
+    inference is the thing the engine refuses to rely on)."""
+    from stock_data_warehouse_analytics_spark.sources.sinks import (
+        SUPPORTED_FORMATS,
+        read_table,
+        write_table,
+    )
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    nation = load_table(spark, SF_SMALL, "nation")
+    want = sorted(map(tuple, nation.collect()))
+    for fmt in SUPPORTED_FORMATS:
+        path = str(tmp_path / fmt)
+        write_table(nation, path, fmt)
+        back = read_table(spark, path, fmt, schema=nation.schema)
+        assert sorted(map(tuple, back.collect())) == want, fmt
+        assert back.schema == nation.schema, fmt
+
+
+def test_partitioned_orc_prunes_like_parquet(spark, tmp_path):
+    """ORC gets the same partitioned-directory pruning as parquet —
+    the layout, not the file format, is what carries pruning."""
+    from stock_data_warehouse_analytics_spark.sources.sinks import (
+        read_table,
+        write_table,
+    )
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_table(orders, path, "orc", partition_by=("o_orderpriority",))
+    read = read_table(spark, path, "orc").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    assert "PartitionFilters" in _explain(read)
+    assert read.count() == orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).count()

@@ -113,3 +113,92 @@ def test_ann_lsh_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Watermark semantics: an event arriving in a later micro-batch,
+    with event time older than (max seen event time − watermark), must
+    be dropped from the aggregation — the property that bounds state.
+
+    Run 1 (its own availableNow execution) advances event time to 12:00,
+    persisting watermark = 11:30 in the checkpoint.  Run 2, restarted on
+    the same checkpoint, delivers one event stamped 09:00 (3h late, >
+    30min watermark → dropped) and one stamped 11:58 (within watermark →
+    kept).  Two separate query runs make the batch boundary — and hence
+    the watermark advance — deterministic, unlike maxFilesPerTrigger
+    batch splitting."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_batch(fname, rows):
+        with open(os.path.join(src, fname), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def ev(i, ts, v=1.0):
+        return {
+            "event_id": i, "ts": ts, "user_id": 1,
+            "event_type": "click", "value": v, "props": "{}",
+        }
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_available():
+        # foreachBatch (unlike the memory sink) supports restart from a
+        # checkpoint, which is what carries the watermark across runs.
+        got = []
+
+        def sink(batch_df, batch_id):
+            got.extend(batch_df.collect())
+
+        agg = (
+            spark.readStream.schema(schema)
+            .json(src)
+            .withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "5 minutes"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {(r.ws.isoformat(), r.n) for r in got}
+
+    write_batch(
+        "b1.json",
+        [
+            ev(1, "2024-01-01T10:00:00.000000"),
+            ev(2, "2024-01-01T12:00:00.000000"),
+        ],
+    )
+    rows1 = run_available()
+    assert ("2024-01-01T10:00:00", 1) in rows1, rows1
+    assert ("2024-01-01T12:00:00", 1) in rows1, rows1
+
+    write_batch(
+        "b2.json",
+        [
+            ev(3, "2024-01-01T09:00:00.000000"),  # 3h late → dropped
+            ev(4, "2024-01-01T11:58:00.000000"),  # within watermark → kept
+        ],
+    )
+    rows2 = run_available()
+    # 11:55 window updated by the in-watermark event...
+    assert ("2024-01-01T11:55:00", 1) in rows2, rows2
+    # ...but the 09:00 window never appears (dropped by the watermark
+    # restored from the checkpoint)
+    assert not any(ws.startswith("2024-01-01T09:") for ws, _ in rows2), rows2
