@@ -24,6 +24,7 @@ __all__ = [
     "hyperplane_signature",
     "topk_lsh",
     "neardup_cosine_pairs",
+    "neardup_exact_blocked",
 ]
 
 
@@ -169,6 +170,121 @@ def topk_lsh(
     )
 
 
+def _verify_pairs(
+    base: DataFrame, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """Re-score candidate id pairs with the left-fold ``dot`` and filter
+    at the real threshold.  Shared tail of both fast near-dup paths —
+    it is what makes their margin-filtered numpy candidates *exact*:
+    the emitted (pair, cosine) rows are computed by the same expression
+    as the naive all-pairs join, bit for bit.
+
+    ``base`` is (id, vn) with pre-normalized vectors; ``cand`` is
+    distinct (id_a, id_b).  Candidate sets are a tiny fraction of n², so
+    the two vector-fetch joins are cheap (and broadcast-able when the
+    corpus side is bounded)."""
+    a = base.select(F.col("id").alias("id_a"), F.col("vn").alias("_va"))
+    b = base.select(F.col("id").alias("id_b"), F.col("vn").alias("_vb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def neardup_exact_blocked(
+    emb: DataFrame,
+    *,
+    threshold: float = 0.9,
+    n_blocks: int = 8,
+    margin: float = 1e-4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine near-dup pairs via block-matmul candidate generation
+    — same output as the all-pairs fold join, ~an order of magnitude
+    faster.
+
+    Shape: rows get a block id (pmod over ``n_blocks``); the
+    n_blocks·(n_blocks+1)/2 unordered block pairs drive a cogrouped
+    ``applyInPandas`` in which each task sees exactly two blocks and
+    scores them with one Arrow-batched numpy matmul.  Survivors of
+    ``score >= threshold − margin`` are re-scored with the same
+    left-fold ``dot`` expression the all-pairs path uses and re-filtered
+    at the real threshold — so the emitted rows (and their cosine
+    values) are bit-identical to the baseline and to the DuckDB oracle.
+
+    Why the margin makes this exact: numpy (pairwise/SIMD summation) and
+    the left fold differ by at most ~64·eps ≈ 1e-14 on unit vectors —
+    ten orders of magnitude under the 1e-4 margin — so no pair can pass
+    the fold filter yet miss the candidate filter.
+
+    Scale: still O(n²) work (it is the *exact* variant; LSH is the
+    sublinear path), but communication is O(n·n_blocks) row replicas
+    with no corpus broadcast and no driver collect; per-task memory is
+    two blocks of vectors.  Grow ``n_blocks`` ∝ √cluster-cores.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = emb.select(
+        F.col(id_col).alias("id"), normalize(F.col(vec_col)).alias("vn")
+    )
+    bp = base.sparkSession.createDataFrame(
+        [(b1, b2) for b1 in range(n_blocks) for b2 in range(b1, n_blocks)],
+        "b1 int, b2 int",
+    )
+    blocked = base.withColumn("b", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
+    left = (
+        blocked.alias("l")
+        .join(F.broadcast(bp.alias("pl")), F.col("l.b") == F.col("pl.b1"))
+        .select("pl.b1", "pl.b2", "l.id", "l.vn")
+    )
+    # fresh aliases on the right side give new expression ids — both
+    # cogroup sides descend from the same `base`, which Spark's
+    # ambiguous-self-join check rejects otherwise
+    right = (
+        blocked.alias("r")
+        .join(F.broadcast(bp.alias("pr")), F.col("r.b") == F.col("pr.b2"))
+        .select(
+            F.col("pr.b1").alias("rb1"),
+            F.col("pr.b2").alias("rb2"),
+            F.col("r.id").alias("rid"),
+            F.col("r.vn").alias("rvn"),
+        )
+    )
+    cut = threshold - margin
+
+    def score_blocks(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        xa = np.stack(lpdf["vn"].to_numpy())
+        xb = np.stack(rpdf["rvn"].to_numpy())
+        s = xa @ xb.T
+        ia, ib = np.nonzero(s >= cut)
+        ids_a = lpdf["id"].to_numpy()[ia]
+        ids_b = rpdf["rid"].to_numpy()[ib]
+        lo = np.minimum(ids_a, ids_b)
+        hi = np.maximum(ids_a, ids_b)
+        keep = lo < hi  # drop self-pairs; same-block dupes die below
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
+
+    cand = (
+        left.groupBy("b1", "b2")
+        .cogroup(right.groupBy("rb1", "rb2"))
+        .applyInPandas(score_blocks, "id_a long, id_b long")
+        # the diagonal block pair (b,b) sees each pair twice (i,j)/(j,i)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _verify_pairs(base, cand, threshold)
+
+
 def neardup_cosine_pairs(
     emb: DataFrame,
     *,
@@ -186,11 +302,27 @@ def neardup_cosine_pairs(
     oracle-checkable baseline (norms computed n times, not n²).
 
     Default (scale path): banded hyperplane-LSH — signatures split into
-    ``bands`` chunks, candidates only where a whole band matches (a
-    bucket equi-join, never an all-pairs comparison), then exact cosine
-    on survivors.  By pigeonhole, any pair within ``bands−1`` sign-bit
-    flips of each other is guaranteed a shared band; cosine≥threshold
-    pairs flip few bits, so recall stays high (measured in tests)."""
+    ``bands`` chunks, candidates only where a whole band matches, then
+    exact cosine on survivors.  By pigeonhole, any pair within
+    ``bands−1`` sign-bit flips of each other is guaranteed a shared
+    band; cosine≥threshold pairs flip few bits, so recall stays high
+    (measured in tests).
+
+    Execution shape for the banded path: rows are grouped by LSH bucket
+    ``(band, band_val)`` and each bucket is scored with ONE Arrow-batched
+    numpy matmul inside ``applyInPandas`` at ``threshold − 1e-4``;
+    candidate pairs never materialize as wide (vector, vector) rows, so
+    shuffle volume is n·bands bucket rows plus the (tiny) surviving id
+    pairs.  Survivors are re-scored by the same left-fold ``dot`` as the
+    exact path (`_verify_pairs`), making the output bit-identical to the
+    original bucket-equi-join formulation: the 1e-4 margin dwarfs the
+    ≤~1e-14 numpy-vs-fold summation-order delta on unit vectors.  At
+    cluster scale, per-task memory is one bucket; hot buckets are the
+    usual LSH skew concern — raise ``bands``/``n_planes`` or pre-split
+    hot ``band_val``s (operators/skew.py) if occupancy skews."""
+    import numpy as np
+    import pandas as pd
+
     base = emb.select(
         F.col(id_col).alias("id"), normalize(F.col(vec_col)).alias("vn")
     )
@@ -202,42 +334,50 @@ def neardup_cosine_pairs(
             F.col("a.vn").alias("_va"),
             F.col("b.vn").alias("_vb"),
         )
-    else:
-        width = n_planes // bands
-        mask = (1 << width) - 1
-        sigged = base.withColumn(
-            "sig", hyperplane_signature(F.col("vn"), dim=dim, n_planes=n_planes)
-        )
-        band_structs = [
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.shiftright(F.col("sig"), bi * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("band_val"),
+        return (
+            pairs.select(
+                "id_a",
+                "id_b",
+                F.round(dot(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
             )
-            for bi in range(bands)
-        ]
-        banded = sigged.select(
-            "id", "vn", F.explode(F.array(*band_structs)).alias("bb")
-        ).select("id", "vn", "bb.band", "bb.band_val")
-        a, b = banded.alias("a"), banded.alias("b")
-        pairs = (
-            a.join(b, on=["band", "band_val"])
-            .filter(F.col("a.id") < F.col("b.id"))
-            .select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                F.col("a.vn").alias("_va"),
-                F.col("b.vn").alias("_vb"),
-            )
-            .dropDuplicates(["id_a", "id_b"])
+            .filter(F.col("cosine") >= threshold)
+            .orderBy("id_a", "id_b")
         )
-    return (
-        pairs.select(
-            "id_a",
-            "id_b",
-            F.round(dot(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .orderBy("id_a", "id_b")
+
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    sigged = base.withColumn(
+        "sig", hyperplane_signature(F.col("vn"), dim=dim, n_planes=n_planes)
     )
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.shiftright(F.col("sig"), bi * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_val"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sigged.select(
+        "id", "vn", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", "vn", "bb.band", "bb.band_val")
+    cut = threshold - 1e-4
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        x = np.stack(pdf["vn"].to_numpy())
+        s = x @ x.T
+        ia, ib = np.nonzero(s >= cut)
+        ids = pdf["id"].to_numpy()
+        lo, hi = ids[ia], ids[ib]
+        keep = lo < hi  # upper triangle only: no self-pairs, no mirrors
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
+
+    cand = (
+        banded.groupBy("band", "band_val")
+        .applyInPandas(score_bucket, "id_a long, id_b long")
+        # a near-dup pair can share several bands
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _verify_pairs(base, cand, threshold)

@@ -202,3 +202,20 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # ...but the 09:00 window never appears (dropped by the watermark
     # restored from the checkpoint)
     assert not any(ws.startswith("2024-01-01T09:") for ws, _ in rows2), rows2
+
+
+def test_neardup_blocked_equals_allpairs(spark):
+    """The block-matmul + margin + fold-verify path must emit exactly
+    the all-pairs fold join's rows (same pairs, same cosine bits) —
+    the property that lets emb_neardup_exact keep its DuckDB oracle."""
+    from stock_data_warehouse_analytics_spark.operators.similarity import (
+        neardup_cosine_pairs,
+        neardup_exact_blocked,
+    )
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    old = [tuple(r) for r in neardup_cosine_pairs(e, threshold=0.35, exact=True).collect()]
+    new = [tuple(r) for r in neardup_exact_blocked(e, threshold=0.35, n_blocks=8).collect()]
+    assert len(old) > 0
+    assert old == new
