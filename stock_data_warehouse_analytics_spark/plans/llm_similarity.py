@@ -16,6 +16,7 @@ from ..operators.similarity import (
     neardup_cosine_pairs,
     neardup_exact_blocked,
     topk_bruteforce,
+    topk_ivf,
     topk_lsh,
 )
 from ..sources.tables import load_table
@@ -102,6 +103,24 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=_DIM,
         n_planes=16,
         max_hamming=4,
+    )
+
+
+@register(
+    "sim_topk_ivf",
+    tags=("llm", "similarity", "ann", "ivf"),
+    oracle=None,  # coarse quantizer is iterative pyspark.ml KMeans —
+    # not SQL-expressible; recall vs brute force asserted in pytest
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via IVF: coarse k-means quantizer (pyspark.ml, k-means||
+    init, seed 42), queries probe their 4 nearest of 16 cells, exact
+    cosine re-rank inside probed cells only.  The second scale path the
+    north star names alongside LSH — corpus never shuffles, only the
+    k×dim centroid matrix reaches the driver."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return topk_ivf(
+        e, e.filter(F.col("vec_id") < 8), k=5, n_cells=16, nprobe=4
     )
 
 

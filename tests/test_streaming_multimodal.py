@@ -115,6 +115,31 @@ def test_ann_lsh_recall(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ann_ivf_recall(spark):
+    """IVF top-k must reach decent recall vs brute force on sf0.001
+    (tiny corpus → few cells, wide probe), and exactly k rows/query."""
+    from stock_data_warehouse_analytics_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_ivf,
+    )
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_bruteforce(emb, q, k=5).collect()
+    }
+    rows = topk_ivf(emb, q, k=5, n_cells=4, nprobe=2).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    per_query: dict[int, int] = {}
+    for r in rows:
+        per_query[r.query_id] = per_query.get(r.query_id, 0) + 1
+    assert all(v == 5 for v in per_query.values()), per_query
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Watermark semantics: an event arriving in a later micro-batch,
     with event time older than (max seen event time − watermark), must
