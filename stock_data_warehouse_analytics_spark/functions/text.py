@@ -16,6 +16,9 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens",
     "token_count",
+    "BPE_TOKEN_REGEX",
+    "bpe_tokens",
+    "bpe_token_count",
     "avg_word_len",
     "punct_ratio",
     "stopword_hits",
@@ -52,6 +55,25 @@ def tokens(text: Column) -> Column:
 
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
+
+
+# BPE-ish pre-tokenization (GPT-2-style, simplified): contraction
+# suffixes, letter runs, SINGLE digits (BPE splits numbers), punctuation
+# runs.  Alternation is leftmost-first in both Java regex (Spark) and
+# RE2 (DuckDB), and the pattern avoids lookaround (unsupported in RE2),
+# so regexp_extract_all is token-for-token identical across engines.
+BPE_TOKEN_REGEX = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]|[^a-z0-9\s]"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-style pre-tokens of the lowered text.  The count of these is
+    the standard proxy for LLM token cost (word runs split from digits
+    and punctuation, numbers split per digit)."""
+    return F.regexp_extract_all(_norm(text), F.lit(BPE_TOKEN_REGEX), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))
 
 
 def avg_word_len(text: Column) -> Column:

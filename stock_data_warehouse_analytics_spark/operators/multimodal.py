@@ -25,6 +25,7 @@ __all__ = [
     "decode_image_stub",
     "fake_decode_features",
     "frame_sample",
+    "resize_stub",
 ]
 
 # media row: opaque payload + typed metadata (what a 100 TB multimodal
@@ -115,6 +116,47 @@ def fake_decode_features(blobs: DataFrame, *, dim: int = 8) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     return blobs.mapInPandas(extract, schema=out_schema)
+
+
+def resize_stub(
+    blobs: DataFrame, *, target_w: int = 8, target_h: int = 8
+) -> DataFrame:
+    """Deterministic fake 'image resize': treat the payload as a 1-D
+    pixel buffer and nearest-neighbor-sample it down to
+    ``target_w × target_h`` bytes.  The REAL resize (PIL/libvips) slots
+    into the same ``mapInPandas`` stage with the same contract: Arrow
+    batches in, fixed-size pixel buffer + dims out, partition-parallel,
+    no shuffle.  Deterministic in the payload bytes so tests can pin
+    outputs."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("out_w", T.IntegerType()),
+            T.StructField("out_h", T.IntegerType()),
+            T.StructField("pixels", T.BinaryType()),
+        ]
+    )
+    n_out = target_w * target_h
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pixels = []
+            for payload in pdf["payload"]:
+                b = bytes(payload) or b"\x00"
+                # nearest-neighbor index map from n_out to len(b)
+                pixels.append(
+                    bytes(b[(i * len(b)) // n_out] for i in range(n_out))
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": target_w,
+                    "out_h": target_h,
+                    "pixels": pixels,
+                }
+            )
+
+    return blobs.mapInPandas(resize, schema=out_schema)
 
 
 def frame_sample(blobs: DataFrame, *, stride: int = 16, frame_len: int = 4) -> DataFrame:

@@ -11,8 +11,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import (
+    BPE_TOKEN_REGEX,
     LANG_STOPWORDS,
     avg_word_len,
+    bpe_token_count,
     md5_fingerprint,
     predicted_lang,
     punct_ratio,
@@ -156,3 +158,43 @@ def text_token_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "token")
         .limit(20)
     )
+
+
+# the regex is shared verbatim with functions.text.BPE_TOKEN_REGEX;
+# RE2 (DuckDB) and Java regex (Spark) agree on this lookaround-free,
+# leftmost-first pattern, so counts are token-for-token identical
+_SQL_BPE = (
+    "len(regexp_extract_all(lower(trim(text)), "
+    f"'{BPE_TOKEN_REGEX.replace(chr(39), chr(39) * 2)}'))"
+)
+
+
+@register(
+    "text_bpe_token_cost",
+    tags=("llm", "text", "tokenize"),
+    oracle=f"""
+SELECT
+  doc_id,
+  {_SQL_NTOK} AS ws_tokens,
+  {_SQL_BPE} AS bpe_tokens,
+  ROUND({_SQL_BPE}::DOUBLE / {_SQL_NTOK}, 6) AS bpe_per_word
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_bpe_token_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LLM token-cost estimate: whitespace word count vs
+    BPE-style pre-token count (GPT-2-ish regex — contraction suffixes,
+    letter runs, per-digit numbers, punctuation runs) and their ratio.
+    Pure map-side expressions; the shape of every corpus-costing job."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        F.round(
+            bpe_token_count(F.col("text")).cast("double")
+            / token_count(F.col("text")),
+            6,
+        ).alias("bpe_per_word"),
+    ).orderBy("doc_id")

@@ -68,6 +68,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # single-JVM local mode: driver heap IS the executor heap.  8g
+        # starts GC-thrashing ~40 queries into a long session (observed:
+        # a 2s broadcast-NL query degrading to 25s); 24g keeps full-
+        # registry runs flat on the 128 GiB test box.  Overridable for
+        # smaller machines; irrelevant on a real cluster where executor
+        # memory is provisioned separately.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     return tune_for_engine(builder.getOrCreate())

@@ -93,6 +93,28 @@ def test_multimodal_plumbing(spark):
         decode_image_stub(blobs.limit(1)).collect()
 
 
+def test_multimodal_resize(spark):
+    """Fake resize: fixed output dims, deterministic nearest-neighbor
+    byte sampling, one row per input blob."""
+    from stock_data_warehouse_analytics_spark.operators.multimodal import (
+        attach_blob,
+        resize_stub,
+    )
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    blobs = attach_blob(docs)
+    out = resize_stub(blobs, target_w=8, target_h=8).collect()
+    assert len(out) == blobs.count()
+    assert all(r.out_w == 8 and r.out_h == 8 and len(r.pixels) == 64 for r in out)
+    # spot-check the nearest-neighbor map against a driver-side rebuild
+    one = blobs.orderBy("doc_id").first()
+    got = next(bytes(r.pixels) for r in out if r.doc_id == one.doc_id)
+    b = bytes(one.payload)
+    want = bytes(b[(i * len(b)) // 64] for i in range(64))
+    assert got == want
+
+
 def test_ann_lsh_recall(spark):
     """LSH top-k must reach decent recall vs brute force on sf0.001."""
     from stock_data_warehouse_analytics_spark.operators.similarity import (
