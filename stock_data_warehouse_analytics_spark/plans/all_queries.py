@@ -13,3 +13,4 @@ from . import sql_api  # noqa: F401
 from . import tpch_olap2  # noqa: F401
 from . import tpch_misc  # noqa: F401
 from . import joins_advanced  # noqa: F401
+from . import llm_sampling  # noqa: F401

@@ -206,3 +206,47 @@ def test_parse_number_matches_reference_semantics(spark, values):
             assert g is None or math.isinf(g), (v, g)
         else:
             assert g is not None and math.isclose(g, w, rel_tol=1e-12), (v, g, w)
+
+
+def test_hash_sampling_partition_invariant(spark):
+    """Hash-bucket sampling must not depend on physical layout: the
+    same rows are selected whatever the partitioning — the property
+    that makes the sample stable as a growing corpus is rewritten."""
+    from stock_data_warehouse_analytics_spark.operators.dedup import hash_int60
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_MEDIUM, "documents")
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+    pick = lambda df: {  # noqa: E731
+        r.doc_id for r in df.filter(hash_int60(key) % 100 < 10).select("doc_id").collect()
+    }
+    base = pick(d)
+    assert pick(d.repartition(17)) == base
+    assert pick(d.coalesce(1)) == base
+    n = d.count()
+    # binomial bounds: ~10% ± a generous margin
+    assert 0.03 * n < len(base) < 0.25 * n
+
+
+def test_split_is_partition_of_corpus(spark):
+    """train/val/test counts must sum to the corpus size per source
+    (every row in exactly one split)."""
+    from stock_data_warehouse_analytics_spark.plans.registry import (
+        QUERIES,
+        get_queries,
+    )
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    get_queries()
+    rows = QUERIES["split_train_val_test"].fn(spark, SF_MEDIUM).collect()
+    got = {}
+    for r in rows:
+        got[r.source] = got.get(r.source, 0) + r.n_docs
+    want = {
+        r.source: r.n
+        for r in load_table(spark, SF_MEDIUM, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
