@@ -99,3 +99,76 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source", "split")
     )
+
+
+_SEQ_BUDGET = 2048  # tokens per packed training sequence
+
+
+@register(
+    "pack_training_sequences",
+    tags=("llm", "packing", "window"),
+    oracle=f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok
+  FROM documents
+),
+offs AS (
+  SELECT source, doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM toks
+),
+binned AS (
+  SELECT source, (start_off // {_SEQ_BUDGET}) AS seq_id, doc_id, n_tok
+  FROM offs
+)
+SELECT source, seq_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tok) AS n_tokens,
+       MIN(doc_id) AS first_doc
+FROM binned
+GROUP BY source, seq_id
+ORDER BY source, seq_id
+""",
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: concatenate documents (per
+    source, in doc_id order) into fixed {budget}-token sequences — a doc
+    belongs to the sequence where its starting offset lands (offset
+    packing: deterministic, one window pass, no driver loop; boundary
+    docs straddle and are truncated downstream).  The running-offset
+    formulation is what scales — bin-packing heuristics that inspect
+    bins sequentially don't distribute.  Exact integer window math,
+    oracle-checked."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions.text import token_count
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = d.select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    offs = toks.withColumn(
+        "start_off", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    )
+    # floor, not cast-truncate: DuckDB's `//` floors; offsets are
+    # non-negative so floor == trunc, but keep the intent explicit
+    binned = offs.withColumn(
+        "seq_id", F.floor(F.col("start_off") / _SEQ_BUDGET).cast("long")
+    )
+    return (
+        binned.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source", "seq_id")
+    )

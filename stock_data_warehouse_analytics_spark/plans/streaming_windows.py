@@ -95,3 +95,36 @@ def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark merges events with gap ≤ 10 min; the island break condition
     is gap > 10 min)."""
     return session_agg(load_table(spark, sf_dir, "events"), gap_minutes=10)
+
+
+@register(
+    "stream_interval_join",
+    tags=("streaming", "join", "interval"),
+    oracle="""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       c.ts AS click_ts,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+ORDER BY click_id, purchase_id
+""",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (time-bound) join: clicks matched to the same user's
+    purchases within the following 30 minutes.  The IDENTICAL join
+    condition runs as a watermarked stream-stream join under readStream
+    (streaming/event_windows.run_stream_stream_join; stream == batch
+    asserted in tests) — the condition's equi-key + two-sided time
+    bound is what lets Structured Streaming size and evict join state
+    on unbounded input."""
+    from ..streaming.event_windows import click_purchase_interval_join
+
+    return click_purchase_interval_join(
+        load_table(spark, sf_dir, "events"), within_minutes=30
+    ).orderBy("click_id", "purchase_id")

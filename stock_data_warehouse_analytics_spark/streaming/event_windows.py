@@ -25,6 +25,8 @@ __all__ = [
     "session_agg",
     "streaming_session",
     "run_stream_batch_equiv",
+    "click_purchase_interval_join",
+    "run_stream_stream_join",
 ]
 
 
@@ -147,6 +149,98 @@ def streaming_session(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def click_purchase_interval_join(
+    events: DataFrame, *, within_minutes: int = 30
+) -> DataFrame:
+    """Interval (time-bound) join: each click matched to the same
+    user's purchases in ``[click_ts, click_ts + within_minutes]``.
+    Written so the IDENTICAL join runs as a stream-stream join under
+    ``readStream`` (see :func:`run_stream_stream_join`): equi-key on
+    user_id plus a two-sided time bound — exactly the condition shape
+    Structured Streaming needs to size its join state."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (clicks.user_id == purchases.user_id)
+        & (purchases.purchase_ts >= clicks.click_ts)
+        & (
+            purchases.purchase_ts
+            <= clicks.click_ts + F.expr(f"INTERVAL {within_minutes} MINUTES")
+        )
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        clicks.user_id,
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    events: DataFrame,
+    tmp_dir: str,
+    *,
+    within_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> tuple[DataFrame, DataFrame]:
+    """Stream-stream join equivalence harness: dump ``events`` to a file
+    source, run the clicks⋈purchases interval join with both sides
+    watermarked (an inner time-bound join emits matches immediately;
+    the watermark + bound let the engine evict join state — the
+    property that makes it runnable on unbounded streams), and return
+    (stream_result, batch_result).
+
+    Streaming self-joins of one source are supported by Spark; the two
+    sides here are two filtered reads of the same file stream."""
+    import os
+
+    src = os.path.join(tmp_dir, "ssj_src")
+    ckpt = os.path.join(tmp_dir, "ssj_ckpt")
+    events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).coalesce(4).write.mode("overwrite").json(src)
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema).json(src).withWatermark("ts", watermark)
+    )
+    joined = click_purchase_interval_join(stream, within_minutes=within_minutes)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_result = spark.table("ssj_out")
+    batch_result = click_purchase_interval_join(
+        events, within_minutes=within_minutes
+    )
+    return stream_result, batch_result
 
 
 def run_stream_batch_equiv(

@@ -162,6 +162,28 @@ def test_ann_ivf_recall(spark):
     assert all(v == 5 for v in per_query.values()), per_query
 
 
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """The watermarked clicks⋈purchases interval join under readStream
+    (availableNow) must emit exactly the batch join's matches."""
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+    from stock_data_warehouse_analytics_spark.streaming.event_windows import (
+        run_stream_stream_join,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    s, b = run_stream_stream_join(spark, events, str(tmp_path))
+    ss = {
+        (r.click_id, r.purchase_id, r.user_id, round(r.purchase_value, 9))
+        for r in s.collect()
+    }
+    bb = {
+        (r.click_id, r.purchase_id, r.user_id, round(r.purchase_value, 9))
+        for r in b.collect()
+    }
+    assert len(bb) > 0
+    assert ss == bb
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Watermark semantics: an event arriving in a later micro-batch,
     with event time older than (max seen event time − watermark), must
