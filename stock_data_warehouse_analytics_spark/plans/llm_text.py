@@ -198,3 +198,64 @@ def text_bpe_token_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bpe_per_word"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_sentences_udtf",
+    tags=("llm", "text", "udtf", "lateral"),
+    oracle=r"""
+WITH sents AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split_regex(text, '[.!?]+'),
+                          x -> regexp_replace(regexp_replace(x, '^\s+', ''), '\s+$', '')),
+           x -> x != '') AS ss
+  FROM documents
+)
+SELECT doc_id,
+       len(ss) AS n_sentences,
+       ROUND(list_sum(list_transform(ss, x -> length(x)))::DOUBLE / len(ss), 6)
+         AS avg_sent_len
+FROM sents
+WHERE len(ss) > 0
+ORDER BY doc_id
+""",
+)
+def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation through a Python UDTF + LATERAL join —
+    the table-function extension surface (SURVEY.md §2.11: the
+    reference's only extension mechanism is `.apply`; Spark adds
+    scalar/grouped/table functions, and this exercises the table one).
+    Sentences = text split on [.!?]+ runs, regex-trimmed, empties
+    dropped — the same spec as the DuckDB list-lambda oracle, so the
+    per-doc (count, avg length) aggregate is bit-exact.  UDTFs are
+    row-at-a-time Python (the slow path, like all UDxF): keep them for
+    logic expressions can't say; this one exists to prove the contract,
+    not to beat `F.split` (which could express it JVM-side)."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string")
+    class SentenceSplit:
+        def eval(self, text: str):  # noqa: ANN001
+            parts = (
+                _re.sub(r"^\s+|\s+$", "", p)
+                for p in _re.split(r"[.!?]+", text or "")
+            )
+            for i, p in enumerate(p for p in parts if p):
+                yield i, p
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               COUNT(*) AS n_sentences,
+               ROUND(SUM(length(s.sentence))::DOUBLE / COUNT(*), 6)
+                 AS avg_sent_len
+        FROM _docs_udtf d, LATERAL sentence_split(d.text) s
+        GROUP BY d.doc_id
+        ORDER BY d.doc_id
+        """
+    )
