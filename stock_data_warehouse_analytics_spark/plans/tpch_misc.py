@@ -174,3 +174,51 @@ def orders_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "udaf_median_quantity",
+    tags=("agg", "udaf", "pandas-udf"),
+    oracle="""
+SELECT l_returnflag,
+       median(l_quantity) AS med_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def udaf_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via a grouped-agg pandas UDF — the UDAF
+    extension surface (SURVEY.md §2.11: Spark's pandas_udf grouped-agg
+    covers the category).  Median of l_quantity per returnflag:
+    l_quantity is integral-valued, so pandas' mean-of-two-middles and
+    DuckDB's quantile_cont(0.5) agree bit-for-bit (halves are exact in
+    double) — a UDAF that stays oracle-exact without decimal games.
+    Arrow-batched per group; at scale each group aggregates on one
+    executor (fine for bounded group counts; unbounded-cardinality
+    medians would use approx_percentile instead)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: `from __future__ import annotations` makes
+    # the Series->float type hints unresolvable strings for pyspark's
+    # signature inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def median_udaf(v):
+        return float(v.median())
+
+    # Spark disallows mixing pandas and built-in aggregates in one agg,
+    # so the row count is a pandas UDAF too
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def count_udaf(v):
+        return len(v)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            median_udaf("l_quantity").alias("med_qty"),
+            count_udaf("l_quantity").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

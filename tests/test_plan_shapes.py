@@ -108,3 +108,27 @@ def test_no_cartesian_products_anywhere(spark):
 def test_whole_stage_codegen_present(spark, name):
     plan = _final_plan(spark, name)
     assert "*(" in plan, name  # codegen'd stage markers
+
+
+def test_sampling_queries_single_aggregate_shuffle(spark):
+    """Hash-bucket sampling/splitting must stay map-side up to one
+    small aggregate: exactly one hash exchange, no join."""
+    for name in ("sample_stratified_hash", "split_train_val_test"):
+        plan = _plan(spark, name)
+        assert len(re.findall(r"hashpartitioning\(", plan)) == 1, (name, plan)
+        assert "Join" not in plan, (name, plan)
+
+
+def test_packing_is_one_window_pass(spark):
+    """Offset packing: one window shuffle on source; the follow-up
+    (source, seq_id) aggregate reuses that partitioning (it is a
+    superset key), so exactly one hash exchange total."""
+    plan = _plan(spark, "pack_training_sequences")
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_bpe_token_cost_is_pure_map(spark):
+    plan = _plan(spark, "text_bpe_token_cost")
+    assert "hashpartitioning(" not in plan, plan
+    assert "Join" not in plan, plan
