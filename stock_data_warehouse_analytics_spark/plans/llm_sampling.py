@@ -172,3 +172,94 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "seq_id")
     )
+
+
+# target mixture over source groups: sources are binned by a stable
+# predicate (hash of the source name) into three notional corpora
+_MIX_WEIGHTS = {"web": 0.6, "books": 0.3, "code": 0.1}
+_MIX_BUDGET = 0.5  # fraction of the total corpus the mixture may use
+
+
+@register(
+    "mix_weighted_corpora",
+    tags=("llm", "sampling", "mixing"),
+    oracle=f"""
+WITH tagged AS (
+  SELECT *,
+         CASE WHEN {_SQL_H60.format(x="source")} % 3 = 0 THEN 'web'
+              WHEN {_SQL_H60.format(x="source")} % 3 = 1 THEN 'books'
+              ELSE 'code' END AS corpus
+  FROM documents
+),
+sizes AS (
+  SELECT corpus, COUNT(*) AS n_avail,
+         (SELECT COUNT(*) FROM documents) AS n_total
+  FROM tagged GROUP BY corpus
+),
+rates AS (
+  SELECT corpus, n_avail,
+         LEAST(1.0,
+           (CASE corpus WHEN 'web' THEN 0.6 WHEN 'books' THEN 0.3 ELSE 0.1 END)
+           * n_total * {_MIX_BUDGET} / n_avail) AS accept_rate
+  FROM sizes
+)
+SELECT t.corpus,
+       r.n_avail,
+       ROUND(r.accept_rate, 6) AS accept_rate,
+       COUNT(*) FILTER (
+         WHERE ({_SQL_H60.format(x="doc_id::VARCHAR || ':' || t.text")} % 1000000)
+               < floor(r.accept_rate * 1000000)::BIGINT
+       ) AS n_selected
+FROM tagged t JOIN rates r USING (corpus)
+GROUP BY t.corpus, r.n_avail, r.accept_rate
+ORDER BY t.corpus
+""",
+)
+def mix_weighted_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted dataset mixing: sources are grouped into
+    three corpora; each corpus gets an acceptance rate so the selected
+    mixture hits target weights (60/30/10) within a total token budget,
+    clamped at 1.0 when a corpus is too small (the standard
+    oversampling boundary).  Row membership is decided by content hash
+    against the rate — reproducible across engines and stable as
+    corpora grow.  Two passes: one tiny aggregate for corpus sizes
+    (broadcast back), one map-side selection — the shape that holds at
+    100 TB (the per-corpus rate table is bounded by the number of
+    corpora, not rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = (
+        F.when(hash_int60(F.col("source")) % 3 == 0, "web")
+        .when(hash_int60(F.col("source")) % 3 == 1, "books")
+        .otherwise("code")
+    )
+    tagged = d.withColumn("corpus", corpus)
+    n_total = tagged.count()  # metadata-sized driver value (one long)
+    w = (
+        F.when(F.col("corpus") == "web", _MIX_WEIGHTS["web"])
+        .when(F.col("corpus") == "books", _MIX_WEIGHTS["books"])
+        .otherwise(_MIX_WEIGHTS["code"])
+    )
+    rates = (
+        tagged.groupBy("corpus")
+        .agg(F.count(F.lit(1)).alias("n_avail"))
+        .withColumn(
+            "accept_rate",
+            F.least(F.lit(1.0), w * n_total * _MIX_BUDGET / F.col("n_avail")),
+        )
+    )
+    keybucket = hash_int60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+    ) % 1_000_000
+    sel = F.count(
+        F.when(
+            # explicit floor on both engines: DuckDB's ::BIGINT cast
+            # rounds to nearest, Spark's cast truncates
+            keybucket < F.floor(F.col("accept_rate") * 1_000_000).cast("long"), 1
+        )
+    ).alias("n_selected")
+    return (
+        tagged.join(F.broadcast(rates), "corpus")
+        .groupBy("corpus", "n_avail", F.round("accept_rate", 6).alias("accept_rate"))
+        .agg(sel)
+        .orderBy("corpus")
+    )
