@@ -250,3 +250,50 @@ def test_split_is_partition_of_corpus(spark):
         .collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(
+                list("abcXYZ019 \t\n.,!?'\"-_/(){}@#éü的")
+            ),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_bpe_tokenizer_cross_engine_fuzz(spark, texts):
+    """Java regex (Spark) and RE2 (DuckDB) must tokenize identically on
+    adversarial strings — quotes, unicode, mixed whitespace, empties —
+    not just the well-behaved corpus the oracle covers."""
+    import duckdb
+
+    from stock_data_warehouse_analytics_spark.functions.text import (
+        BPE_TOKEN_REGEX,
+        bpe_token_count,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {
+        r.i: r.n
+        for r in df.select("i", bpe_token_count(F.col("t")).alias("n")).collect()
+    }
+    con = duckdb.connect()
+    rx = BPE_TOKEN_REGEX.replace("'", "''")
+    want = {
+        i: con.execute(
+            f"SELECT len(regexp_extract_all(lower(trim(?)), '{rx}'))", [t]
+        ).fetchone()[0]
+        for i, t in enumerate(texts)
+    }
+    assert got == want, {
+        i: (texts[i], got[i], want[i]) for i in got if got[i] != want[i]
+    }
