@@ -119,8 +119,11 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     north star names alongside LSH — corpus never shuffles, only the
     k×dim centroid matrix reaches the driver."""
     e = load_table(spark, sf_dir, "embeddings")
+    # maxIter 5: a coarse quantizer needs rough cells, not convergence —
+    # k-means|| init does most of the work and each Lloyd iteration is a
+    # driver-coordinated job round
     return topk_ivf(
-        e, e.filter(F.col("vec_id") < 8), k=5, n_cells=16, nprobe=4
+        e, e.filter(F.col("vec_id") < 8), k=5, n_cells=16, nprobe=4, max_iter=5
     )
 
 

@@ -297,3 +297,24 @@ def test_bpe_tokenizer_cross_engine_fuzz(spark, texts):
     assert got == want, {
         i: (texts[i], got[i], want[i]) for i in got if got[i] != want[i]
     }
+
+
+def test_queries_md_in_sync_with_registry():
+    """QUERIES.md is generated (tools/gen_queries_md.py); its header
+    count must match the live registry so the catalog can't go stale."""
+    import re as _re
+
+    from stock_data_warehouse_analytics_spark.plans.registry import (
+        QUERIES,
+        get_queries,
+    )
+
+    get_queries()
+    with open("QUERIES.md") as f:
+        head = f.read(400)
+    m = _re.search(r"(\d+) registered queries; (\d+) DuckDB-oracle-checked", head)
+    assert m, head
+    assert int(m.group(1)) == len(QUERIES)
+    assert int(m.group(2)) == sum(
+        1 for s in QUERIES.values() if s.oracle is not None
+    )
