@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_user_totals"]
+__all__ = ["running_user_totals", "dedup_stream"]
 
 _OUT_SCHEMA = "user_id long, n_events long, total_value double, max_value double"
 _STATE_SCHEMA = "n long, total double, mx double"
@@ -42,6 +42,17 @@ def _update(
             "max_value": [mx],
         }
     )
+
+
+def dedup_stream(stream: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once event delivery on an at-least-once stream:
+    watermarked ``dropDuplicates`` on the event id.  The watermark
+    bounds the dedup state — an id older than (max event time −
+    watermark) can be evicted because any duplicate arriving later
+    would be dropped as late anyway.  Without the watermark the state
+    grows without bound; with it, state is O(events per watermark
+    window) at any input scale."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
 def running_user_totals(stream: DataFrame) -> DataFrame:

@@ -208,3 +208,44 @@ def test_unknown_extra_column_passes_through(spark, tmp_path):
     row = df.collect()[0]
     assert row["Ghi chú"] == "note-1"
     assert row.Close == 36500.0  # known columns still parse
+
+
+def test_stream_dedup_drops_duplicates(spark, tmp_path):
+    """Watermarked dropDuplicates on a stream with injected duplicate
+    event_ids must emit each id exactly once and match the batch
+    distinct set."""
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+    from stock_data_warehouse_analytics_spark.streaming.stateful import (
+        dedup_stream,
+    )
+
+    events = load_table(spark, SF_SMALL, "events").limit(200)
+    dup = events.limit(50)  # re-deliver the first 50 (at-least-once)
+    feed = events.unionByName(dup)
+    src = str(tmp_path / "src")
+    feed.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    ).coalesce(2).write.mode("overwrite").json(src)
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [r.event_id for r in spark.table("dedup_out").collect()]
+    want = {r.event_id for r in events.select("event_id").distinct().collect()}
+    assert len(got) == len(set(got)), "stream emitted a duplicate id"
+    assert set(got) == want
