@@ -92,3 +92,34 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_tfidf"), "term")
         .limit(10)
     )
+
+
+# identical text on both engines: GROUPING SETS with GROUPING() flags
+# to disambiguate the NULLs that mark super-aggregate rows
+_GSETS_BODY = """
+SELECT o_orderpriority,
+       o_orderstatus,
+       GROUPING(o_orderpriority) AS g_pri,
+       GROUPING(o_orderstatus) AS g_st,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), (o_orderstatus), ())
+ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus
+"""
+
+
+@register(
+    "sql_grouping_sets",
+    tags=("sql-api", "agg", "grouping-sets"),
+    oracle=_GSETS_BODY,
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind cube/rollup,
+    both covered elsewhere): four chosen aggregation granularities in
+    ONE pass — Spark expands the sets and aggregates behind a single
+    shuffle, the same plan shape cube/rollup lower to.  GROUPING()
+    flags distinguish 'NULL because super-aggregate' from data NULLs.
+    SQL text is engine-identical, so the oracle is verbatim."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GSETS_BODY)
