@@ -48,17 +48,19 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    # The driver may capture only the head or only the tail of stdout, so
+    # emit the full compact line FIRST and a short always-parseable summary
+    # line LAST (r01's single long line was truncated -> "parsed": null).
+    print(json.dumps(payload, separators=(",", ":")), flush=True)
+    summary = {k: payload[k] for k in ("metric", "value", "unit", "sf")}
+    print(json.dumps(summary, separators=(",", ":")), flush=True)
     spark.stop()
 
 

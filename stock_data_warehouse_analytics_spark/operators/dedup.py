@@ -235,10 +235,22 @@ def simhash_near_pairs(
     bits: int = 60,
     text_col: str = "text",
 ) -> DataFrame:
-    """SimHash near-dup: band the 60-bit hash into 15-bit chunks; a pair
-    within hamming distance ≤ bits/bands−1 must agree on ≥1 band
-    (pigeonhole), so bucket-join per band then filter by true hamming
-    distance via bit_count(xor)."""
+    """SimHash near-dup: band the 60-bit hash into 15-bit chunks,
+    bucket-join per band, then filter by true hamming distance via
+    ``bit_count(xor)``.
+
+    Recall guarantee (pigeonhole): a pair within hamming distance ≤
+    ``bands − 1`` (= 3 with the default 4 bands) differs in fewer bits
+    than there are bands, so at least one band is untouched and the
+    pair MUST collide — recall is 100% there.  Beyond that, up to
+    ``max_hamming``, recall is approximate: a pair whose differing bits
+    touch every band is missed.  Measured recall at the defaults is
+    asserted in ``tests/test_dedup_recall.py`` against the exact
+    all-pairs hamming join.  For a hard guarantee at ``max_hamming`` you
+    would need ``bands ≥ max_hamming + 1`` (here: 9+ bands of ≤ 6 bits,
+    whose 64-value buckets degenerate toward all-pairs on real corpora
+    — the classic LSH recall/cost trade, resolved in favor of wide
+    bands + measured recall)."""
     width = bits // bands
     mask = (1 << width) - 1
     sh = simhash_table(docs, bits=bits, text_col=text_col)

@@ -67,7 +67,18 @@ def salted_join(
     """Skewed shuffle join: salt the (skewed) fact side randomly-by-
     partition, replicate the dim side across all salts, join on
     (key, salt).  Output equals the plain join; hot keys fan out over
-    ``n_salts`` reducers instead of one."""
+    ``n_salts`` reducers instead of one.
+
+    Only ``inner`` and ``left`` (outer on the fact side) are supported:
+    the dim side is replicated once per salt, so any join type that
+    emits *unmatched dim rows* ('right'/'full'/'left_semi' from dim's
+    perspective) would emit them ``n_salts`` times."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in ('inner', 'left'); got {how!r} — "
+            "dim rows are replicated per salt, so dim-preserving join "
+            "types would duplicate unmatched dim rows"
+        )
     f = fact.withColumn("_salt", (F.spark_partition_id() % n_salts).cast("int"))
     salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("_salt")
     d = dim.select("*", salts)

@@ -96,19 +96,39 @@ def sql_dstddev_pop(expr: str) -> str:
     return f"SQRT((({m2}) - ({s}) * ({s}) / ({n})) / ({n}))"
 
 
+def _complete_pair(x: Column, y: Column) -> tuple[Column, Column]:
+    """Mask both inputs to rows where BOTH are non-null — covar/corr are
+    pairwise-complete statistics, so every moment (including the
+    single-column sums) must be taken over the same complete-pair set;
+    summing each column over its own non-null rows silently diverges
+    from ``F.corr``/``covar_samp`` whenever the null masks differ."""
+    both = x.isNotNull() & y.isNotNull()
+    return F.when(both, x), F.when(both, y)
+
+
+def _sql_complete_pair(ex: str, ey: str) -> tuple[str, str]:
+    both = f"(({ex}) IS NOT NULL AND ({ey}) IS NOT NULL)"
+    return (
+        f"(CASE WHEN {both} THEN ({ex}) END)",
+        f"(CASE WHEN {both} THEN ({ey}) END)",
+    )
+
+
 def dcovar_samp(x: Column | str, y: Column | str) -> Column:
     cx = F.col(x) if isinstance(x, str) else x
     cy = F.col(y) if isinstance(y, str) else y
-    sx, sy = dsum(cx), dsum(cy)
-    sxy = dsum(cx * cy)
-    n = F.count(cx * cy)
+    mx, my = _complete_pair(cx, cy)
+    sx, sy = dsum(mx), dsum(my)
+    sxy = dsum(mx * my)
+    n = F.count(mx * my)
     return (sxy - sx * sy / n) / (n - F.lit(1))
 
 
 def sql_dcovar_samp(ex: str, ey: str) -> str:
-    sx, sy = sql_dsum(ex), sql_dsum(ey)
-    sxy = sql_dsum(f"({ex}) * ({ey})")
-    n = f"COUNT(({ex}) * ({ey}))"
+    mx, my = _sql_complete_pair(ex, ey)
+    sx, sy = sql_dsum(mx), sql_dsum(my)
+    sxy = sql_dsum(f"({mx}) * ({my})")
+    n = f"COUNT(({mx}) * ({my}))"
     return f"((({sxy}) - ({sx}) * ({sy}) / ({n})) / (({n}) - 1))"
 
 
@@ -158,6 +178,7 @@ def sql_dstddev_samp_w(expr: str, over: str) -> str:
 def dcorr_w(x: Column | str, y: Column | str, w) -> Column:
     cx = F.col(x) if isinstance(x, str) else x
     cy = F.col(y) if isinstance(y, str) else y
+    cx, cy = _complete_pair(cx, cy)
     sx, sy = dsum_w(cx, w), dsum_w(cy, w)
     sxx, syy, sxy = dsum_w(cx * cx, w), dsum_w(cy * cy, w), dsum_w(cx * cy, w)
     n = F.count(cx * cy).over(w)
@@ -167,6 +188,7 @@ def dcorr_w(x: Column | str, y: Column | str, w) -> Column:
 
 
 def sql_dcorr_w(ex: str, ey: str, over: str) -> str:
+    ex, ey = _sql_complete_pair(ex, ey)
     sx, sy = sql_dsum_w(ex, over), sql_dsum_w(ey, over)
     sxx = sql_dsum_w(f"({ex}) * ({ex})", over)
     syy = sql_dsum_w(f"({ey}) * ({ey})", over)
@@ -181,9 +203,11 @@ def sql_dcorr_w(ex: str, ey: str, over: str) -> str:
 
 
 def dcorr(x: Column | str, y: Column | str) -> Column:
-    """Pearson corr from exact moments (bit-identical across engines)."""
+    """Pearson corr from exact moments (bit-identical across engines),
+    over pairwise-complete rows like ``F.corr``."""
     cx = F.col(x) if isinstance(x, str) else x
     cy = F.col(y) if isinstance(y, str) else y
+    cx, cy = _complete_pair(cx, cy)
     sx, sy = dsum(cx), dsum(cy)
     sxx, syy, sxy = dsum(cx * cx), dsum(cy * cy), dsum(cx * cy)
     n = F.count(cx * cy)
@@ -193,6 +217,7 @@ def dcorr(x: Column | str, y: Column | str) -> Column:
 
 
 def sql_dcorr(ex: str, ey: str) -> str:
+    ex, ey = _sql_complete_pair(ex, ey)
     sx, sy = sql_dsum(ex), sql_dsum(ey)
     sxx = sql_dsum(f"({ex}) * ({ex})")
     syy = sql_dsum(f"({ey}) * ({ey})")

@@ -162,7 +162,9 @@ ORDER BY doc_a, doc_b
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(60-bit) near-dup pairs, banded (15-bit × 4) candidate
-    join, hamming ≤ 8."""
+    join, hamming ≤ 8.  Complete for hamming ≤ 3 (pigeonhole over 4
+    bands); approximate-recall beyond — see
+    ``operators.dedup.simhash_near_pairs`` and the recall test."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_near_pairs(d, max_hamming=8, bands=4).orderBy(
         "doc_a", "doc_b"

@@ -44,11 +44,14 @@ LIMIT 10
 """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter → broadcast semi-reduce of the
-    fact, shuffle join of the two facts, grouped agg, top-10.
+    """TPC-H Q3 shape: selective dim filter → semi-reduce of the fact,
+    shuffle join of the two facts, grouped agg, top-10.
 
-    Customer is filtered then broadcast (bounded dim); orders⋈lineitem
-    shuffles on orderkey — the one unavoidable big-join shuffle.
+    Customer is *not* force-broadcast: it grows with scale factor, so a
+    hard ``F.broadcast`` would OOM at 100× where AQE's size-based choice
+    (broadcast while the filtered side fits, shuffle beyond) stays safe.
+    orders⋈lineitem shuffles on orderkey — the one unavoidable big-join
+    shuffle.
     """
     cutoff = F.lit("1999-06-30").cast("timestamp_ntz")
     c = (
@@ -66,7 +69,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
         .join(l, F.col("o_orderkey") == l.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -96,9 +99,11 @@ ORDER BY revenue DESC, n_name
 """,
 )
 def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: six-way join — every dim side broadcast, the
-    single fact-fact (orders⋈lineitem) shuffle on orderkey, plus the
-    local-supplier equality closing the snowflake."""
+    """TPC-H Q5 shape: six-way join — bounded dims (region/nation/
+    supplier) force-broadcast, the customer-derived side left to AQE
+    (it grows with scale factor, so forcing a broadcast would OOM at
+    100×), the single fact-fact (orders⋈lineitem) shuffle on orderkey,
+    plus the local-supplier equality closing the snowflake."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -115,7 +120,7 @@ def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_nationkey", "n_name")
     )
     return (
-        o.join(F.broadcast(asia_cust), o.o_custkey == F.col("c_custkey"))
+        o.join(asia_cust, o.o_custkey == F.col("c_custkey"))
         .select("o_orderkey", "c_nationkey", "n_name")
         .join(l, F.col("o_orderkey") == l.l_orderkey)
         .join(

@@ -28,6 +28,11 @@ from pyspark.sql import functions as F
 __all__ = ["daily_rollup", "upsert_daily_rollup", "stream_into_rollup"]
 
 _KEYS = ["day", "event_type"]
+
+# Upper bound on the driver-side distinct-day collect in
+# upsert_daily_rollup: ~27 years of daily partitions — far beyond any
+# legitimate incremental delta, tiny as a list of dates.
+MAX_DELTA_DAYS = 10_000
 _AGG_SCHEMA = (
     "day date, event_type string, n long, total_value double, "
     "min_value double, max_value double"
@@ -67,7 +72,18 @@ def upsert_daily_rollup(
     read ONLY the affected day partitions, merge, dynamically overwrite
     those partitions."""
     delta = daily_rollup(new_events)
+    # Bounded driver collect: one row per *distinct day in the delta* —
+    # the span of a micro-batch / ingest increment, not the table size.
+    # The cap turns a mis-use (pointing this at years of backfill in one
+    # call, where a full rewrite is the right tool) into a loud error
+    # instead of a silent driver-memory risk.
     days = [r.day for r in delta.select("day").distinct().collect()]
+    if len(days) > MAX_DELTA_DAYS:
+        raise ValueError(
+            f"delta spans {len(days)} days > MAX_DELTA_DAYS={MAX_DELTA_DAYS}; "
+            "upsert_daily_rollup is for incremental deltas — rebuild the "
+            "rollup with daily_rollup() + a full overwrite instead"
+        )
     if not days:
         return
 

@@ -46,13 +46,18 @@ def _update(
 
 def dedup_stream(stream: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once event delivery on an at-least-once stream:
-    watermarked ``dropDuplicates`` on the event id.  The watermark
-    bounds the dedup state — an id older than (max event time −
-    watermark) can be evicted because any duplicate arriving later
-    would be dropped as late anyway.  Without the watermark the state
-    grows without bound; with it, state is O(events per watermark
-    window) at any input scale."""
-    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    ``dropDuplicatesWithinWatermark`` on the event id.
+
+    Plain ``dropDuplicates(['event_id'])`` would only evict state when
+    the event-time column is part of the dedup key — with an id-only
+    key the state store grows without bound.  The *WithinWatermark*
+    variant (Spark 3.5+) evicts an id once the watermark passes its
+    first-seen event time, so state is O(events per watermark window)
+    at any input scale while still deduplicating ids whose duplicate
+    deliveries carry slightly different timestamps."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def running_user_totals(stream: DataFrame) -> DataFrame:

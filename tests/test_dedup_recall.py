@@ -1,0 +1,87 @@
+"""Measured-recall checks for the banded (approximate) near-dup paths
+against their exact counterparts — the substitute verification for
+guarantees an oracle-mirrored query can't express (the oracle reproduces
+the same banding, so a recall gap is invisible to the hash compare).
+
+- simhash: banded candidates vs the exact all-pairs hamming join —
+  asserts the pigeonhole-complete zone (hamming ≤ bands−1), subset-with-
+  identical-distance, and a measured recall floor at max_hamming.
+- embedding LSH near-dup: every emitted (pair, cosine) must appear in
+  the exact blocked variant's output with the identical cosine (the
+  subset relation VERDICT r01 asked to pin driver-visibly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MID = "/root/testdata/sf0.01"
+
+
+def test_simhash_banded_recall_vs_exact(spark):
+    from stock_data_warehouse_analytics_spark.operators.dedup import (
+        simhash_near_pairs,
+        simhash_table,
+    )
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    sh = simhash_table(docs)
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    exact = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in (
+            a.crossJoin(b)
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                ham.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= 8)
+        ).collect()
+    }
+    banded = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_pairs(docs, max_hamming=8, bands=4).collect()
+    }
+
+    # no false positives, identical hamming on the overlap
+    for pair, h in banded.items():
+        assert pair in exact, f"banded emitted non-near pair {pair}"
+        assert exact[pair] == h
+
+    # pigeonhole-complete zone: every pair within hamming ≤ bands−1 = 3
+    low = {p for p, h in exact.items() if h <= 3}
+    assert low <= set(banded), f"missed guaranteed pairs: {low - set(banded)}"
+
+    # measured recall at max_hamming (0.43 on this corpus; floor with slack)
+    recall = len(banded) / max(len(exact), 1)
+    assert recall >= 0.3, f"simhash banded recall too low: {recall}"
+
+
+def test_emb_neardup_lsh_subset_of_exact(spark):
+    """Every LSH near-dup pair must appear in the exact variant's output
+    with a bit-identical cosine (the LSH path is a candidate *pruner*,
+    never a different scorer)."""
+    from stock_data_warehouse_analytics_spark.plans.registry import (
+        QUERIES,
+        get_queries,
+    )
+
+    get_queries()  # ensure registration
+
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in QUERIES["emb_neardup_exact"].fn(spark, SF_MID).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in QUERIES["emb_neardup_lsh"].fn(spark, SF_MID).collect()
+    }
+    assert lsh, "LSH variant emitted nothing"
+    for pair, cos in lsh.items():
+        assert pair in exact, f"LSH emitted pair absent from exact: {pair}"
+        assert exact[pair] == cos, f"cosine mismatch on {pair}"
