@@ -1,0 +1,223 @@
+"""Distributed exact global ranking — the scale-safe replacement for
+``Window.orderBy(...)`` with no partition spec (which Spark executes as
+an ``Exchange SinglePartition`` + one-reducer sort: the canonical
+100 TB killer).
+
+Strategy (range-bucketed rank):
+
+1. one pass computes ``n_buckets − 1`` approximate cut points of the
+   leading order column (``approx_percentile`` — t-digest-style sketch,
+   bounded memory, bounded driver result);
+2. each row is assigned a bucket by comparing against the *literal*
+   cuts (pure codegen'd CASE — rows with equal keys always land in the
+   same bucket, so bucket order is consistent with the total order);
+3. per-bucket counts (one tiny agg, ``n_buckets`` rows to the driver)
+   give each bucket's global offset;
+4. ``row_number`` over ``Window.partitionBy(bucket)`` plus the offset
+   is the exact global rank — the sort runs ``n_buckets``-way parallel
+   and no executor ever holds more than one bucket.
+
+The cut points only steer load balance, never correctness: any cuts
+yield exact ranks (skewed cuts just unbalance bucket sizes).  Both
+driver collects are bounded by ``n_buckets``, independent of row count.
+
+Reference parity: reproduces ``row_number()/ntile() OVER (ORDER BY …)``
+(reference pandas: rank()/qcut-style global orderings) without the
+single-partition plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bucketed_global_rank", "exact_ntile", "grouped_exact_quantiles"]
+
+_BUCKET = "_rk_bucket"
+
+
+def bucketed_global_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    *,
+    n_buckets: int = 32,
+    rank_col: str = "global_rank",
+) -> tuple[DataFrame, int]:
+    """Add an exact 1-based global ``rank_col`` ordered by
+    ``order_cols`` (ties broken by the later columns — pass a unique
+    key last for full determinism).  Returns ``(df_with_rank, n_rows)``.
+
+    Two bounded driver round-trips (cuts, bucket counts); the data path
+    is one ``n_buckets``-way partitioned sort — no single-partition
+    exchange at any input size."""
+    lead = order_cols[0]
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = df.select(
+        F.approx_percentile(F.col(lead).cast("double"), F.array(*[F.lit(q) for q in qs]), 10_000).alias("cuts")
+    ).first()
+    cuts = sorted(set(cuts_row["cuts"] or []))
+
+    bucket: Column = F.lit(0)
+    for c in cuts:
+        bucket = bucket + F.when(F.col(lead).cast("double") > F.lit(c), 1).otherwise(0)
+    bucketed = df.withColumn(_BUCKET, bucket)
+
+    counts = {
+        r[_BUCKET]: r["cnt"]
+        for r in bucketed.groupBy(_BUCKET).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n_rows = sum(counts.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+
+    offset_map = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )
+    w = Window.partitionBy(_BUCKET).orderBy(*order_cols)
+    ranked = bucketed.withColumn(
+        rank_col,
+        (offset_map[F.col(_BUCKET)] + F.row_number().over(w)).cast("long"),
+    ).drop(_BUCKET)
+    return ranked, n_rows
+
+
+def exact_ntile(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    *,
+    n_tiles: int,
+    n_buckets: int = 32,
+    tile_col: str = "tile",
+) -> DataFrame:
+    """Exact ``NTILE(n_tiles) OVER (ORDER BY order_cols)`` without a
+    global one-partition sort: bucketed global rank, then the standard
+    NTILE bucket formula (first ``n mod t`` tiles get ``ceil(n/t)``
+    rows, the rest ``floor(n/t)``) applied to the exact rank."""
+    ranked, n = bucketed_global_rank(
+        df, order_cols, n_buckets=n_buckets, rank_col="_rk_rank"
+    )
+    q, r = divmod(n, n_tiles)
+    rank = F.col("_rk_rank")
+    if q == 0:  # fewer rows than tiles: tile == rank (SQL NTILE semantics)
+        tile = rank
+    else:
+        big = q + 1
+        tile = F.when(
+            rank <= r * big, F.floor((rank - 1) / big) + 1
+        ).otherwise(r + F.floor((rank - r * big - 1) / q) + 1)
+    return ranked.withColumn(tile_col, tile.cast("int")).drop("_rk_rank")
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: Sequence[tuple[str, float]],
+    *,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """EXACT linear-interpolated quantiles per group with bounded
+    memory at any group size — the scale path when ``F.percentile``'s
+    O(group rows) aggregation buffer is unaffordable and a t-digest
+    approximation is not acceptable.
+
+    ``quantiles`` is ``[(label, q), ...]``; output is one row per group
+    with one ``label`` column per quantile, matching
+    ``percentile(value, q)`` / DuckDB ``quantile_cont`` semantics
+    (continuous position ``(n−1)·q``, interpolate ``(1−g)·lo + g·hi``).
+
+    Plan: global value cuts (sketch pass) → per-(group, bucket) rank
+    windows (no partition ever holds more than one bucket of one group)
+    → the two rows straddling each target rank are joined out and
+    interpolated.  Driver state: O(groups × n_buckets) counts — built
+    for bounded group cardinality (if groups are numerous, each group is
+    small and plain ``percentile`` is already safe)."""
+    lead = F.col(value_col).cast("double")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = df.select(
+        F.approx_percentile(lead, F.array(*[F.lit(q) for q in qs]), 10_000).alias(
+            "cuts"
+        )
+    ).first()
+    cuts = sorted(set(cuts_row["cuts"] or []))
+
+    bucket: Column = F.lit(0)
+    for c in cuts:
+        bucket = bucket + F.when(lead > F.lit(c), 1).otherwise(0)
+    bucketed = df.withColumn(_BUCKET, bucket)
+
+    counts_rows = (
+        bucketed.groupBy(group_col, _BUCKET)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    per_group: dict[object, dict[int, int]] = {}
+    for r in counts_rows:
+        per_group.setdefault(r[group_col], {})[r[_BUCKET]] = r["cnt"]
+
+    spark = df.sparkSession
+    offset_rows = []
+    target_rows = []
+    for g, buckets in per_group.items():
+        acc = 0
+        for b in sorted(buckets):
+            offset_rows.append((g, b, acc))
+            acc += buckets[b]
+        n_g = acc
+        for label, q in quantiles:
+            pos = (n_g - 1) * q  # 0-based continuous position
+            lo = int(pos)
+            frac = pos - lo
+            target_rows.append((g, label, lo + 1, min(lo + 2, n_g), frac))
+    offsets = spark.createDataFrame(
+        offset_rows, f"{group_col} string, {_BUCKET} int, _rk_offset long"
+    )
+    targets = spark.createDataFrame(
+        target_rows,
+        f"{group_col} string, _q_label string, _lo long, _hi long, _frac double",
+    )
+
+    w = Window.partitionBy(group_col, _BUCKET).orderBy(value_col)
+    ranked = (
+        bucketed.withColumn("_rk_local", F.row_number().over(w))
+        .join(F.broadcast(offsets), [group_col, _BUCKET])
+        .withColumn("_rk_rank", F.col("_rk_offset") + F.col("_rk_local"))
+    )
+    hit = ranked.join(
+        F.broadcast(targets),
+        (ranked[group_col] == targets[group_col])
+        & ((F.col("_rk_rank") == F.col("_lo")) | (F.col("_rk_rank") == F.col("_hi"))),
+    ).select(
+        ranked[group_col].alias(group_col),
+        "_q_label",
+        "_frac",
+        "_rk_rank",
+        "_lo",
+        lead.alias("_v"),
+    )
+    interp = (
+        hit.groupBy(group_col, "_q_label", "_frac")
+        .agg(
+            F.max(F.when(F.col("_rk_rank") == F.col("_lo"), F.col("_v"))).alias("_vlo"),
+            F.max(F.when(F.col("_rk_rank") != F.col("_lo"), F.col("_v"))).alias("_vhi"),
+        )
+        .withColumn(
+            # lo + (hi − lo)·g — the exact expression form both engines'
+            # native continuous-quantile implementations use, for ulp-
+            # level parity with percentile()/quantile_cont
+            "_val",
+            F.col("_vlo")
+            + (F.coalesce(F.col("_vhi"), F.col("_vlo")) - F.col("_vlo"))
+            * F.col("_frac"),
+        )
+    )
+    agg_cols = [
+        F.max(F.when(F.col("_q_label") == label, F.col("_val"))).alias(label)
+        for label, _ in quantiles
+    ]
+    return interp.groupBy(group_col).agg(*agg_cols)

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.ranking import exact_ntile
 from ..sources.tables import load_table, register_views
 from .exact import davg, sql_davg
 from .registry import register
@@ -92,11 +93,22 @@ ORDER BY decile
 def win_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile bucketing (the ranking-family member SURVEY §2.6 notes as
     absent from the reference), with a unique tiebreak so bucket edges
-    are deterministic."""
+    are deterministic.
+
+    Computed via :func:`operators.ranking.exact_ntile` — range-bucketed
+    exact global rank + the NTILE formula — instead of
+    ``F.ntile().over(Window.orderBy(...))``, whose single-partition
+    sort is the plan shape that dies first at 100 TB.  Output is
+    bit-identical to the window-function formulation (the oracle below
+    IS that formulation)."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
-        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        exact_ntile(
+            o.select("o_totalprice", "o_orderkey"),
+            ["o_totalprice", "o_orderkey"],
+            n_tiles=10,
+            tile_col="decile",
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.ranking import grouped_exact_quantiles
 from ..sources.tables import load_table
 from .exact import dsum, sql_dsum
 from .registry import register
@@ -29,9 +30,18 @@ ORDER BY l_returnflag
 )
 def olap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolated percentiles (Spark ``percentile`` ↔
-    DuckDB ``quantile_cont``, same (1−g)·lo + g·hi rule).  At 100 TB
-    you'd switch to ``approx_percentile`` (t-digest, one pass, bounded
-    memory) — exposed rows-only since sketches are engine-specific."""
+    DuckDB ``quantile_cont``, same (1−g)·lo + g·hi rule).
+
+    Memory bound: exact ``percentile`` buffers each group's values in
+    its aggregation buffer — O(rows per group) heap, NOT streamable.
+    Safe here only because the grouping key is ``l_returnflag`` (3
+    values) at driver-gate scale; this is the documented small/medium-
+    group exact path.  The scale paths are (a)
+    ``olap_approx_percentiles`` — t-digest sketch, one pass, bounded
+    memory at any group size — and (b)
+    ``olap_percentiles_distributed`` — exact quantiles via bucketed
+    global rank, bounded memory, for when approximation is not
+    acceptable."""
     l = load_table(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_returnflag")
@@ -46,6 +56,43 @@ def olap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "olap_percentiles_distributed",
+    tags=("agg", "percentile", "scale"),
+    oracle="""
+SELECT
+  l_returnflag,
+  ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+  ROUND(quantile_cont(l_extendedprice, 0.5), 6)  AS p50_price,
+  ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def olap_percentiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles with BOUNDED memory
+    (:func:`operators.ranking.grouped_exact_quantiles`): value-bucketed
+    rank windows + rank-targeted interpolation instead of
+    ``percentile``'s buffer-the-group aggregation.  Same answers as
+    ``olap_percentiles`` (the oracle is the same ``quantile_cont``),
+    but no aggregation buffer ever holds a group — the plan that still
+    runs when one return-flag covers a third of 100 TB."""
+    l = load_table(spark, sf_dir, "lineitem")
+    out = grouped_exact_quantiles(
+        l.select("l_returnflag", "l_extendedprice"),
+        "l_returnflag",
+        "l_extendedprice",
+        [("p25_price", 0.25), ("p50_price", 0.5), ("p95_price", 0.95)],
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("p25_price", 6).alias("p25_price"),
+        F.round("p50_price", 6).alias("p50_price"),
+        F.round("p95_price", 6).alias("p95_price"),
+    ).orderBy("l_returnflag")
 
 
 @register(

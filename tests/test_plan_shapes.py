@@ -102,6 +102,42 @@ def test_no_cartesian_products_anywhere(spark):
         assert "CartesianProduct" not in plan, name
 
 
+# Plans where an Exchange SinglePartition is legitimate because its
+# INPUT is already bounded (never the raw fact table):
+# - global aggregates: the single partition receives one partial-agg row
+#   per upstream task, O(#tasks) not O(rows);
+# - win_rolling_corr_daily: the global window runs over the per-day
+#   pivot (one row per calendar day — bounded by time span, not facts).
+_BOUNDED_SINGLE_PARTITION = {
+    "set_multiset_custkeys",
+    "sql_q6_forecast_revenue",
+    "win_rolling_corr_daily",
+}
+
+
+def test_no_unbounded_single_partition_plans(spark):
+    """No registered plan may funnel unbounded input through an
+    ``Exchange SinglePartition`` (the one-reducer global sort/window
+    that dies first at 100 TB).  Every allowed occurrence is a bounded-
+    input final stage, documented above."""
+    offenders = [
+        name
+        for name in sorted(QUERIES)
+        if "SinglePartition" in _plan(spark, name)
+        and name not in _BOUNDED_SINGLE_PARTITION
+    ]
+    assert not offenders, offenders
+
+
+def test_ntile_has_no_global_window_sort(spark):
+    """win_ntile_deciles must use the bucketed global rank (n-way
+    partitioned window), not ntile over an unpartitioned window."""
+    plan = _plan(spark, "win_ntile_deciles")
+    assert "SinglePartition" not in plan, plan
+    assert "ntile(" not in plan, plan
+    assert "hashpartitioning(_rk_bucket" in plan, plan
+
+
 @pytest.mark.parametrize(
     "name", ["q1_pricing_summary", "olap_stats_panel", "win_zscore_anomalies"]
 )
