@@ -23,6 +23,8 @@ __all__ = [
     "topk_bruteforce",
     "hyperplane_signature",
     "topk_lsh",
+    "fit_ivf_quantizer",
+    "topk_ivf_probe",
     "topk_ivf",
     "neardup_cosine_pairs",
     "neardup_exact_blocked",
@@ -171,41 +173,27 @@ def topk_lsh(
     )
 
 
-def topk_ivf(
+def fit_ivf_quantizer(
     emb: DataFrame,
-    queries: DataFrame,
     *,
-    k: int = 5,
     n_cells: int = 16,
-    nprobe: int = 4,
     seed: int = 42,
     max_iter: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """ANN via IVF (inverted-file) coarse quantization — the classic
-    alternative to hyperplane LSH (``topk_lsh``).
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the IVF coarse quantizer ONCE: ``pyspark.ml`` KMeans
+    (scalable k-means|| init) over the normalized corpus.  Returns
+    ``(assigned, centers_df)`` — the cell-assigned corpus (lazy,
+    map-side transform) and the k×dim centroid table (the only state
+    that ever reaches the driver, bounded by construction).
 
-    1. Fit a coarse quantizer: ``pyspark.ml`` KMeans (scalable
-       k-means|| init) over the normalized corpus.  The only state that
-       ever reaches the driver is the k×dim centroid matrix — bounded by
-       construction, independent of corpus size.
-    2. Assign each corpus vector to its cell (map-side model transform —
-       the corpus never shuffles; in a real deployment the table is
-       written bucketed by ``cell`` so this is a one-time layout cost).
-    3. Route each query to its ``nprobe`` nearest cells by
-       ``||c||² − 2·q·c`` (equivalent to euclidean argmin; ``||q||²`` is
-       constant per query) against the broadcast centroid table.
-    4. Exact cosine re-rank inside the probed cells only — a broadcast
-       join of |Q|·nprobe probe rows against the cell-partitioned
-       corpus, never an all-pairs scan.
-
-    Recall is governed by nprobe/n_cells and measured in tests against
-    ``topk_bruteforce``; rows are ranked on round(cosine, 6) with id
-    tiebreaks like every similarity operator here."""
+    At scale the quantizer is fit once (typically on a sample) and
+    reused across every query batch; ``topk_ivf_probe`` is the
+    per-batch path.  In a real deployment ``assigned`` is written
+    bucketed by ``cell`` so assignment is a one-time layout cost."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-    from pyspark.sql import Window
 
     c = emb.select(
         F.col(id_col).alias("neighbor_id"), normalize(F.col(vec_col)).alias("_cn")
@@ -224,6 +212,33 @@ def topk_ivf(
         [(i, [float(x) for x in cen]) for i, cen in enumerate(centers)],
         "cell int, cvec array<double>",
     )
+    return assigned, centers_df
+
+
+def topk_ivf_probe(
+    assigned: DataFrame,
+    centers_df: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a pre-fitted IVF index (from :func:`fit_ivf_quantizer`):
+
+    1. Route each query to its ``nprobe`` nearest cells by
+       ``||c||² − 2·q·c`` (equivalent to euclidean argmin; ``||q||²`` is
+       constant per query) against the broadcast centroid table.
+    2. Exact cosine re-rank inside the probed cells only — a broadcast
+       join of |Q|·nprobe probe rows against the cell-partitioned
+       corpus, never an all-pairs scan.
+
+    Recall is governed by nprobe/n_cells and measured in tests against
+    ``topk_bruteforce``; rows are ranked on round(cosine, 6) with id
+    tiebreaks like every similarity operator here."""
+    from pyspark.sql import Window
+
     q = queries.select(
         F.col(id_col).alias("query_id"), normalize(F.col(vec_col)).alias("_qn")
     )
@@ -250,6 +265,31 @@ def topk_ivf(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
+    )
+
+
+def topk_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via IVF: :func:`fit_ivf_quantizer` + :func:`topk_ivf_probe`
+    in one call (fit-per-call convenience form; batch/repeated callers
+    should fit once and probe many times)."""
+    assigned, centers_df = fit_ivf_quantizer(
+        emb, n_cells=n_cells, seed=seed, max_iter=max_iter,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return topk_ivf_probe(
+        assigned, centers_df, queries, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
     )
 
 

@@ -11,16 +11,44 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import weakref
+
 from ..operators.similarity import (
     _plane,
+    fit_ivf_quantizer,
     neardup_cosine_pairs,
     neardup_exact_blocked,
     topk_bruteforce,
-    topk_ivf,
+    topk_ivf_probe,
     topk_lsh,
 )
 from ..sources.tables import load_table
 from .registry import register
+
+# Session-scoped IVF quantizer cache: fit once per (session, sf_dir),
+# probe many times — the deployment shape (the quantizer is a bounded
+# k×dim artifact; refitting per query batch would re-run k-means|| on
+# the whole corpus).  Weak session keys like sources.tables._TABLE_CACHE.
+_IVF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, tuple[DataFrame, DataFrame]]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def ivf_quantizer(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(assigned, centers) for the standard corpus quantizer
+    (n_cells=16, seed 42, maxIter 5) — fit on first use per session,
+    reused by every subsequent probe."""
+    per_session = _IVF_CACHE.setdefault(spark, {})
+    key = sf_dir
+    if key not in per_session:
+        e = load_table(spark, sf_dir, "embeddings")
+        # maxIter 5: a coarse quantizer needs rough cells, not
+        # convergence — k-means|| init does most of the work and each
+        # Lloyd iteration is a driver-coordinated job round
+        per_session[key] = fit_ivf_quantizer(e, n_cells=16, max_iter=5)
+    return per_session[key]
 
 _DIM = 64
 # normalize-once mirror of operators.similarity.normalize: per-element
@@ -117,13 +145,34 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     init, seed 42), queries probe their 4 nearest of 16 cells, exact
     cosine re-rank inside probed cells only.  The second scale path the
     north star names alongside LSH — corpus never shuffles, only the
-    k×dim centroid matrix reaches the driver."""
+    k×dim centroid matrix reaches the driver.  Fits (and caches) the
+    session quantizer; ``sim_topk_ivf_probe`` is the reuse path."""
     e = load_table(spark, sf_dir, "embeddings")
-    # maxIter 5: a coarse quantizer needs rough cells, not convergence —
-    # k-means|| init does most of the work and each Lloyd iteration is a
-    # driver-coordinated job round
-    return topk_ivf(
-        e, e.filter(F.col("vec_id") < 8), k=5, n_cells=16, nprobe=4, max_iter=5
+    assigned, centers = ivf_quantizer(spark, sf_dir)
+    return topk_ivf_probe(
+        assigned, centers, e.filter(F.col("vec_id") < 8), k=5, nprobe=4
+    )
+
+
+@register(
+    "sim_topk_ivf_probe",
+    tags=("llm", "similarity", "ann", "ivf", "probe"),
+    oracle=None,  # same non-SQL-expressible quantizer as sim_topk_ivf;
+    # probe-equivalence and recall asserted in pytest
+)
+def sim_topk_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only IVF batch against the session's pre-fitted quantizer
+    (a different query set, vec_id in [8, 24)): the steady-state cost of
+    IVF search once the one-time fit is amortized — bench this entry
+    against ``sim_topk_ivf`` to read the fit overhead directly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, centers = ivf_quantizer(spark, sf_dir)
+    return topk_ivf_probe(
+        assigned,
+        centers,
+        e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 24)),
+        k=5,
+        nprobe=4,
     )
 
 

@@ -162,6 +162,47 @@ def test_ann_ivf_recall(spark):
     assert all(v == 5 for v in per_query.values()), per_query
 
 
+def test_ivf_prefit_probe_matches_fit_per_call(spark):
+    """Probing a pre-fitted quantizer must return exactly what the
+    fit-per-call convenience form returns (same seed → same cells), and
+    a second probe with a different query batch must reuse the fit."""
+    from stock_data_warehouse_analytics_spark.operators.similarity import (
+        fit_ivf_quantizer,
+        topk_ivf,
+        topk_ivf_probe,
+    )
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q1 = emb.filter(F.col("vec_id") < 8)
+    q2 = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+
+    assigned, centers = fit_ivf_quantizer(emb, n_cells=4)
+    got1 = topk_ivf_probe(assigned, centers, q1, k=5, nprobe=2).collect()
+    want1 = topk_ivf(emb, q1, k=5, n_cells=4, nprobe=2).collect()
+    assert [tuple(r) for r in got1] == [tuple(r) for r in want1]
+
+    # second batch through the SAME fitted artifacts: right shape, all
+    # queries answered — the amortized steady-state path
+    got2 = topk_ivf_probe(assigned, centers, q2, k=5, nprobe=2).collect()
+    assert {r.query_id for r in got2} == {
+        r.vec_id for r in q2.select("vec_id").collect()
+    }
+    assert all(r.rnk <= 5 for r in got2)
+
+
+def test_registered_ivf_probe_query_runs(spark):
+    from stock_data_warehouse_analytics_spark.plans.registry import (
+        QUERIES,
+        get_queries,
+    )
+
+    get_queries()
+    rows = QUERIES["sim_topk_ivf_probe"].fn(spark, SF_SMALL).collect()
+    assert rows and all(r.rnk <= 5 for r in rows)
+    assert all(8 <= r.query_id < 24 for r in rows)
+
+
 def test_stream_stream_join_equals_batch(spark, tmp_path):
     """The watermarked clicks⋈purchases interval join under readStream
     (availableNow) must emit exactly the batch join's matches."""
