@@ -22,6 +22,8 @@ variant because correctness-vs-oracle is the driver's gate.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -37,10 +39,32 @@ from pyspark.sql import functions as F
 _PREC, _SCALE = 38, 6
 _SUM_TYPE = f"decimal({_PREC - 10},{_SCALE})"  # Spark sum() adds 10 to precision
 
+# Fast mode: plain double sums instead of decimal moments.  Throughput
+# path for production runs where last-ulp cross-engine parity is not
+# required (results differ from the exact mode only by float summation
+# order, i.e. ~1e-12 relative).  Default OFF — the driver's correctness
+# gate and every oracle comparison require the exact mode.  Enable via
+# SPARK_GRAFT_FAST_AGG=1 or set_fast_aggregates(True).
+_FAST = os.environ.get("SPARK_GRAFT_FAST_AGG", "").lower() in ("1", "true", "yes")
+
+
+def set_fast_aggregates(on: bool) -> None:
+    """Toggle fast (plain-double) aggregate mode for subsequently BUILT
+    plans (already-built DataFrames keep their mode)."""
+    global _FAST
+    _FAST = bool(on)
+
+
+def fast_aggregates_enabled() -> bool:
+    return _FAST
+
 
 def dsum(col: Column | str) -> Column:
-    """Order-independent exact sum of a double expression → double."""
+    """Order-independent exact sum of a double expression → double
+    (plain double sum in fast mode)."""
     c = F.col(col) if isinstance(col, str) else col
+    if _FAST:
+        return F.sum(c)
     return F.sum(c.cast(_SUM_TYPE)).cast("double")
 
 
@@ -141,6 +165,8 @@ def sql_dcovar_samp(ex: str, ey: str) -> str:
 
 def dsum_w(col: Column | str, w) -> Column:
     c = F.col(col) if isinstance(col, str) else col
+    if _FAST:
+        return F.sum(c).over(w)
     return F.sum(c.cast(_SUM_TYPE)).over(w).cast("double")
 
 
