@@ -139,8 +139,10 @@ def grouped_exact_quantiles(
     small and plain ``percentile`` is already safe)."""
     lead = F.col(value_col).cast("double")
     qs = [i / n_buckets for i in range(1, n_buckets)]
+    # accuracy 1000: cut quality only affects load balance, never
+    # correctness — the cheapest sketch that balances is the right one
     cuts_row = df.select(
-        F.approx_percentile(lead, F.array(*[F.lit(q) for q in qs]), 10_000).alias(
+        F.approx_percentile(lead, F.array(*[F.lit(q) for q in qs]), 1_000).alias(
             "cuts"
         )
     ).first()
@@ -188,7 +190,20 @@ def grouped_exact_quantiles(
         .join(F.broadcast(offsets), [group_col, _BUCKET])
         .withColumn("_rk_rank", F.col("_rk_offset") + F.col("_rk_local"))
     )
-    hit = ranked.join(
+    # Prune to the ≤ groups·quantiles·2 target ranks with a LITERAL
+    # predicate BEFORE any join — the join-then-filter formulation
+    # materializes |rows|·|quantiles| intermediate rows; this one keeps
+    # the window output streaming and joins only the handful of hits.
+    wanted: dict[object, set[int]] = {}
+    for g, _label, lo_r, hi_r, _frac in target_rows:
+        wanted.setdefault(g, set()).update((lo_r, hi_r))
+    pred = F.lit(False)
+    for g, ranks in wanted.items():
+        pred = pred | (
+            (F.col(group_col) == F.lit(g))
+            & F.col("_rk_rank").isin(*sorted(ranks))
+        )
+    hit = ranked.filter(pred).join(
         F.broadcast(targets),
         (ranked[group_col] == targets[group_col])
         & ((F.col("_rk_rank") == F.col("_lo")) | (F.col("_rk_rank") == F.col("_hi"))),

@@ -14,3 +14,6 @@ from . import tpch_olap2  # noqa: F401
 from . import tpch_misc  # noqa: F401
 from . import joins_advanced  # noqa: F401
 from . import llm_sampling  # noqa: F401
+from . import behavioral  # noqa: F401
+from . import llm_text2  # noqa: F401
+from . import tpch_more  # noqa: F401

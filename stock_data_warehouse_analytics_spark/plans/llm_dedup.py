@@ -5,8 +5,10 @@ MinHash-LSH, SimHash.  Oracle SQL is generated from the same constants
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from ..operators.graph import connected_components
 from ..operators.dedup import (
     MINHASH_PRIME,
     exact_dedup_groups,
@@ -82,7 +84,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, k=3, threshold=0.5).orderBy("doc_a", "doc_b")
 
 
-def _sql_minhash_pairs(n_hashes: int = 16, bands: int = 4) -> str:
+def _sql_minhash_ctes(n_hashes: int = 16, bands: int = 4) -> str:
+    """CTE chain ending in ``pairs(doc_a, doc_b)`` — shared by the
+    pair query and the recursive connected-components oracle."""
     rows = n_hashes // bands
     sig_cols = ",\n    ".join(
         f"MIN(({a} * hm + {b}) % {MINHASH_PRIME}) AS mh{i}"
@@ -97,16 +101,23 @@ def _sql_minhash_pairs(n_hashes: int = 16, bands: int = 4) -> str:
         )
         for b in range(bands)
     )
-    return f"""
-WITH {_SQL_SHINGLES},
+    return f"""{_SQL_SHINGLES},
 hm AS (SELECT doc_id, ({_SQL_H60} % {MINHASH_PRIME}) AS hm FROM sh),
 sig AS (SELECT doc_id, {sig_cols} FROM hm GROUP BY doc_id),
 banded AS (
 {band_rows}
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM banded a JOIN banded b USING (band, band_hash)
-WHERE a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id
+)"""
+
+
+def _sql_minhash_pairs(n_hashes: int = 16, bands: int = 4) -> str:
+    return f"""
+WITH {_sql_minhash_ctes(n_hashes, bands)}
+SELECT doc_a, doc_b FROM pairs
 ORDER BY doc_a, doc_b
 """
 
@@ -122,6 +133,53 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return minhash_candidate_pairs(d, n_hashes=16, bands=4).orderBy(
         "doc_a", "doc_b"
+    )
+
+
+@register(
+    "dedup_clusters_cc",
+    tags=("llm", "dedup", "graph", "connected-components"),
+    oracle=f"""
+WITH RECURSIVE {_sql_minhash_ctes()},
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.a, r.comp FROM sym s JOIN reach r ON r.node = s.b
+),
+assign AS (
+  SELECT node AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       (doc_id = cluster_id) AS is_survivor
+FROM assign
+ORDER BY doc_id
+""",
+)
+def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the MinHash-LSH pair graph via
+    distributed connected components (min-label propagation,
+    ``operators/graph.py``) — the step that turns pairwise candidates
+    into keep-one-per-cluster decisions (survivor = min doc_id, the
+    same canonical-representative rule as ``dedup_exact``).  The
+    oracle replays the identical pair generation and closes it with a
+    recursive CTE, so cluster assignments compare bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = minhash_candidate_pairs(d, n_hashes=16, bands=4)
+    comp = connected_components(edges, src="doc_a", dst="doc_b")
+    w = Window.partitionBy("cluster_id")
+    return (
+        comp.select(
+            F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_survivor", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("doc_id")
     )
 
 

@@ -340,3 +340,71 @@ def win_rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_avg",
         F.when(cnt >= 7, dcorr_w("click_avg", "view_avg", w7)).alias("corr7"),
     ).orderBy("day")
+
+
+@register(
+    "win_percent_rank_cume",
+    tags=("window", "percent-rank", "cume-dist"),
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6)    AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderpriority, o_totalprice, o_orderkey
+""",
+)
+def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two relative-rank window members (percent_rank, cume_dist)
+    completing the ranking family (rank/dense_rank/ntile are elsewhere
+    in the registry).  Partitioned by priority — no global sort; both
+    functions share one window spec, so one shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+
+
+_HOUR_US = 3600 * 1_000_000
+
+
+@register(
+    "win_range_frame_hour",
+    tags=("window", "range-frame", "sliding"),
+    oracle=f"""
+SELECT event_id, event_type, ts,
+       COUNT(*) OVER w AS n_last_hour,
+       {sql_dsum_w('value', f'(PARTITION BY event_type ORDER BY epoch_us(ts) RANGE BETWEEN {_HOUR_US} PRECEDING AND CURRENT ROW)')} AS value_last_hour
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_HOUR_US} PRECEDING AND CURRENT ROW)
+ORDER BY event_type, ts, event_id
+""",
+)
+def win_range_frame_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame sliding window keyed on event TIME, not row count:
+    per event, activity over the trailing hour (the frame Spark's
+    ``rangeBetween`` expresses over a numeric ordering — here epoch
+    micros, so frame edges are exact integer comparisons on both
+    engines).  Rows with equal timestamps share a frame by RANGE
+    semantics, which is why the aggregate — unlike a ROWS frame — is
+    well-defined without a unique tiebreak."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(ts_us)
+        .rangeBetween(-_HOUR_US, 0)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        dsum_w("value", w).alias("value_last_hour"),
+    ).orderBy("event_type", "ts", "event_id")

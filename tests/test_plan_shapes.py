@@ -112,6 +112,10 @@ _BOUNDED_SINGLE_PARTITION = {
     "set_multiset_custkeys",
     "sql_q6_forecast_revenue",
     "win_rolling_corr_daily",
+    # global aggregates (one partial-agg row per task reaches the final)
+    "funnel_view_click_purchase",
+    "q14_promo_revenue_share",
+    "q22_dormant_customers",
 }
 
 
