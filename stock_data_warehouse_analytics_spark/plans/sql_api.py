@@ -123,3 +123,93 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL text is engine-identical, so the oracle is verbatim."""
     register_views(spark, sf_dir)
     return spark.sql(_GSETS_BODY)
+
+
+@register(
+    "sql_scalar_udf",
+    tags=("sql-api", "sql-udf", "function"),
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS charged,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF (CREATE FUNCTION ... RETURN expr — Spark 4's
+    catalog-resident function surface): the charge formula defined once
+    as a SQL function and reused.  Catalyst INLINES the body into the
+    plan (the optimized plan is identical to writing the expression by
+    hand — assert-able via explain), so unlike Python UDxFs this
+    extension mechanism costs nothing at any scale.  The oracle writes
+    the same expression inline."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION charge(p DOUBLE, d DOUBLE, t DOUBLE)
+        RETURNS DOUBLE RETURN p * (1 - d) * (1 + t)
+        """
+    )
+    return spark.sql(
+        f"""
+        SELECT l_returnflag,
+               {sql_dsum('charge(l_extendedprice, l_discount, l_tax)')} AS charged,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+@register(
+    "source_python_datasource",
+    tags=("source", "python-datasource", "agg"),
+    oracle=f"""
+SELECT i % 10 AS bucket,
+       COUNT(*) AS n,
+       {sql_dsum(f'((i * 2654435761) % 2147483648) / 2147483648.0')} AS sum_x,
+       MIN((i * 2654435761) % 2147483648) AS min_mix,
+       MAX((i * 2654435761) % 2147483648) AS max_mix
+FROM generate_series(0, 9999) t(i)
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through a custom Python DataSource
+    (``sources/pydatasource.py`` — Spark 4's connector extension API)
+    and aggregate: the source plans 8 range partitions driver-side and
+    executors iterate rows in parallel (Arrow-batched).  Rows are a
+    deterministic hash-mix of the index, so DuckDB regenerates the
+    identical table from ``generate_series`` and the comparison is
+    exact — proving the custom source delivers precisely the declared
+    rows, partitioned as promised."""
+    from pyspark.sql import functions as F
+
+    from ..sources.pydatasource import SyntheticNumbersDataSource
+    from .exact import dsum
+
+    try:
+        spark.dataSource.register(SyntheticNumbersDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("synthetic_numbers")
+        .option("rows", 10_000)
+        .option("partitions", 8)
+        .load()
+    )
+    mixed = (F.col("i") * 2654435761) % 2147483648
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("x").alias("sum_x"),
+            F.min(mixed).alias("min_mix"),
+            F.max(mixed).alias("max_mix"),
+        )
+        .orderBy("bucket")
+    )

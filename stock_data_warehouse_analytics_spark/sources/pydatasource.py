@@ -1,0 +1,67 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API) —
+the extension point for reading systems Spark has no built-in connector
+for (internal feeds, bespoke formats), with REAL partition planning:
+the driver decides the split, executors read their partitions in
+parallel, nothing funnels through the driver.
+
+The concrete source here generates a deterministic synthetic number
+table (hash-mixed uniform values), so tests and the DuckDB oracle can
+reproduce every row arithmetically — the source mechanics (schema
+declaration, option handling, partition planning, per-partition
+iteration) are exactly what a production connector implements.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+__all__ = ["SyntheticNumbersDataSource", "MIX_MULT", "MIX_MOD"]
+
+# Knuth-style multiplicative mix; products stay < 2^63 for i < ~3.4e9
+MIX_MULT = 2_654_435_761
+MIX_MOD = 1 << 31
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start = start
+        self.end = end
+
+
+class _Reader(DataSourceReader):
+    def __init__(self, n_rows: int, n_partitions: int) -> None:
+        self.n_rows = n_rows
+        self.n_partitions = n_partitions
+
+    def partitions(self) -> Sequence[InputPartition]:
+        per = max(1, -(-self.n_rows // self.n_partitions))
+        return [
+            _RangePartition(lo, min(lo + per, self.n_rows))
+            for lo in range(0, self.n_rows, per)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            mixed = (i * MIX_MULT) % MIX_MOD
+            yield (i, i % 10, mixed / MIX_MOD)
+
+
+class SyntheticNumbersDataSource(DataSource):
+    """``spark.read.format("synthetic_numbers").option("rows", N)``.
+
+    Options: ``rows`` (default 1000), ``partitions`` (default 8)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_numbers"
+
+    def schema(self) -> str:
+        return "i bigint, bucket int, x double"
+
+    def reader(self, schema) -> DataSourceReader:  # noqa: ANN001
+        return _Reader(
+            int(self.options.get("rows", 1000)),
+            int(self.options.get("partitions", 8)),
+        )

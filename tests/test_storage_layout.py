@@ -146,3 +146,27 @@ def test_partitioned_orc_prunes_like_parquet(spark, tmp_path):
     assert read.count() == orders.filter(
         F.col("o_orderpriority") == "1-URGENT"
     ).count()
+
+
+def test_python_datasource_partition_planning(spark):
+    """The custom Python DataSource must honor its partition plan:
+    requested partition count reaches the RDD, every partition
+    contributes rows, and the union is exactly the declared range."""
+    from stock_data_warehouse_analytics_spark.sources.pydatasource import (
+        SyntheticNumbersDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticNumbersDataSource)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("synthetic_numbers")
+        .option("rows", 1000)
+        .option("partitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = df.collect()
+    assert sorted(r.i for r in rows) == list(range(1000))
+    assert all(r.bucket == r.i % 10 for r in rows)
