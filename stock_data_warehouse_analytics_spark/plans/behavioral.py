@@ -179,3 +179,146 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@register(
+    "latest_event_per_user",
+    tags=("behavioral", "window", "latest-record"),
+    oracle="""
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key — the upsert/SCD compaction pattern (a
+    mutable-table snapshot from an append-only log).  One partitioned
+    rank window, deterministic (ts, event_id) tiebreak; at scale this
+    is the dedupe that materializes 'current state' from a CDC feed."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_daily_gapfill",
+    tags=("behavioral", "resample", "gap-fill"),
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, {sql_dsum('value')} AS total_value
+  FROM events GROUP BY event_type, day
+),
+bounds AS (
+  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY event_type
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+)
+SELECT s.event_type, s.day,
+       COALESCE(d.total_value,
+                LAST_VALUE(d.total_value IGNORE NULLS) OVER (
+                  PARTITION BY s.event_type ORDER BY s.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS total_value,
+       (d.total_value IS NULL) AS filled
+FROM spine s LEFT JOIN daily d USING (event_type, day)
+ORDER BY s.event_type, s.day
+""",
+)
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap-filling with forward fill — the resample/
+    interpolate half of the reference's time-series toolkit (its stock
+    calendar has market holidays; here missing (type, day) cells).
+    The spine is generated per type via ``sequence()`` (pure expression,
+    no driver loop), missing days left-join as NULL, and
+    ``last(ignorenulls)`` over the day order carries the previous
+    value forward.  Window partitions by event_type — days per type is
+    bounded by the time span, the scale-safe partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(dsum("value").alias("total_value"))
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = spine.join(daily, ["event_type", "day"], "left")
+    return (
+        joined.select(
+            "event_type",
+            "day",
+            F.coalesce(
+                "total_value", F.last("total_value", ignorenulls=True).over(w)
+            ).alias("total_value"),
+            F.col("total_value").isNull().alias("filled"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "stream_watermark_accounting",
+    tags=("streaming", "watermark", "late-data"),
+    oracle="""
+WITH arr AS (
+  SELECT event_type, ts, value,
+         MAX(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_seen
+  FROM events
+)
+SELECT event_type,
+       COUNT(CASE WHEN max_seen IS NULL
+                    OR ts >= max_seen - INTERVAL 10 MINUTE THEN 1 END) AS n_on_time,
+       COUNT(CASE WHEN ts < max_seen - INTERVAL 10 MINUTE THEN 1 END) AS n_late
+FROM arr
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stream_watermark_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data accounting, replayed in batch: events arrive
+    in event_id order per source (event_type); the watermark at each
+    arrival is (max event time seen so far − 10 min), and an event
+    older than that would be DROPPED by a streaming aggregation with
+    ``withWatermark('ts', '10 minutes')``.  This query quantifies that
+    policy per source before you deploy it — the audit every watermark
+    choice should get.  Same running-max window the streaming engine
+    maintains as state; partitioned per source, no global order."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    max_seen = F.max("ts").over(w)
+    late = F.col("ts") < max_seen - F.expr("INTERVAL 10 MINUTES")
+    on_time = max_seen.isNull() | ~late
+    return (
+        e.select("event_type", late.alias("late"), on_time.alias("on_time"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("on_time"), 1)).alias("n_on_time"),
+            F.count(F.when(F.col("late"), 1)).alias("n_late"),
+        )
+        .orderBy("event_type")
+    )
