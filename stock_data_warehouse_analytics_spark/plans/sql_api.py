@@ -189,9 +189,14 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, partitioned as promised."""
     from pyspark.sql import functions as F
 
-    from ..sources.pydatasource import SyntheticNumbersDataSource
+    from ..sources.pydatasource import (
+        SyntheticNumbersDataSource,
+        ensure_package_shipped,
+    )
     from .exact import dsum
 
+    # workers unpickle the source by module reference — ship the package
+    ensure_package_shipped(spark)
     try:
         spark.dataSource.register(SyntheticNumbersDataSource)
     except Exception:

@@ -13,11 +13,48 @@ iteration) are exactly what a production connector implements.
 
 from __future__ import annotations
 
+import os
+import tempfile
+import zipfile
 from collections.abc import Iterator, Sequence
 
+from pyspark.sql import SparkSession
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
-__all__ = ["SyntheticNumbersDataSource", "MIX_MULT", "MIX_MOD"]
+__all__ = [
+    "SyntheticNumbersDataSource",
+    "ensure_package_shipped",
+    "MIX_MULT",
+    "MIX_MOD",
+]
+
+# Python-worker processes unpickle the DataSource BY MODULE REFERENCE,
+# so the package must be importable on executors — which is only
+# incidentally true when the driver's cwd is the repo root.  Shipping
+# the package archive via addPyFile is the real deployment contract
+# (spark-submit --py-files), and makes the source work no matter where
+# the driver process started.
+_SHIPPED: set[str] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Zip this package and addPyFile it, once per Spark application."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"sdwas_pkg_{os.path.basename(pkg_dir)}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, base))
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED.add(app_id)
 
 # Knuth-style multiplicative mix; products stay < 2^63 for i < ~3.4e9
 MIX_MULT = 2_654_435_761
