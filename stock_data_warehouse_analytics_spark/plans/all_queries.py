@@ -18,3 +18,4 @@ from . import behavioral  # noqa: F401
 from . import llm_text2  # noqa: F401
 from . import tpch_more  # noqa: F401
 from . import sketches  # noqa: F401
+from . import tpch_more2  # noqa: F401

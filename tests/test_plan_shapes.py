@@ -115,7 +115,10 @@ _BOUNDED_SINGLE_PARTITION = {
     # global aggregates (one partial-agg row per task reaches the final)
     "funnel_view_click_purchase",
     "q14_promo_revenue_share",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
     "q22_dormant_customers",
+    "agg_hll_sketch_union",
 }
 
 
