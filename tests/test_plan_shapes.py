@@ -175,3 +175,36 @@ def test_bpe_token_cost_is_pure_map(spark):
     plan = _plan(spark, "text_bpe_token_cost")
     assert "hashpartitioning(" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_sessionize_single_shuffle(spark):
+    """Sessionization: lag window, running-sum window, and the final
+    per-session aggregate all share the user_id hash partitioning —
+    exactly one exchange for the whole gaps-and-islands pipeline."""
+    plan = _plan(spark, "sessionize_events")
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 1, plan
+    assert "SinglePartition" not in plan
+
+
+def test_latest_per_key_single_shuffle(spark):
+    plan = _plan(spark, "latest_event_per_user")
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 1, plan
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    """The (bounded) benchmark shingle table must broadcast; the corpus
+    side streams map-side into one aggregate shuffle."""
+    plan = _plan(spark, "text_contamination_overlap")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 1, plan
+
+
+def test_q18_aggregates_before_join_and_topk(spark):
+    """Q18 shape: lineitem aggregates FIRST (the HAVING prune), the
+    join sees qualifying-orders-sized input, and the top-k is
+    TakeOrderedAndProject, never a global sort."""
+    plan = _plan(spark, "q18_large_orders")
+    assert "TakeOrderedAndProject" in plan, plan
+    # the only fact-sized exchange is the pre-join aggregation
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 1, plan
