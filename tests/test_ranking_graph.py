@@ -1,0 +1,120 @@
+"""Equivalence tests for the round-2 primitives, beyond their single
+registered queries:
+
+- ``exact_ntile`` must reproduce ``F.ntile().over(Window.orderBy(...))``
+  bit-for-bit on adversarial shapes (ties, skew, n % tiles != 0,
+  n < tiles);
+- ``grouped_exact_quantiles`` must reproduce ``F.percentile`` on
+  random-ish grouped data;
+- ``connected_components`` must match a driver-side union-find on a
+  pseudo-random graph (chains force multiple pointer-jump rounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _synth(spark, n: int, groups: int = 4):
+    """Deterministic pseudo-random frame: id, group, value (hash-mixed,
+    intentionally with ties via % 97)."""
+    return (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            (F.col("id") % groups).cast("string").alias("grp"),
+            (((F.col("id") * 2654435761) % 2147483648) % 97)
+            .cast("double")
+            .alias("value"),
+        )
+    )
+
+
+def test_exact_ntile_matches_window_ntile(spark):
+    from stock_data_warehouse_analytics_spark.operators.ranking import exact_ntile
+
+    for n, tiles in ((1000, 10), (997, 7), (5, 10), (64, 64)):
+        df = _synth(spark, n)
+        got = {
+            (r.id): r.tile
+            for r in exact_ntile(
+                df, ["value", "id"], n_tiles=tiles, n_buckets=8
+            ).collect()
+        }
+        w = Window.orderBy("value", "id")
+        want = {
+            r.id: r.t
+            for r in df.select("id", F.ntile(tiles).over(w).alias("t")).collect()
+        }
+        assert got == want, (n, tiles)
+
+
+def test_grouped_exact_quantiles_matches_percentile(spark):
+    from stock_data_warehouse_analytics_spark.operators.ranking import (
+        grouped_exact_quantiles,
+    )
+
+    df = _synth(spark, 3000)
+    qs = [("p10", 0.1), ("p50", 0.5), ("p99", 0.99)]
+    got = {
+        r.grp: (r.p10, r.p50, r.p99)
+        for r in grouped_exact_quantiles(df, "grp", "value", qs, n_buckets=8)
+        .select(
+            "grp",
+            F.round("p10", 6).alias("p10"),
+            F.round("p50", 6).alias("p50"),
+            F.round("p99", 6).alias("p99"),
+        )
+        .collect()
+    }
+    want = {
+        r.grp: (r.p10, r.p50, r.p99)
+        for r in df.groupBy("grp")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.1)), 6).alias("p10"),
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_connected_components_matches_union_find(spark):
+    from stock_data_warehouse_analytics_spark.operators.graph import (
+        connected_components,
+    )
+
+    # chains + cliques + isolated pairs: chains of length ~40 need
+    # several pointer-jump rounds (plain propagation would need ~40)
+    edges = []
+    for c in range(5):  # 5 chains of 40
+        base = c * 100
+        edges += [(base + i, base + i + 1) for i in range(39)]
+    for c in range(5):  # 5 cliques of 6
+        base = 1000 + c * 10
+        edges += [(base + i, base + j) for i in range(6) for j in range(i + 1, 6)]
+    edges += [(2000 + 2 * i, 2001 + 2 * i) for i in range(20)]
+
+    # driver-side union-find reference
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.comp
+        for r in connected_components(edf, max_iter=10).collect()
+    }
+    assert got == want
