@@ -176,12 +176,15 @@ def grouped_exact_quantiles(
             lo = int(pos)
             frac = pos - lo
             target_rows.append((g, label, lo + 1, min(lo + 2, n_g), frac))
+    # carry the group column's real type into the helper tables so the
+    # joins stay equi-joins on the native type (no implicit casts)
+    g_type = df.schema[group_col].dataType.simpleString()
     offsets = spark.createDataFrame(
-        offset_rows, f"{group_col} string, {_BUCKET} int, _rk_offset long"
+        offset_rows, f"{group_col} {g_type}, {_BUCKET} int, _rk_offset long"
     )
     targets = spark.createDataFrame(
         target_rows,
-        f"{group_col} string, _q_label string, _lo long, _hi long, _frac double",
+        f"{group_col} {g_type}, _q_label string, _lo long, _hi long, _frac double",
     )
 
     w = Window.partitionBy(group_col, _BUCKET).orderBy(value_col)
