@@ -227,3 +227,59 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(d, max_hamming=8, bands=4).orderBy(
         "doc_a", "doc_b"
     )
+
+
+@register(
+    "dedup_keep_representative",
+    tags=("llm", "dedup", "end-to-end"),
+    oracle=f"""
+WITH RECURSIVE {_sql_minhash_ctes()},
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.a, r.comp FROM sym s JOIN reach r ON r.node = s.b
+),
+assign AS (
+  SELECT node AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY node
+),
+decided AS (
+  SELECT d.doc_id, d.lang, d.source,
+         (a.doc_id IS NULL OR a.doc_id = a.cluster_id) AS keep
+  FROM documents d LEFT JOIN assign a USING (doc_id)
+)
+SELECT lang, keep, COUNT(*) AS n_docs
+FROM decided
+GROUP BY lang, keep
+ORDER BY lang, keep
+""",
+)
+def dedup_keep_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup DECISION: every document either survives
+    (not near-duplicated, or the min-id representative of its cluster)
+    or is dropped — pair generation → connected components → survivor
+    join back to the corpus, summarized per (lang, keep).  This is the
+    query a training-data pipeline actually runs; the pieces are
+    individually oracle-checked upstream (dedup_minhash_lsh,
+    dedup_clusters_cc)."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = minhash_candidate_pairs(d, n_hashes=16, bands=4)
+    comp = connected_components(edges, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+    decided = d.join(comp, "doc_id", "left").select(
+        "lang",
+        (
+            F.col("cluster_id").isNull()
+            | (F.col("doc_id") == F.col("cluster_id"))
+        ).alias("keep"),
+    )
+    return (
+        decided.groupBy("lang", "keep")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "keep")
+    )

@@ -408,3 +408,38 @@ def win_range_frame_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         dsum_w("value", w).alias("value_last_hour"),
     ).orderBy("event_type", "ts", "event_id")
+
+
+@register(
+    "win_first_last_nth",
+    tags=("window", "first-value", "nth-value"),
+    oracle="""
+SELECT user_id, event_id, ts,
+       FIRST_VALUE(value) OVER w AS first_val,
+       LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS last_val,
+       NTH_VALUE(value, 3) OVER w AS third_val
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, ts, event_id
+""",
+)
+def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-navigation window members (first_value / last_value /
+    nth_value) completing §2.6's window family.  Note the frame trap
+    both engines share: last_value under the DEFAULT frame (unbounded
+    preceding → CURRENT ROW) returns the current row, so the whole-
+    partition last needs an explicit unbounded-following frame — the
+    query encodes that correctly in both dialects."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w_full).alias("last_val"),
+        F.nth_value("value", 3).over(w).alias("third_val"),
+    ).orderBy("user_id", "ts", "event_id")
