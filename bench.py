@@ -52,6 +52,11 @@ def main() -> None:
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
+        # registry size for cross-round normalization: the total grows
+        # with coverage (67 queries in r01, 98 in r02), so compare
+        # sec/query or per-query times, not raw totals
+        "n_queries": len(timings),
+        "sec_per_query": round(sum(timings.values()) / max(len(timings), 1), 3),
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
@@ -59,7 +64,10 @@ def main() -> None:
     # emit the full compact line FIRST and a short always-parseable summary
     # line LAST (r01's single long line was truncated -> "parsed": null).
     print(json.dumps(payload, separators=(",", ":")), flush=True)
-    summary = {k: payload[k] for k in ("metric", "value", "unit", "sf")}
+    summary = {
+        k: payload[k]
+        for k in ("metric", "value", "unit", "n_queries", "sec_per_query", "sf")
+    }
     print(json.dumps(summary, separators=(",", ":")), flush=True)
     spark.stop()
 
