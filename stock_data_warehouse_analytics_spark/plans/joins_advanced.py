@@ -26,43 +26,62 @@ def asof_join(
     probe_ts: str = "ts",
     build_ts: str = "ts",
     value_col: str = "asof_value",
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for every probe row, attach the ``value_col`` of the
-    latest build row with ``build_ts <= probe_ts`` and equal ``on`` key
-    (ties at equal timestamps include the build row, matching DuckDB
-    ``ASOF JOIN ... ON probe.ts >= build.ts`` and ``pd.merge_asof``).
+    nearest build row with equal ``on`` key — the latest with
+    ``build_ts <= probe_ts`` (``direction='backward'``, the
+    ``pd.merge_asof`` default / DuckDB ``ON probe.ts >= build.ts``) or
+    the earliest with ``build_ts >= probe_ts`` (``'forward'`` /
+    ``ON probe.ts <= build.ts``).  Ties at equal timestamps include the
+    build row in both directions.
 
     Scale shape: ONE shuffle on the key column — both sides are unioned
-    with a side tag and swept by a single ``last(ignorenulls)`` window.
-    No range-bucketing, no per-key loop, no broadcast; state per row is
-    O(1), so the plan survives a 100 TB probe side unchanged.  (The
-    alternative — point-in-interval range join — shuffles twice and
-    explodes build rows per time bucket.)
+    with a side tag and swept by a single ``last``/``first``
+    (ignorenulls) window.  No range-bucketing, no per-key loop, no
+    broadcast; state per row is O(1), so the plan survives a 100 TB
+    probe side unchanged.  (The alternative — point-in-interval range
+    join — shuffles twice and explodes build rows per time bucket.)
 
     ``build`` must be unique per (key, ts); pre-aggregate upstream if
     not, or the picked row is nondeterministic.
     """
-    p = probe.withColumn("__tag", F.lit(1)).withColumn(value_col, F.lit(None))
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    # tag ordering puts the build row INSIDE the frame at equal ts:
+    # backward frame (-inf, current] wants build first (tag 0 < probe 1);
+    # forward frame [current, +inf) wants probe first (tag 0 < build 1)
+    probe_tag, build_tag = (1, 0) if direction == "backward" else (0, 1)
+    p = probe.withColumn("__tag", F.lit(probe_tag)).withColumn(
+        value_col, F.lit(None)
+    )
     b = (
         build.select(
             F.col(on),
             F.col(build_ts).alias(probe_ts),
             F.col(value_col),
         )
-        .withColumn("__tag", F.lit(0))
+        .withColumn("__tag", F.lit(build_tag))
     )
-    # build (tag 0) sorts before probe (tag 1) at equal ts → inclusive
-    w = (
-        Window.partitionBy(on)
-        .orderBy(probe_ts, "__tag")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = F.last(value_col, ignorenulls=True).over(w)
+    if direction == "backward":
+        w = (
+            Window.partitionBy(on)
+            .orderBy(probe_ts, "__tag")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = F.last(value_col, ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(probe_ts, "__tag")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        filled = F.first(value_col, ignorenulls=True).over(w)
     return (
         p.select(*probe.columns, "__tag", value_col)
         .unionByName(b, allowMissingColumns=True)
         .withColumn(value_col, filled)
-        .filter(F.col("__tag") == 1)
+        .filter(F.col("__tag") == F.lit(probe_tag))
         .drop("__tag")
     )
 
@@ -211,3 +230,103 @@ def set_multiset_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(summarize(urgent.exceptAll(high), "urgent_surplus"))
         .orderBy("op")
     )
+
+
+@register(
+    "join_asof_next_purchase",
+    tags=("join", "asof", "forward", "window"),
+    oracle=f"""
+WITH build AS (
+  SELECT user_id, ts, MAX(value) AS next_purchase
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+probe AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT probe.user_id % 16 AS user_bucket,
+       COUNT(*) AS n_clicks,
+       COUNT(next_purchase) AS n_matched,
+       ROUND({sql_davg('next_purchase')}, 6) AS avg_next_purchase
+FROM probe ASOF LEFT JOIN build
+  ON probe.user_id = build.user_id AND probe.ts <= build.ts
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def join_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click picks up the same user's NEXT
+    purchase value (the attribution / time-to-conversion direction,
+    ``pd.merge_asof(direction='forward')``).  Same single-shuffle
+    union + first(ignorenulls) sweep as the backward variant —
+    direction only flips the tag order and the window frame."""
+    e = load_table(spark, sf_dir, "events")
+    probe = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    build = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("next_purchase"))
+    )
+    joined = asof_join(
+        probe, build, on="user_id", value_col="next_purchase",
+        direction="forward",
+    )
+    return (
+        joined.groupBy((F.col("user_id") % 16).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.count("next_purchase").alias("n_matched"),
+            F.round(davg("next_purchase"), 6).alias("avg_next_purchase"),
+        )
+        .orderBy("user_bucket")
+    )
+
+
+@register(
+    "skew_salted_aggregate",
+    tags=("skew", "salting", "agg"),
+    oracle="""
+SELECT event_type,
+       SUM(CAST(FLOOR(value * 100.0) AS BIGINT))::BIGINT AS sum_cents,
+       COUNT(*)::BIGINT AS n,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def skew_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation (``operators/skew.py``) under the
+    driver's oracle: event_type has only 5 values, so every group is a
+    hot key — the exact shape where one reducer would absorb the whole
+    table and AQE's partition splitting cannot help (it splits
+    partitions, not groups).  Values are quantized to integer cents
+    (``floor(v·100)``) so the two-phase re-aggregation is EXACT and
+    order-independent — the oracle is a plain one-phase GROUP BY, which
+    is the whole point: salting must change the plan, never the
+    answer."""
+    from ..operators.skew import salted_aggregate
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100.0).cast("long").alias("cents"),
+        "value",
+    )
+    out = salted_aggregate(
+        e,
+        ["event_type"],
+        {
+            "sum_cents": ("cents", "sum"),
+            "n": ("cents", "count"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("sum_cents").cast("long"),
+        F.col("n").cast("long"),
+        "min_value",
+        "max_value",
+    ).orderBy("event_type")
