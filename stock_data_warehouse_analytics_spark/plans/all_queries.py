@@ -19,3 +19,5 @@ from . import llm_text2  # noqa: F401
 from . import tpch_more  # noqa: F401
 from . import sketches  # noqa: F401
 from . import tpch_more2  # noqa: F401
+from . import tpch_more3  # noqa: F401
+from . import graph_iter  # noqa: F401

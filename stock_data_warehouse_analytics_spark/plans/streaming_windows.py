@@ -128,3 +128,46 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return click_purchase_interval_join(
         load_table(spark, sf_dir, "events"), within_minutes=30
     ).orderBy("click_id", "purchase_id")
+
+
+@register(
+    "stream_left_outer_join",
+    tags=("streaming", "join", "outer", "watermark"),
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts,
+         value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT MAX(ts) - INTERVAL 2 HOUR - INTERVAL 30 MINUTE AS evict_before
+  FROM events
+)
+SELECT c.user_id, c.click_id, c.click_ts,
+       p.purchase_id, p.purchase_ts, p.purchase_value
+FROM c
+LEFT JOIN p ON c.user_id = p.p_user
+           AND p.purchase_ts >= c.click_ts
+           AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+CROSS JOIN m
+WHERE p.purchase_id IS NOT NULL OR c.click_ts < m.evict_before
+ORDER BY click_id, purchase_id
+""",
+)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join, FINAL-output semantics:
+    matches emit immediately; a null-padded row for an unmatched click
+    emits only once the watermark (max event time − 2 h) passes the
+    click's join window (click_ts + 30 min) and its state is evicted —
+    unmatched clicks younger than that stay in state and never emit in
+    a bounded run.  The batch plan mirrors exactly that (left join +
+    eviction cutoff filter); the real readStream run is asserted equal
+    in tests/test_streaming_multimodal.py::test_stream_stream_left_outer.
+    """
+    from ..streaming.event_windows import left_outer_final_output
+
+    return left_outer_final_output(
+        load_table(spark, sf_dir, "events"), within_minutes=30, watermark_hours=2
+    ).orderBy("click_id", "purchase_id")

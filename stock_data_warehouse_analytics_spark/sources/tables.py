@@ -64,19 +64,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which the vectorized
-        # parquet reader rejects; read the raw int64 nanos and truncate
-        # to microsecond timestamp_ntz — exactly what DuckDB's reader
-        # does implicitly, so oracle comparisons line up.  Integer DIV
-        # keeps full precision (double division would lose low bits of
-        # the ~1.7e18 nanos epoch).
+        # events.parquet has shipped with either TIMESTAMP(NANOS) —
+        # which the vectorized parquet reader rejects — or plain
+        # micros, depending on the generator version.  Adapt to the
+        # footer: with nanosAsLong the nanos variant scans as int64,
+        # which we truncate to microsecond timestamp_ntz (what DuckDB's
+        # reader does implicitly, so oracle comparisons line up);
+        # integer DIV keeps full precision (double division would lose
+        # low bits of the ~1.7e18 nanos epoch).  The micros variant
+        # just normalizes to timestamp_ntz.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return (
-            spark.read.parquet(path)
-            .withColumn(
-                "ts", F.expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz")
-            )
-            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        df = spark.read.parquet(path)
+        if df.schema["ts"].dataType.simpleString() == "bigint":
+            ts = F.expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz")
+        else:
+            ts = F.col("ts").cast("timestamp_ntz")
+        return df.withColumn("ts", ts).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
         )
     return spark.read.parquet(path)
 

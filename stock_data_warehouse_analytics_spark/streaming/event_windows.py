@@ -152,7 +152,7 @@ def streaming_session(
 
 
 def click_purchase_interval_join(
-    events: DataFrame, *, within_minutes: int = 30
+    events: DataFrame, *, within_minutes: int = 30, how: str = "inner"
 ) -> DataFrame:
     """Interval (time-bound) join: each click matched to the same
     user's purchases in ``[click_ts, click_ts + within_minutes]``.
@@ -179,7 +179,7 @@ def click_purchase_interval_join(
             <= clicks.click_ts + F.expr(f"INTERVAL {within_minutes} MINUTES")
         )
     )
-    return clicks.join(purchases, cond, "inner").select(
+    return clicks.join(purchases, cond, how).select(
         clicks.user_id,
         "click_id",
         "click_ts",
@@ -189,6 +189,40 @@ def click_purchase_interval_join(
     )
 
 
+def left_outer_final_output(
+    events: DataFrame,
+    *,
+    within_minutes: int = 30,
+    watermark_hours: int = 2,
+) -> DataFrame:
+    """Batch mirror of the stream-stream LEFT OUTER interval join's
+    FINAL output.
+
+    A streaming left-outer join emits matches immediately but can only
+    emit a null-padded row once the watermark proves no future purchase
+    can match — i.e. when ``click_ts + within < final_watermark`` where
+    ``final_watermark = max(event ts) - watermark``.  Unmatched clicks
+    younger than that cutoff are still held in state when a bounded run
+    terminates, so they never appear.  This batch plan reproduces
+    exactly that: plain left join, then keep matched rows plus only the
+    evicted unmatched ones (asserted equal to the real readStream run
+    in tests/test_streaming_multimodal.py)."""
+    joined = click_purchase_interval_join(
+        events, within_minutes=within_minutes, how="left"
+    )
+    cutoff = events.agg(
+        (
+            F.max("ts")
+            - F.expr(f"INTERVAL {watermark_hours} HOURS")
+            - F.expr(f"INTERVAL {within_minutes} MINUTES")
+        ).alias("evict_before")
+    )
+    return joined.crossJoin(F.broadcast(cutoff)).where(
+        F.col("purchase_id").isNotNull()
+        | (F.col("click_ts") < F.col("evict_before"))
+    ).drop("evict_before")
+
+
 def run_stream_stream_join(
     spark: SparkSession,
     events: DataFrame,
@@ -196,6 +230,7 @@ def run_stream_stream_join(
     *,
     within_minutes: int = 30,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> tuple[DataFrame, DataFrame]:
     """Stream-stream join equivalence harness: dump ``events`` to a file
     source, run the clicks⋈purchases interval join with both sides
@@ -204,12 +239,17 @@ def run_stream_stream_join(
     property that makes it runnable on unbounded streams), and return
     (stream_result, batch_result).
 
+    ``how="left"`` runs the LEFT OUTER variant: null-padded rows for
+    unmatched clicks are emitted only on state eviction, so the batch
+    mirror is :func:`left_outer_final_output` (watermark-aware), not
+    the plain left join.
+
     Streaming self-joins of one source are supported by Spark; the two
     sides here are two filtered reads of the same file stream."""
     import os
 
-    src = os.path.join(tmp_dir, "ssj_src")
-    ckpt = os.path.join(tmp_dir, "ssj_ckpt")
+    src = os.path.join(tmp_dir, f"ssj_src_{how}")
+    ckpt = os.path.join(tmp_dir, f"ssj_ckpt_{how}")
     events.select(
         "event_id",
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
@@ -226,20 +266,29 @@ def run_stream_stream_join(
     stream = (
         spark.readStream.schema(schema).json(src).withWatermark("ts", watermark)
     )
-    joined = click_purchase_interval_join(stream, within_minutes=within_minutes)
+    joined = click_purchase_interval_join(
+        stream, within_minutes=within_minutes, how=how
+    )
+    out_table = f"ssj_out_{how}"
     q = (
         joined.writeStream.format("memory")
-        .queryName("ssj_out")
+        .queryName(out_table)
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    stream_result = spark.table("ssj_out")
-    batch_result = click_purchase_interval_join(
-        events, within_minutes=within_minutes
-    )
+    stream_result = spark.table(out_table)
+    if how == "left":
+        wm_hours = int(watermark.split()[0]) if "hour" in watermark else 2
+        batch_result = left_outer_final_output(
+            events, within_minutes=within_minutes, watermark_hours=wm_hours
+        )
+    else:
+        batch_result = click_purchase_interval_join(
+            events, within_minutes=within_minutes
+        )
     return stream_result, batch_result
 
 

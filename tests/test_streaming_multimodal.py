@@ -329,3 +329,20 @@ def test_neardup_blocked_equals_allpairs(spark):
     new = [tuple(r) for r in neardup_exact_blocked(e, threshold=0.35, n_blocks=8).collect()]
     assert len(old) > 0
     assert old == new
+
+
+def test_stream_stream_left_outer_equals_batch(spark, tmp_path):
+    """LEFT OUTER stream-stream join: matches plus null-padded rows for
+    clicks whose join window the final watermark passed — and ONLY
+    those (unmatched clicks still in state must not appear)."""
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+    from stock_data_warehouse_analytics_spark.streaming.event_windows import (
+        run_stream_stream_join,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    s, b = run_stream_stream_join(spark, events, str(tmp_path), how="left")
+    ss = {(r.click_id, r.purchase_id, r.user_id) for r in s.collect()}
+    bb = {(r.click_id, r.purchase_id, r.user_id) for r in b.collect()}
+    assert any(pid is None for _, pid, _ in bb), "expected evicted unmatched rows"
+    assert ss == bb
