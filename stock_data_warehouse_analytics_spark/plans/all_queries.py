@@ -21,3 +21,5 @@ from . import sketches  # noqa: F401
 from . import tpch_more2  # noqa: F401
 from . import tpch_more3  # noqa: F401
 from . import graph_iter  # noqa: F401
+from . import llm_text3  # noqa: F401
+from . import emb_iter  # noqa: F401

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from .conftest import SF_SMALL
+from .conftest import SF_SMALL, SF_MEDIUM
 
 
 def test_stream_batch_equivalence(spark, tmp_path):
@@ -346,3 +346,13 @@ def test_stream_stream_left_outer_equals_batch(spark, tmp_path):
     bb = {(r.click_id, r.purchase_id, r.user_id) for r in b.collect()}
     assert any(pid is None for _, pid, _ in bb), "expected evicted unmatched rows"
     assert ss == bb
+
+
+def test_corpus_is_ascii_for_byte_char_slicing(spark):
+    """multimodal_frame_sample's oracle slices chars where Spark slices
+    bytes — sound only while the corpus is pure ASCII.  Pin it."""
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_MEDIUM, "documents")
+    n_wide = d.where(F.octet_length("text") != F.length("text")).count()
+    assert n_wide == 0
