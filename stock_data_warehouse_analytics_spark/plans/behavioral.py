@@ -322,3 +322,106 @@ def stream_watermark_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "join_interval_overlap_bucketed",
+    tags=("join", "interval", "behavioral", "bucketed"),
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER ({_SESSION_ORDER}) IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER ({_SESSION_ORDER})) > {_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT *, SUM(is_new) OVER ({_SESSION_ORDER}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_seq
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_seq, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+  FROM sess GROUP BY user_id, session_seq
+),
+hours AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+busy AS (
+  SELECT h FROM hours
+  WHERE n > (SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) FROM hours)
+)
+SELECT s.user_id, s.session_seq, b.h AS busy_hour,
+       (epoch_us(LEAST(s.end_ts, b.h + INTERVAL 1 HOUR))
+        - epoch_us(GREATEST(s.start_ts, b.h))) / 1000000.0 AS overlap_secs
+FROM sessions s
+JOIN busy b ON s.start_ts < b.h + INTERVAL 1 HOUR AND s.end_ts >= b.h
+ORDER BY user_id, session_seq, busy_hour
+""",
+)
+def join_interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join, bucketed: user sessions (gaps-and-islands
+    intervals) × busier-than-average hours, reporting per-pair overlap
+    seconds.
+
+    The naive plan for interval × interval overlap is a
+    BroadcastNestedLoopJoin — O(|A|·|B|) compute even when the result
+    is sparse.  The scale shape used here maps both sides onto a
+    shared time-bucket key (sessions explode into the hours they
+    cover; busy "hours" are their own bucket) and hash-joins on the
+    bucket, evaluating the exact overlap only on bucket-collided
+    pairs: O(|A|·avg_span + |B|) with no nested loop
+    (test_plan_shapes.py forbids cartesians in all registered plans).
+    The busy-hour side is derived with an exact int-sum / count
+    threshold (no float aggregation)."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(ts_us).over(w)
+    is_new = F.when(prev_us.isNull() | ((ts_us - prev_us) > _GAP_US), 1).otherwise(0)
+    sessions = (
+        e.withColumn(
+            "session_seq",
+            F.sum(is_new)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    )
+    hours = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    thresh = hours.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("avg_n")
+    )
+    busy = (
+        hours.crossJoin(F.broadcast(thresh))
+        .filter(F.col("n") > F.col("avg_n"))
+        .select(F.col("h").alias("busy_hour"))
+    )
+    covered = sessions.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "start_ts"),
+                F.date_trunc("hour", "end_ts"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    overlap_secs = (
+        F.unix_micros(F.least(F.col("end_ts"), F.col("busy_hour") + F.expr("INTERVAL 1 HOUR")))
+        - F.unix_micros(F.greatest(F.col("start_ts"), F.col("busy_hour")))
+    ) / 1_000_000.0
+    return (
+        covered.join(busy, F.col("bucket") == F.col("busy_hour"))
+        .select(
+            "user_id",
+            "session_seq",
+            "busy_hour",
+            overlap_secs.alias("overlap_secs"),
+        )
+        .orderBy("user_id", "session_seq", "busy_hour")
+    )

@@ -406,3 +406,70 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
+
+
+@register(
+    "q20_dominant_suppliers",
+    tags=("join", "semi", "nested-agg", "tpch"),
+    oracle=f"""
+WITH blue AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'
+), shipped AS (
+  SELECT l_partkey, l_suppkey, {sql_dsum('l_quantity')} AS qty_s
+  FROM lineitem JOIN blue ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate <  TIMESTAMP '1999-01-01'
+  GROUP BY l_partkey, l_suppkey
+), totals AS (
+  SELECT l_partkey AS tp, {sql_dsum('l_quantity')} AS qty_total
+  FROM lineitem JOIN blue ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate <  TIMESTAMP '1999-01-01'
+  GROUP BY l_partkey
+)
+SELECT DISTINCT s_suppkey, s_name
+FROM shipped
+JOIN totals   ON l_partkey = tp AND qty_s > 0.3 * qty_total
+JOIN supplier ON s_suppkey = l_suppkey
+ORDER BY s_suppkey
+""",
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who dominate (>30% of) a filtered
+    part's yearly shipped volume — nested aggregation at two grain
+    levels (part×supplier, then part) compared row-wise, then a
+    DISTINCT semi-ish reduction onto supplier.  Both aggregates come
+    off the SAME filtered scan and share the l_partkey shuffle key, so
+    the per-part total reuses the partitioning of the finer grain
+    (no partsupp in testdata; availqty is modeled by shipped volume,
+    keeping Q20's plan shape)."""
+    blue = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%blue%"))
+        .select("p_partkey")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    shipped = l.groupBy("l_partkey", "l_suppkey").agg(dsum("l_quantity").alias("qty_s"))
+    totals = l.groupBy(F.col("l_partkey").alias("tp")).agg(
+        dsum("l_quantity").alias("qty_total")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        shipped.join(
+            totals,
+            (F.col("l_partkey") == F.col("tp"))
+            & (F.col("qty_s") > 0.3 * F.col("qty_total")),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )

@@ -119,6 +119,13 @@ _BOUNDED_SINGLE_PARTITION = {
     "q19_disjunctive_revenue",
     "q22_dormant_customers",
     "agg_hll_sketch_union",
+    # one-row scalar subqueries (global threshold / max / watermark
+    # cutoff), each fed by partial aggregation — O(#tasks) rows reach
+    # the single partition, never raw facts
+    "q11_important_parts",
+    "q15_top_supplier",
+    "stream_left_outer_join",
+    "join_interval_overlap_bucketed",
 }
 
 
