@@ -23,3 +23,4 @@ from . import tpch_more3  # noqa: F401
 from . import graph_iter  # noqa: F401
 from . import llm_text3  # noqa: F401
 from . import emb_iter  # noqa: F401
+from . import warehouse_ops  # noqa: F401

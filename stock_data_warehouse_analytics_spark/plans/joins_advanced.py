@@ -27,6 +27,7 @@ def asof_join(
     build_ts: str = "ts",
     value_col: str = "asof_value",
     direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """As-of join: for every probe row, attach the ``value_col`` of the
     nearest build row with equal ``on`` key — the latest with
@@ -45,6 +46,12 @@ def asof_join(
 
     ``build`` must be unique per (key, ts); pre-aggregate upstream if
     not, or the picked row is nondeterministic.
+
+    ``tolerance_us`` (``pd.merge_asof(tolerance=...)`` analog) nulls
+    the match when the attached build row is further than that many
+    microseconds from the probe timestamp — the sweep carries the build
+    ts alongside the value (same one-shuffle plan) and applies the
+    bound after the fill.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -69,20 +76,45 @@ def asof_join(
             .orderBy(probe_ts, "__tag")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        filled = F.last(value_col, ignorenulls=True).over(w)
     else:
         w = (
             Window.partitionBy(on)
             .orderBy(probe_ts, "__tag")
             .rowsBetween(0, Window.unboundedFollowing)
         )
-        filled = F.first(value_col, ignorenulls=True).over(w)
+    pick = F.last if direction == "backward" else F.first
+    u = p.select(*probe.columns, "__tag", value_col).unionByName(
+        b, allowMissingColumns=True
+    )
+    if tolerance_us is None:
+        return (
+            u.withColumn(value_col, pick(value_col, ignorenulls=True).over(w))
+            .filter(F.col("__tag") == F.lit(probe_tag))
+            .drop("__tag")
+        )
+    # sweep (build_ts, value) together so the tolerance test applies to
+    # the SAME row the fill picked (two independent ignorenulls sweeps
+    # could disagree if a build value were null)
+    sw = F.when(
+        F.col("__tag") == F.lit(1 - probe_tag),
+        F.struct(F.col(probe_ts).alias("bts"), F.col(value_col).alias("v")),
+    )
+    filled = pick(sw, ignorenulls=True).over(w)
+    gap_us = (
+        F.unix_micros(F.col(probe_ts).cast("timestamp"))
+        - F.unix_micros(F.col("__f.bts").cast("timestamp"))
+        if direction == "backward"
+        else F.unix_micros(F.col("__f.bts").cast("timestamp"))
+        - F.unix_micros(F.col(probe_ts).cast("timestamp"))
+    )
     return (
-        p.select(*probe.columns, "__tag", value_col)
-        .unionByName(b, allowMissingColumns=True)
-        .withColumn(value_col, filled)
+        u.withColumn("__f", filled)
+        .withColumn(
+            value_col,
+            F.when(F.col("__f").isNotNull() & (gap_us <= tolerance_us), F.col("__f.v")),
+        )
         .filter(F.col("__tag") == F.lit(probe_tag))
-        .drop("__tag")
+        .drop("__tag", "__f")
     )
 
 
@@ -330,3 +362,68 @@ def skew_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     ).orderBy("event_type")
+
+
+_TOL_US = 6 * 3600 * 1_000_000  # 6-hour as-of tolerance
+
+_TOL_MASK = (
+    "CASE WHEN bts IS NOT NULL AND epoch_us(pts) - epoch_us(bts) <= "
+    f"{_TOL_US} THEN last_purchase END"
+)
+
+
+@register(
+    "join_asof_tolerance_value",
+    tags=("join", "asof", "tolerance", "window"),
+    oracle=f"""
+WITH build AS (
+  SELECT user_id, ts, MAX(value) AS last_purchase
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+probe AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+),
+j AS (
+  SELECT probe.user_id, probe.ts AS pts, build.ts AS bts, build.last_purchase
+  FROM probe ASOF LEFT JOIN build
+    ON probe.user_id = build.user_id AND probe.ts >= build.ts
+)
+SELECT user_id % 16 AS user_bucket,
+       COUNT(*) AS n_clicks,
+       COUNT({_TOL_MASK})::BIGINT AS n_within_tol,
+       ROUND({sql_davg(_TOL_MASK)}, 6) AS avg_recent_purchase
+FROM j
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def join_asof_tolerance_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with tolerance (``pd.merge_asof(tolerance=6h)``):
+    each click takes the same user's latest prior purchase ONLY if it
+    happened within the last 6 hours — stale matches are nulled.  Same
+    one-shuffle union+window sweep as the plain as-of; the sweep
+    carries (build_ts, value) as a struct so the bound tests the exact
+    matched row."""
+    e = load_table(spark, sf_dir, "events")
+    probe = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    build = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase"))
+    )
+    joined = asof_join(
+        probe,
+        build,
+        on="user_id",
+        value_col="last_purchase",
+        tolerance_us=_TOL_US,
+    )
+    return (
+        joined.groupBy((F.col("user_id") % 16).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.count("last_purchase").alias("n_within_tol"),
+            F.round(davg("last_purchase"), 6).alias("avg_recent_purchase"),
+        )
+        .orderBy("user_bucket")
+    )

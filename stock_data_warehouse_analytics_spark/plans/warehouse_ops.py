@@ -1,0 +1,194 @@
+"""Warehouse-operations batch: SCD-2 history construction, referential
+integrity auditing, and one-pass column profiling — the maintenance
+queries every warehouse runs beside its analytics.
+
+Same contract as every plans/ module: each Spark plan carries a DuckDB
+oracle over the identical parquet tables, alias-matched column for
+column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .exact import dsum, sql_dsum
+from .registry import register
+
+
+@register(
+    "scd2_user_state_history",
+    tags=("warehouse", "scd2", "window"),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         LAG(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, ts, event_type
+  FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+),
+versioned AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts)::BIGINT AS version
+  FROM changes
+)
+SELECT user_id, version, state, valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM versioned
+ORDER BY user_id, version
+""",
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 built from an event log: keep
+    only rows where the user's state (event_type) CHANGES (lag
+    compare), then close each version with the next change's timestamp
+    (lead) — [valid_from, valid_to) intervals, open-ended for the
+    current state.  Both windows and the dedup share the user_id
+    partitioning: one shuffle builds the whole history.  This is the
+    standard "event stream → dimension table" materialization pattern
+    (no reference analog — warehouse-ops extension surface)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", "ts", "event_type")
+    )
+    wv = Window.partitionBy("user_id").orderBy("ts")
+    return (
+        changes.select(
+            "user_id",
+            F.row_number().over(wv).cast("long").alias("version"),
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(wv).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "version")
+    )
+
+
+@register(
+    "dq_referential_integrity",
+    tags=("warehouse", "dq", "anti"),
+    oracle="""
+SELECT 'lineitem_without_order' AS check_name,
+       (SELECT COUNT(*) FROM lineitem
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+       )::BIGINT AS n_orphans
+UNION ALL
+SELECT 'order_without_customer',
+       (SELECT COUNT(*) FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))::BIGINT
+UNION ALL
+SELECT 'supplier_without_nation',
+       (SELECT COUNT(*) FROM supplier
+        WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey))::BIGINT
+ORDER BY check_name
+""",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema: each check is a
+    LEFT ANTI join (fact side keeps its partitioning; dim keys
+    broadcast where bounded) counted to one row, unioned into a small
+    report.  The canonical data-quality gate before publishing a
+    warehouse snapshot."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+
+    def orphans(fact: DataFrame, dim: DataFrame, cond, name: str) -> DataFrame:
+        return (
+            fact.join(dim, cond, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("check_name"), "n_orphans")
+        )
+
+    checks = [
+        orphans(l, o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"),
+                "lineitem_without_order"),
+        orphans(o, c, F.col("o_custkey") == F.col("c_custkey"),
+                "order_without_customer"),
+        orphans(s, F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"),
+                "supplier_without_nation"),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out.orderBy("check_name")
+
+
+@register(
+    "dq_numeric_profile",
+    tags=("warehouse", "dq", "profile"),
+    oracle=f"""
+SELECT 'l_quantity' AS col_name,
+       COUNT(l_quantity)::BIGINT AS n_non_null,
+       (COUNT(*) - COUNT(l_quantity))::BIGINT AS n_null,
+       COUNT(DISTINCT l_quantity)::BIGINT AS n_distinct,
+       MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v,
+       {sql_dsum('l_quantity')} AS sum_v
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice',
+       COUNT(l_extendedprice)::BIGINT,
+       (COUNT(*) - COUNT(l_extendedprice))::BIGINT,
+       COUNT(DISTINCT l_extendedprice)::BIGINT,
+       MIN(l_extendedprice), MAX(l_extendedprice),
+       {sql_dsum('l_extendedprice')}
+FROM lineitem
+UNION ALL
+SELECT 'l_discount',
+       COUNT(l_discount)::BIGINT,
+       (COUNT(*) - COUNT(l_discount))::BIGINT,
+       COUNT(DISTINCT l_discount)::BIGINT,
+       MIN(l_discount), MAX(l_discount),
+       {sql_dsum('l_discount')}
+FROM lineitem
+ORDER BY col_name
+""",
+)
+def dq_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (ANALYZE-style): null/non-null/distinct
+    counts + min/max/exact-sum for each profiled column, long-form one
+    row per column.  Spark computes ALL columns' moments in a single
+    scan + single aggregation (count_distinct fans the shuffle but
+    stays partial-aggregated), then unpivots to rows via stack —
+    whereas the oracle scans per column (DuckDB side is free to be
+    naive; the Spark plan is what's graded)."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nul"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            dsum(c).alias(f"{c}__sum"),
+        ]
+    wide = l.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nul, {c}__nd, {c}__min, {c}__max, {c}__sum"
+        for c in cols
+    )
+    return (
+        wide.select(
+            F.expr(
+                f"stack({len(cols)}, {stack_args}) AS "
+                "(col_name, n_non_null, n_null, n_distinct, min_v, max_v, sum_v)"
+            )
+        )
+        .orderBy("col_name")
+    )
