@@ -1,0 +1,125 @@
+"""Equivalence checks for the iterative operators beyond the DuckDB
+oracle: PageRank vs an independent driver-side power iteration, the
+fixed-point PC1 vs numpy's exact eigendecomposition, and as-of
+tolerance limit behavior."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from stock_data_warehouse_analytics_spark.plans.registry import QUERIES, get_queries
+from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+from .conftest import SF_SMALL
+
+get_queries()
+
+
+def test_pagerank_matches_driver_side_power_iteration(spark):
+    """Recompute the same integer power iteration in plain Python from
+    the collected edge list — the distributed loop must agree exactly."""
+    edges = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .join(
+            load_table(spark, SF_SMALL, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            load_table(spark, SF_SMALL, "supplier"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            load_table(spark, SF_SMALL, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    out_w: dict[int, int] = {}
+    nodes = set()
+    for r in edges:
+        out_w[r.src] = out_w.get(r.src, 0) + r.w
+        nodes.update((r.src, r.dst))
+    n = len(nodes)
+    rank = {v: 1_000_000 // n for v in nodes}
+    base = (1_000_000 * 15 // 100) // n
+    for _ in range(8):
+        contrib: dict[int, int] = {}
+        for r in edges:
+            part = (rank[r.src] * r.w * 85) // (100 * out_w[r.src])
+            contrib[r.dst] = contrib.get(r.dst, 0) + part
+        rank = {v: base + contrib.get(v, 0) for v in nodes}
+
+    name_rows = load_table(spark, SF_SMALL, "nation").collect()
+    names = {r.n_nationkey: r.n_name for r in name_rows}
+    expected = {names[v]: rk for v, rk in rank.items()}
+
+    got = {
+        r.nation: r.rank_micro
+        for r in QUERIES["graph_pagerank_nations"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == expected
+
+
+def test_pc1_matches_numpy_power_iterate(spark):
+    """Contract: the distributed fixed-point loop equals the
+    mathematical power iterate at the same k (all-ones start, max-norm
+    rescale) — fixed-point floor noise stays tiny.  Proximity to the
+    true eigenvector is spectrum-dependent (λ1/λ2 ≈ 1.07 here), so the
+    eigh comparison is a looser envelope check."""
+    from stock_data_warehouse_analytics_spark.plans.emb_iter import PI_ITERS
+
+    rows = load_table(spark, SF_SMALL, "embeddings").collect()
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    xc = x - x.mean(axis=0)
+    cov = xc.T @ xc
+    u = np.ones(cov.shape[0])
+    for _ in range(PI_ITERS):
+        u = cov @ u
+        u = u / np.abs(u).max()
+
+    got_rows = QUERIES["emb_power_iteration_pc1"].fn(spark, SF_SMALL).collect()
+    got = np.array([r.pc1_micro for r in sorted(got_rows, key=lambda r: r.dim)])
+    cos_iter = abs(got @ u) / (np.linalg.norm(got) * np.linalg.norm(u))
+    assert cos_iter > 0.999, cos_iter
+
+    vals, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    cos_top = abs(got @ top) / (np.linalg.norm(got) * np.linalg.norm(top))
+    # 40 rounds at λ2/λ1≈0.93 → residual ~(0.93)^40; loose envelope
+    assert cos_top > 0.95, cos_top
+
+
+def test_asof_tolerance_limits(spark):
+    """tolerance=∞ must equal the plain as-of; tolerance=0 must keep
+    only equal-timestamp matches."""
+    from stock_data_warehouse_analytics_spark.plans.joins_advanced import asof_join
+
+    e = load_table(spark, SF_SMALL, "events")
+    probe = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    build = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+    )
+    plain = asof_join(probe, build, on="user_id", value_col="v")
+    huge = asof_join(
+        probe, build, on="user_id", value_col="v", tolerance_us=1 << 62
+    )
+    assert (
+        plain.orderBy("user_id", "ts").collect()
+        == huge.orderBy("user_id", "ts").collect()
+    )
+
+    zero = asof_join(probe, build, on="user_id", value_col="v", tolerance_us=0)
+    matched = zero.filter(F.col("v").isNotNull())
+    eq_ts = probe.join(
+        build.select(F.col("user_id").alias("bu"), F.col("ts").alias("bts")),
+        (F.col("user_id") == F.col("bu")) & (F.col("ts") == F.col("bts")),
+        "left_semi",
+    )
+    assert matched.count() == eq_ts.count()
