@@ -19,13 +19,19 @@ import zipfile
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 __all__ = [
     "SyntheticNumbersDataSource",
     "ensure_package_shipped",
     "MIX_MULT",
     "MIX_MOD",
+    "STREAM_BATCH_ROWS",
 ]
 
 # Python-worker processes unpickle the DataSource BY MODULE REFERENCE,
@@ -99,10 +105,54 @@ class _Reader(DataSourceReader):
         )
 
 
-class SyntheticNumbersDataSource(DataSource):
-    """``spark.read.format("synthetic_numbers").option("rows", N)``.
+STREAM_BATCH_ROWS = 256
 
-    Options: ``rows`` (default 1000), ``partitions`` (default 8)."""
+
+class _StreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same synthetic feed: offsets are plain row
+    counters, each micro-batch serves the next ``STREAM_BATCH_ROWS``
+    rows of the SAME deterministic sequence as the batch reader.
+
+    The simple-reader contract demonstrated here is what any
+    offset-based connector (queue, changelog, ticker feed) implements:
+    ``initialOffset`` → where to start, ``read(start)`` → (rows, next
+    offset) for a new batch, ``readBetweenOffsets`` → deterministic
+    REPLAY of a committed range after restart — replayability, not the
+    happy path, is what makes the source exactly-once."""
+
+    def __init__(self, batch_rows: int = STREAM_BATCH_ROWS) -> None:
+        self.batch_rows = batch_rows
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def _rows(self, start: int, end: int) -> Iterator[tuple]:
+        # list-backed iterator, NOT a generator: Spark's prefetch cache
+        # copy.copy()s the iterator between micro-batches and generators
+        # are neither copyable nor picklable
+        return iter(
+            [
+                (i, int(i % 10), ((i * MIX_MULT) % MIX_MOD) / MIX_MOD)
+                for i in range(start, end)
+            ]
+        )
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        s = int(start["offset"])
+        e = s + self.batch_rows
+        return self._rows(s, e), {"offset": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return self._rows(int(start["offset"]), int(end["offset"]))
+
+
+class SyntheticNumbersDataSource(DataSource):
+    """``spark.read.format("synthetic_numbers").option("rows", N)`` —
+    and ``spark.readStream.format("synthetic_numbers")`` for the
+    offset-tracked streaming face of the same rows.
+
+    Options (batch): ``rows`` (default 1000), ``partitions`` (default 8).
+    Options (stream): ``batch_rows`` (default 256) per micro-batch."""
 
     @classmethod
     def name(cls) -> str:
@@ -116,3 +166,6 @@ class SyntheticNumbersDataSource(DataSource):
             int(self.options.get("rows", 1000)),
             int(self.options.get("partitions", 8)),
         )
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:  # noqa: ANN001
+        return _StreamReader(int(self.options.get("batch_rows", STREAM_BATCH_ROWS)))

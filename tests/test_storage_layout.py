@@ -170,3 +170,48 @@ def test_python_datasource_partition_planning(spark):
     rows = df.collect()
     assert sorted(r.i for r in rows) == list(range(1000))
     assert all(r.bucket == r.i % 10 for r in rows)
+
+
+def test_python_datasource_stream_reader(spark, tmp_path):
+    """The streaming face of the custom Python DataSource: offsets
+    advance by batch_rows per micro-batch, rows replay the SAME
+    deterministic sequence as the batch reader, exactly once."""
+    import time
+
+    from stock_data_warehouse_analytics_spark.sources.pydatasource import (
+        MIX_MOD,
+        MIX_MULT,
+        SyntheticNumbersDataSource,
+        ensure_package_shipped,
+    )
+
+    ensure_package_shipped(spark)
+    try:
+        spark.dataSource.register(SyntheticNumbersDataSource)
+    except Exception:
+        pass
+    q = (
+        spark.readStream.format("synthetic_numbers")
+        .option("batch_rows", 64)
+        .load()
+        .writeStream.format("memory")
+        .queryName("pyds_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("pyds_stream").count() >= 128:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = sorted(spark.table("pyds_stream").collect(), key=lambda r: r.i)
+    assert len(rows) >= 128
+    # contiguous prefix, no gaps/dups (exactly-once), exact values
+    assert [r.i for r in rows] == list(range(len(rows)))
+    for r in rows[:128]:
+        assert r.bucket == r.i % 10
+        assert r.x == ((r.i * MIX_MULT) % MIX_MOD) / MIX_MOD
