@@ -126,6 +126,11 @@ _BOUNDED_SINGLE_PARTITION = {
     "q15_top_supplier",
     "stream_left_outer_join",
     "join_interval_overlap_bucketed",
+    # whole-table aggregates to a one-row (dq_numeric_profile) or
+    # three-one-row-union (dq_referential_integrity) report — partial
+    # aggregation upstream, O(#tasks) rows cross the final exchange
+    "dq_numeric_profile",
+    "dq_referential_integrity",
 }
 
 
