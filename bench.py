@@ -38,6 +38,14 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs]
     # extend with any remaining registered queries (stable order)
     names += [n for n in sorted(qs) if n not in names]
+    # --limit N / SPARK_GRAFT_BENCH_LIMIT: time only the first N names
+    # (headline first) — the output-contract test uses this; the driver
+    # always runs the full registry
+    limit = os.environ.get("SPARK_GRAFT_BENCH_LIMIT", "")
+    if "--limit" in sys.argv:
+        limit = sys.argv[sys.argv.index("--limit") + 1]
+    if limit:
+        names = names[: int(limit)]
 
     qs["q1_pricing_summary"](spark, sf_dir).collect()  # warmup
 

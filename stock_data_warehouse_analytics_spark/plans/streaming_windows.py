@@ -9,6 +9,7 @@ tests/test_streaming.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from ..streaming.event_windows import session_agg, sliding_agg, tumbling_agg
@@ -171,3 +172,51 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left_outer_final_output(
         load_table(spark, sf_dir, "events"), within_minutes=30, watermark_hours=2
     ).orderBy("click_id", "purchase_id")
+
+
+@register(
+    "stream_full_outer_join",
+    tags=("streaming", "join", "outer", "watermark"),
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts,
+         value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT MAX(ts) - INTERVAL 2 HOUR - INTERVAL 30 MINUTE AS click_evict,
+         MAX(ts) - INTERVAL 2 HOUR AS purchase_evict
+  FROM events
+)
+SELECT COALESCE(c.user_id, p.p_user) AS user_id,
+       c.click_id, c.click_ts,
+       p.purchase_id, p.purchase_ts, p.purchase_value
+FROM c
+FULL JOIN p ON c.user_id = p.p_user
+           AND p.purchase_ts >= c.click_ts
+           AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+CROSS JOIN m
+WHERE (c.click_id IS NOT NULL AND p.purchase_id IS NOT NULL)
+   OR (p.purchase_id IS NULL AND c.click_ts < m.click_evict)
+   OR (c.click_id IS NULL AND p.purchase_ts < m.purchase_evict)
+ORDER BY click_id NULLS LAST, purchase_id NULLS LAST
+""",
+)
+def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join, final-output semantics.
+    The asymmetric eviction is the instructive part: a click's state
+    closes when the watermark passes ``click_ts + 30min`` (end of its
+    match window), but a purchase's closes at ``purchase_ts`` itself —
+    its candidate clicks all have ``click_ts ≤ purchase_ts``, so the
+    watermark passing its own timestamp already proves no match can
+    arrive.  Mirrored in batch (full join + per-side eviction cutoffs)
+    and asserted equal to the real readStream run in tests."""
+    from ..streaming.event_windows import full_outer_final_output
+
+    return full_outer_final_output(
+        load_table(spark, sf_dir, "events"), within_minutes=30, watermark_hours=2
+    ).orderBy(
+        F.col("click_id").asc_nulls_last(), F.col("purchase_id").asc_nulls_last()
+    )

@@ -166,13 +166,15 @@ def click_purchase_interval_join(
         F.col("ts").alias("click_ts"),
     )
     purchases = events.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id"),
+        # distinct alias: both sides derive from the SAME events frame,
+        # so an unrenamed user_id is ambiguous after the self-join
+        F.col("user_id").alias("p_user"),
         F.col("event_id").alias("purchase_id"),
         F.col("ts").alias("purchase_ts"),
         F.col("value").alias("purchase_value"),
     )
     cond = (
-        (clicks.user_id == purchases.user_id)
+        (clicks.user_id == purchases.p_user)
         & (purchases.purchase_ts >= clicks.click_ts)
         & (
             purchases.purchase_ts
@@ -180,7 +182,9 @@ def click_purchase_interval_join(
         )
     )
     return clicks.join(purchases, cond, how).select(
-        clicks.user_id,
+        # coalesce covers the full-outer case (either side may be null);
+        # for inner/left it is exactly clicks.user_id
+        F.coalesce(F.col("user_id"), F.col("p_user")).alias("user_id"),
         "click_id",
         "click_ts",
         "purchase_id",
@@ -221,6 +225,50 @@ def left_outer_final_output(
         F.col("purchase_id").isNotNull()
         | (F.col("click_ts") < F.col("evict_before"))
     ).drop("evict_before")
+
+
+def full_outer_final_output(
+    events: DataFrame,
+    *,
+    within_minutes: int = 30,
+    watermark_hours: int = 2,
+) -> DataFrame:
+    """Batch mirror of the stream-stream FULL OUTER interval join's
+    final output.  Null-padded rows emit on state eviction, and the two
+    sides evict at DIFFERENT thresholds: a click's join window closes
+    at ``click_ts + within`` (so it evicts when the watermark passes
+    that), while a purchase can only ever match clicks with
+    ``click_ts ≤ purchase_ts`` — its window closes at ``purchase_ts``
+    itself, so it evicts as soon as the watermark passes its own
+    timestamp.  Asserted equal to the real readStream run in tests."""
+    joined = click_purchase_interval_join(
+        events, within_minutes=within_minutes, how="full"
+    )
+    cutoff = events.agg(
+        (
+            F.max("ts")
+            - F.expr(f"INTERVAL {watermark_hours} HOURS")
+            - F.expr(f"INTERVAL {within_minutes} MINUTES")
+        ).alias("click_evict_before"),
+        (F.max("ts") - F.expr(f"INTERVAL {watermark_hours} HOURS")).alias(
+            "purchase_evict_before"
+        ),
+    )
+    return (
+        joined.crossJoin(F.broadcast(cutoff))
+        .where(
+            (F.col("purchase_id").isNotNull() & F.col("click_id").isNotNull())
+            | (
+                F.col("purchase_id").isNull()
+                & (F.col("click_ts") < F.col("click_evict_before"))
+            )
+            | (
+                F.col("click_id").isNull()
+                & (F.col("purchase_ts") < F.col("purchase_evict_before"))
+            )
+        )
+        .drop("click_evict_before", "purchase_evict_before")
+    )
 
 
 def run_stream_stream_join(
@@ -280,9 +328,13 @@ def run_stream_stream_join(
     )
     q.awaitTermination()
     stream_result = spark.table(out_table)
+    wm_hours = int(watermark.split()[0]) if "hour" in watermark else 2
     if how == "left":
-        wm_hours = int(watermark.split()[0]) if "hour" in watermark else 2
         batch_result = left_outer_final_output(
+            events, within_minutes=within_minutes, watermark_hours=wm_hours
+        )
+    elif how == "full":
+        batch_result = full_outer_final_output(
             events, within_minutes=within_minutes, watermark_hours=wm_hours
         )
     else:

@@ -356,3 +356,21 @@ def test_corpus_is_ascii_for_byte_char_slicing(spark):
     d = load_table(spark, SF_MEDIUM, "documents")
     n_wide = d.where(F.octet_length("text") != F.length("text")).count()
     assert n_wide == 0
+
+
+def test_stream_stream_full_outer_equals_batch(spark, tmp_path):
+    """FULL OUTER stream-stream join: asymmetric per-side eviction
+    (clicks at click_ts+30min, purchases at purchase_ts) must yield
+    exactly the watermark-filtered batch mirror."""
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+    from stock_data_warehouse_analytics_spark.streaming.event_windows import (
+        run_stream_stream_join,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    s, b = run_stream_stream_join(spark, events, str(tmp_path), how="full")
+    ss = {(r.click_id, r.purchase_id, r.user_id) for r in s.collect()}
+    bb = {(r.click_id, r.purchase_id, r.user_id) for r in b.collect()}
+    assert any(pid is None for _, pid, _ in bb)
+    assert any(cid is None for cid, _, _ in bb)
+    assert ss == bb
