@@ -192,3 +192,139 @@ def dq_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+@register(
+    "olap_time_weighted_average",
+    tags=("warehouse", "window", "twap"),
+    oracle="""
+WITH spans AS (
+  SELECT event_type,
+         date_trunc('day', ts) AS day,
+         CAST(FLOOR(value * 1000.0) AS BIGINT) AS q_milli,
+         (epoch_us(COALESCE(
+            LEAD(ts) OVER (PARTITION BY event_type, date_trunc('day', ts)
+                           ORDER BY ts, event_id),
+            date_trunc('day', ts) + INTERVAL 1 DAY))
+          - epoch_us(ts)) // 1000 AS dur_ms
+  FROM events
+)
+SELECT event_type, day::DATE AS day,
+       COUNT(*) AS n_events,
+       SUM(q_milli * dur_ms)::BIGINT AS weighted_sum_milli_ms,
+       SUM(dur_ms)::BIGINT AS total_ms,
+       CAST(SUM(q_milli * dur_ms) AS DOUBLE) / SUM(dur_ms) / 1000.0 AS twap
+FROM spans
+GROUP BY event_type, day
+ORDER BY event_type, day
+""",
+)
+def olap_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP — the stock-warehouse statistic the
+    reference's daily bars pre-aggregate away): each observation is
+    weighted by how long it remained the latest value, i.e. until the
+    next event in its (type, day) group or the day boundary.  One
+    window pass for the lead, then a grouped aggregate sharing the same
+    partitioning — one shuffle total.
+
+    Exactness: value quantized to milli-units and duration to integer
+    milliseconds keeps every product ≤ ~8.6e13 — int64-exact,
+    order-independent sums; the final double division is a single
+    deterministic op.  (Casting the raw value*duration double into
+    decimal would hit the shortest-string divergence at ~1e19
+    magnitudes — see ROUND_NOTES.md.)"""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    day = F.date_trunc("day", "ts")
+    w = Window.partitionBy("event_type", day.alias("day")).orderBy("ts", "event_id")
+    nxt = F.coalesce(F.lead("ts").over(w), day + F.expr("INTERVAL 1 DAY"))
+    dur_ms = (
+        (F.unix_micros(nxt.cast("timestamp")) - F.unix_micros(F.col("ts").cast("timestamp")))
+        / F.lit(1000)
+    ).cast("long")
+    spans = e.select(
+        "event_type",
+        day.alias("day"),
+        F.floor(F.col("value") * 1000.0).cast("long").alias("q_milli"),
+        dur_ms.alias("dur_ms"),
+    )
+    return (
+        spans.groupBy("event_type", F.to_date("day").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("q_milli") * F.col("dur_ms")).alias("weighted_sum_milli_ms"),
+            F.sum("dur_ms").alias("total_ms"),
+            (
+                F.sum(F.col("q_milli") * F.col("dur_ms")).cast("double")
+                / F.sum("dur_ms")
+                / 1000.0
+            ).alias("twap"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "mining_mad_robust_anomalies",
+    tags=("mining", "robust", "percentile", "anomaly"),
+    oracle="""
+WITH med AS (
+  SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS abs_dev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, ROUND(quantile_cont(abs_dev, 0.5), 6) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       COUNT(*) AS n_events,
+       MAX(d.med) AS med,
+       MAX(a.mad) AS mad,
+       SUM(CASE WHEN d.abs_dev > 4.4478 * a.mad THEN 1 ELSE 0 END)::BIGINT
+         AS n_outliers
+FROM dev d JOIN mad a USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+""",
+)
+def mining_mad_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) anomaly counting — the outlier rule that
+    survives heavy tails where the z-score's mean/std get dragged by
+    the outliers themselves (complements win_zscore_anomalies, the
+    reference's M5).  Threshold 4.4478·MAD ≈ 3σ under normality
+    (3 × 1.4826 consistency factor).
+
+    Both medians come from the bounded-memory exact-quantile operator
+    (operators/ranking.grouped_exact_quantiles) — the scale path — and
+    are rounded to 6 dp on BOTH engines before the comparison so the
+    outlier rule applies bit-identical thresholds."""
+    from ..operators.ranking import grouped_exact_quantiles
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = grouped_exact_quantiles(e, "event_type", "value", [("med", 0.5)]).select(
+        "event_type", F.round("med", 6).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "abs_dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = grouped_exact_quantiles(
+        dev.select("event_type", "abs_dev"), "event_type", "abs_dev", [("mad", 0.5)]
+    ).select("event_type", F.round("mad", 6).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("abs_dev") > 4.4478 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

@@ -220,3 +220,40 @@ def test_q18_aggregates_before_join_and_topk(spark):
     assert "TakeOrderedAndProject" in plan, plan
     # the only fact-sized exchange is the pre-join aggregation
     assert len(re.findall(r"hashpartitioning\(", plan)) == 1, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """The 100 TB selective-dim-join lever Spark ships built-in:
+    runtime bloom-filter injection.  With a filtered creation side and
+    a shuffle join, the optimizer aggregates a bloom filter over the
+    dim keys and applies might_contain on the fact side BEFORE the
+    shuffle — rows that cannot join never leave the scan stage.  The
+    thresholds here only exist because local testdata is far below the
+    production defaults (10 MB application-side scan)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    from pyspark.sql import functions as F
+
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, SF_SMALL, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = load_table(spark, SF_SMALL, "lineitem")
+        plan = _explain(l.join(o, F.col("l_orderkey") == F.col("o_orderkey")))
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
