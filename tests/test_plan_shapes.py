@@ -125,6 +125,7 @@ _BOUNDED_SINGLE_PARTITION = {
     "q11_important_parts",
     "q15_top_supplier",
     "stream_left_outer_join",
+    "stream_full_outer_join",
     "join_interval_overlap_bucketed",
     # whole-table aggregates to a one-row (dq_numeric_profile) or
     # three-one-row-union (dq_referential_integrity) report — partial
