@@ -100,12 +100,22 @@ def asof_join(
         F.struct(F.col(probe_ts).alias("bts"), F.col(value_col).alias("v")),
     )
     filled = pick(sw, ignorenulls=True).over(w)
+
+    # microsecond distance regardless of the ts column's type: timestamps
+    # go through unix_micros; numeric columns ARE microseconds already
+    # (casting a long to timestamp would misread it as SECONDS — caught
+    # by the pd.merge_asof differential test)
+    if u.schema[probe_ts].dataType.simpleString().startswith("timestamp"):
+        def to_us(c):  # noqa: ANN001, ANN202
+            return F.unix_micros(c.cast("timestamp"))
+    else:
+        def to_us(c):  # noqa: ANN001, ANN202
+            return c.cast("long")
+
     gap_us = (
-        F.unix_micros(F.col(probe_ts).cast("timestamp"))
-        - F.unix_micros(F.col("__f.bts").cast("timestamp"))
+        to_us(F.col(probe_ts)) - to_us(F.col("__f.bts"))
         if direction == "backward"
-        else F.unix_micros(F.col("__f.bts").cast("timestamp"))
-        - F.unix_micros(F.col(probe_ts).cast("timestamp"))
+        else to_us(F.col("__f.bts")) - to_us(F.col(probe_ts))
     )
     return (
         u.withColumn("__f", filled)
