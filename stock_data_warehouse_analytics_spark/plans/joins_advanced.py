@@ -437,3 +437,51 @@ def join_asof_tolerance_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_bucket")
     )
+
+
+@register(
+    "join_fuzzy_name_pairs",
+    tags=("join", "fuzzy", "levenshtein", "blocking"),
+    oracle="""
+WITH names AS (
+  SELECT DISTINCT p_name AS name FROM part
+),
+blocked AS (
+  SELECT name, string_split(name, ' ')[-1] AS block FROM names
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       levenshtein(a.name, b.name)::INT AS edit_dist
+FROM blocked a JOIN blocked b
+  ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 3
+ORDER BY name_a, name_b
+""",
+)
+def join_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) self-join with blocking — the
+    entity-resolution primitive: candidate pairs come ONLY from a
+    cheap equi-join on a blocking key (here the head noun of the name),
+    and the O(len²) levenshtein verify runs per candidate, never
+    all-pairs.  Swap the blocking key for phonetic codes / sorted
+    q-gram buckets and the same plan does record linkage at 100 TB;
+    without blocking this is a cartesian the plan guard would reject."""
+    names = (
+        load_table(spark, sf_dir, "part").select(F.col("p_name").alias("name")).distinct()
+    )
+    blocked = names.withColumn(
+        "block", F.element_at(F.split(F.col("name"), " "), -1)
+    )
+    a = blocked.select(F.col("name").alias("name_a"), F.col("block").alias("block_a"))
+    b = blocked.select(F.col("name").alias("name_b"), F.col("block").alias("block_b"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(
+            b,
+            (F.col("block_a") == F.col("block_b"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn("edit_dist", dist.cast("int"))
+        .filter(F.col("edit_dist").between(1, 3))
+        .select("name_a", "name_b", "edit_dist")
+        .orderBy("name_a", "name_b")
+    )
