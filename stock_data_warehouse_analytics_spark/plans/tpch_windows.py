@@ -443,3 +443,67 @@ def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value").over(w_full).alias("last_val"),
         F.nth_value("value", 3).over(w).alias("third_val"),
     ).orderBy("user_id", "ts", "event_id")
+
+
+@register(
+    "win_longest_value_streaks",
+    tags=("window", "streaks", "gaps-and-islands"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN value >= 500.0 THEN 1 ELSE 0 END AS is_high,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id,
+                              CASE WHEN value >= 500.0 THEN 1 ELSE 0 END
+                            ORDER BY ts, event_id) AS rn_f
+  FROM events
+),
+islands AS (
+  SELECT user_id, is_high, rn - rn_f AS grp, COUNT(*)::BIGINT AS streak_len
+  FROM seq GROUP BY user_id, is_high, rn - rn_f
+)
+SELECT user_id,
+       MAX(CASE WHEN is_high = 1 THEN streak_len ELSE 0 END)::BIGINT
+         AS longest_high_streak,
+       MAX(CASE WHEN is_high = 0 THEN streak_len ELSE 0 END)::BIGINT
+         AS longest_low_streak,
+       COUNT(*)::BIGINT AS n_streaks
+FROM islands
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def win_longest_value_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-run lengths per user (value above/below a
+    threshold) by the rn − rn_per_flag gaps-and-islands identity: two
+    row_number windows and two grouped aggregations, ALL sharing the
+    user_id hash partitioning — one shuffle end to end for a pattern
+    naive implementations write as a per-user driver loop.  (The
+    stock-domain reading: longest winning/losing streak per ticker.)"""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    is_high = F.when(F.col("value") >= 500.0, 1).otherwise(0)
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_flag = Window.partitionBy("user_id", "is_high").orderBy("ts", "event_id")
+    seq = e.withColumn("is_high", is_high).select(
+        "user_id",
+        "is_high",
+        (F.row_number().over(w_all) - F.row_number().over(w_flag)).alias("grp"),
+    )
+    islands = seq.groupBy("user_id", "is_high", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("is_high") == 1, F.col("streak_len")).otherwise(0)
+            ).alias("longest_high_streak"),
+            F.max(
+                F.when(F.col("is_high") == 0, F.col("streak_len")).otherwise(0)
+            ).alias("longest_low_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
