@@ -47,8 +47,12 @@ def register(
 
 
 def _ensure_loaded() -> None:
-    if not QUERIES:
-        from . import all_queries  # noqa: F401  (import side effect registers)
+    # Unconditional import: Python's module cache makes this a no-op
+    # after the first time.  (A `if not QUERIES` guard here is a trap:
+    # importing any single plans submodule directly registers SOME
+    # queries, and the guard would then skip loading the rest —
+    # partial-registry KeyErrors far from the cause.)
+    from . import all_queries  # noqa: F401  (import side effect registers)
 
 
 def get_queries() -> dict[str, QueryFn]:
