@@ -215,3 +215,61 @@ def test_python_datasource_stream_reader(spark, tmp_path):
     for r in rows[:128]:
         assert r.bucket == r.i % 10
         assert r.x == ((r.i * MIX_MULT) % MIX_MOD) / MIX_MOD
+
+
+def test_compaction_tightens_rowgroup_stats_and_preserves_rows(spark, tmp_path):
+    """The small-files/compaction story: a fragmented write (many tiny
+    unsorted files) is compacted into few files SORTED on the probe
+    key.  Row counts survive exactly, file count drops, and — the part
+    that matters for scan pruning — parquet row-group min/max ranges on
+    the sort key become (near-)disjoint, so a point predicate's rows
+    can only live in one or two row groups instead of all of them."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_SMALL, "events").select("event_id", "user_id", "value")
+    frag_dir = str(tmp_path / "fragmented")
+    comp_dir = str(tmp_path / "compacted")
+    e.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    assert len(glob.glob(frag_dir + "/*.parquet")) == 64
+
+    frag = spark.read.parquet(frag_dir)
+    (
+        frag.repartitionByRange(4, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(comp_dir)
+    )
+    comp_files = glob.glob(comp_dir + "/*.parquet")
+    assert len(comp_files) == 4
+    comp = spark.read.parquet(comp_dir)
+    assert comp.count() == e.count()
+    assert comp.select("event_id").distinct().count() == e.count()
+
+    def key_ranges(files):
+        spans = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index("user_id")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                spans.append((st.min, st.max))
+        return sorted(spans)
+
+    frag_spans = key_ranges(glob.glob(frag_dir + "/*.parquet"))
+    comp_spans = key_ranges(comp_files)
+
+    def overlap_fraction(spans):
+        overlaps = sum(
+            1
+            for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:])
+            if hi1 > lo2
+        )
+        return overlaps / max(len(spans) - 1, 1)
+
+    # fragmented: every file covers ~the full key range (all overlap);
+    # compacted: range-partitioned + sorted → adjacent spans disjoint
+    assert overlap_fraction(frag_spans) > 0.9, frag_spans[:5]
+    assert overlap_fraction(comp_spans) == 0.0, comp_spans
