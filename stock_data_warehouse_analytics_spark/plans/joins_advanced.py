@@ -485,3 +485,80 @@ def join_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", "edit_dist")
         .orderBy("name_a", "name_b")
     )
+
+
+_ATTR_TOL_US = 7 * 24 * 3600 * 1_000_000  # 7-day attribution window
+
+_ATTR_MASK = (
+    "CASE WHEN cts IS NOT NULL AND epoch_us(pts) - epoch_us(cts) <= "
+    f"{_ATTR_TOL_US} THEN 1 END"
+)
+
+
+@register(
+    "attribution_last_touch",
+    tags=("join", "asof", "behavioral", "attribution"),
+    oracle=f"""
+WITH clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT user_id, ts, event_id, value
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT p.user_id, p.ts AS pts, p.value, c.ts AS cts
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT user_id % 8 AS user_bucket,
+       COUNT(*) AS n_purchases,
+       COUNT({_ATTR_MASK})::BIGINT AS n_attributed,
+       {sql_dsum(f"CASE WHEN ({_ATTR_MASK}) = 1 THEN value ELSE 0.0 END")}
+         AS attributed_revenue,
+       {sql_dsum(f"CASE WHEN ({_ATTR_MASK}) IS NULL THEN value ELSE 0.0 END")}
+         AS organic_revenue
+FROM j
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution — THE business application of
+    the as-of join run in the conversion direction: each purchase takes
+    the same user's latest PRIOR click, credited only within a 7-day
+    window; revenue splits into attributed vs organic.  One union+sweep
+    shuffle on user_id, then a conditional-sum rollup — no per-user
+    loops, no range explosion, same plan at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        value_col="click_id",
+        tolerance_us=_ATTR_TOL_US,
+    )
+    attributed = F.col("click_id").isNotNull()
+    return (
+        joined.groupBy((F.col("user_id") % 8).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count("click_id").alias("n_attributed"),
+            dsum(F.when(attributed, F.col("value")).otherwise(0.0)).alias(
+                "attributed_revenue"
+            ),
+            dsum(F.when(~attributed, F.col("value")).otherwise(0.0)).alias(
+                "organic_revenue"
+            ),
+        )
+        .orderBy("user_bucket")
+    )

@@ -126,3 +126,71 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.col("frame_idx").cast("long").alias("frame_idx"), "frame_md5"
     ).orderBy("doc_id", "frame_idx")
+
+
+# low-diversity gate: flag when one-in-ten random char pairs collide
+_MAX_COLLISION = 0.10
+
+
+@register(
+    "text_char_diversity",
+    tags=("llm", "text", "quality", "entropy"),
+    oracle=f"""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+),
+f AS (
+  SELECT doc_id, c, COUNT(*)::BIGINT AS n
+  FROM ch WHERE c <> '' GROUP BY doc_id, c
+),
+agg AS (
+  SELECT doc_id,
+         SUM(n)::BIGINT AS n_chars,
+         COUNT(*)::BIGINT AS n_distinct_chars,
+         SUM(n * n)::BIGINT AS sum_sq
+  FROM f GROUP BY doc_id
+)
+SELECT doc_id, n_chars, n_distinct_chars,
+       CAST(sum_sq AS DOUBLE) / n_chars / n_chars AS collision_prob,
+       CAST(n_chars AS DOUBLE) * n_chars / sum_sq AS effective_alphabet,
+       (CAST(sum_sq AS DOUBLE) / n_chars / n_chars > {_MAX_COLLISION})
+         AS is_low_diversity
+FROM agg
+ORDER BY doc_id
+""",
+)
+def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-diversity quality signal WITHOUT transcendentals:
+    collision probability Σp² (Rényi-2; Simpson index) and its inverse
+    — the "effective alphabet size" — flag gibberish / repeated-char /
+    base64-ish text the way character entropy would, but every compared
+    value is integer sums + two fixed-order double divisions, so it
+    hash-matches across engines (log2 itself differs from DuckDB's in
+    the last ulp on ~2% of inputs — measured; that is why the
+    entropy-shaped signal here is Rényi-2, not Shannon).  explode →
+    per-(doc, char) counts → per-doc rollup, both aggregations on the
+    doc_id partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    f = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = f.groupBy("doc_id").agg(
+        F.sum("n").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+    )
+    collision = (
+        F.col("sum_sq").cast("double") / F.col("n_chars") / F.col("n_chars")
+    )
+    eff = F.col("n_chars").cast("double") * F.col("n_chars") / F.col("sum_sq")
+    return agg.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        collision.alias("collision_prob"),
+        eff.alias("effective_alphabet"),
+        (collision > _MAX_COLLISION).alias("is_low_diversity"),
+    ).orderBy("doc_id")
