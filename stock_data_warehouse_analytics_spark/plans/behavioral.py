@@ -425,3 +425,124 @@ def join_interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id", "session_seq", "busy_hour")
     )
+
+
+_MT_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day attribution window
+
+
+@register(
+    "attribution_multi_touch",
+    tags=("join", "behavioral", "attribution", "window"),
+    oracle=f"""
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts AS pts, value
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT event_id AS click_id, user_id, ts AS cts
+  FROM events WHERE event_type = 'click'
+),
+touched AS (
+  SELECT p.purchase_id, p.value, c.click_id, c.cts,
+         ROW_NUMBER() OVER w_asc AS rn,
+         COUNT(*) OVER (PARTITION BY p.purchase_id) AS k
+  FROM purchases p JOIN clicks c
+    ON p.user_id = c.user_id
+   AND c.cts <= p.pts
+   AND epoch_us(p.pts) - epoch_us(c.cts) <= {_MT_WINDOW_US}
+  WINDOW w_asc AS (PARTITION BY p.purchase_id ORDER BY c.cts, c.click_id)
+),
+credited AS (
+  SELECT purchase_id, value, click_id, k,
+         CASE
+           WHEN k = 1 THEN 1000
+           WHEN k = 2 THEN 500
+           WHEN rn = 1 OR rn = k THEN 400
+           ELSE 200 // (k - 2)
+         END AS credit_milli,
+         CASE
+           WHEN rn = 1 AND k > 1 THEN 'first'
+           WHEN rn = k AND k > 1 THEN 'last'
+           WHEN k = 1 THEN 'only'
+           ELSE 'middle'
+         END AS position_class
+  FROM touched
+)
+SELECT position_class,
+       COUNT(*) AS n_touches,
+       SUM(credit_milli)::BIGINT AS total_credit_milli,
+       {sql_dsum('value * credit_milli / 1000.0')} AS credited_revenue
+FROM credited
+GROUP BY position_class
+ORDER BY position_class
+""",
+)
+def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) multi-touch attribution:
+    every click in the 7 days before a purchase shares its value —
+    40% to the first and last touches, the 20% middle pot split evenly
+    (integer milli-credits with floor division, so the split is
+    deterministic on both engines; the dropped remainder is the
+    documented convention).  Shape: user-keyed equi-join with a time
+    residual (never a cartesian), then two windows partitioned by
+    purchase — the join output is each user's clicks×purchases within
+    the window, bounded by per-user activity."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    gap_us = F.unix_micros(F.col("pts").cast("timestamp")) - F.unix_micros(
+        F.col("cts").cast("timestamp")
+    )
+    touched = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("cts") <= F.col("pts"))
+        & (gap_us <= _MT_WINDOW_US),
+    )
+    w_asc = Window.partitionBy("purchase_id").orderBy("cts", "click_id")
+    w_all = Window.partitionBy("purchase_id")
+    ranked = touched.select(
+        "purchase_id",
+        "value",
+        "click_id",
+        F.row_number().over(w_asc).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("k"),
+    )
+    credit = (
+        F.when(F.col("k") == 1, 1000)
+        .when(F.col("k") == 2, 500)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("k")), 400)
+        .otherwise(F.expr("200 DIV (k - 2)"))
+    )
+    pos = (
+        F.when((F.col("rn") == 1) & (F.col("k") > 1), "first")
+        .when((F.col("rn") == F.col("k")) & (F.col("k") > 1), "last")
+        .when(F.col("k") == 1, "only")
+        .otherwise("middle")
+    )
+    return (
+        ranked.select(
+            "purchase_id",
+            "value",
+            credit.alias("credit_milli"),
+            pos.alias("position_class"),
+        )
+        .groupBy("position_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit_milli").alias("total_credit_milli"),
+            dsum(F.col("value") * F.col("credit_milli") / 1000.0).alias(
+                "credited_revenue"
+            ),
+        )
+        .orderBy("position_class")
+    )
