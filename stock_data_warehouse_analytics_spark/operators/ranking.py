@@ -33,7 +33,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bucketed_global_rank", "exact_ntile", "grouped_exact_quantiles"]
+__all__ = [
+    "bucketed_global_rank",
+    "bucketed_global_cumsum",
+    "exact_ntile",
+    "grouped_exact_quantiles",
+]
 
 _BUCKET = "_rk_bucket"
 
@@ -239,3 +244,67 @@ def grouped_exact_quantiles(
         for label, _ in quantiles
     ]
     return interp.groupBy(group_col).agg(*agg_cols)
+
+
+def bucketed_global_cumsum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    *,
+    n_buckets: int = 32,
+    cumsum_col: str = "global_cumsum",
+) -> DataFrame:
+    """Exact running total of ``value_col`` over the GLOBAL order given
+    by ``order_cols`` — without the single-partition window.  Same
+    range-bucket strategy as :func:`bucketed_global_rank`, but the
+    bucket offsets carry prior buckets' exact-decimal VALUE sums: the
+    driver sees only ``n_buckets`` partial sums (Python ``Decimal``
+    accumulation — exact), each bucket windows over itself, and
+    offset + within-bucket decimal cumsum equals the full decimal
+    running total exactly (decimal addition is associative, unlike
+    float).  Output column is double."""
+    from decimal import Decimal
+
+    lead = order_cols[0]
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = df.select(
+        F.approx_percentile(
+            F.col(lead).cast("double"), F.array(*[F.lit(q) for q in qs]), 10_000
+        ).alias("cuts")
+    ).first()
+    cuts = sorted(set(cuts_row["cuts"] or []))
+
+    bucket: Column = F.lit(0)
+    for c in cuts:
+        bucket = bucket + F.when(F.col(lead).cast("double") > F.lit(c), 1).otherwise(0)
+    dec = F.col(value_col).cast("decimal(28,6)")
+    bucketed = df.withColumn(_BUCKET, bucket)
+
+    sums = {
+        r[_BUCKET]: (r["s"] if r["s"] is not None else Decimal(0))
+        for r in bucketed.groupBy(_BUCKET)
+        .agg(F.sum(dec).alias("s"))
+        .collect()
+    }
+    offsets: dict[int, Decimal] = {}
+    acc = Decimal(0)
+    for b in sorted(sums):
+        offsets[b] = acc
+        acc += sums[b]
+
+    offset_map = F.create_map(
+        *[
+            lit
+            for b, off in offsets.items()
+            for lit in (F.lit(b), F.lit(str(off)).cast("decimal(28,6)"))
+        ]
+    )
+    w = (
+        Window.partitionBy(_BUCKET)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return bucketed.withColumn(
+        cumsum_col,
+        (offset_map[F.col(_BUCKET)] + F.sum(dec).over(w)).cast("double"),
+    ).drop(_BUCKET)

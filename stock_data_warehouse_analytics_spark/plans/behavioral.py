@@ -546,3 +546,53 @@ def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("position_class")
     )
+
+
+@register(
+    "behavior_markov_transitions",
+    tags=("behavioral", "window", "sequence"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst
+  FROM events
+),
+pairs AS (
+  SELECT src, dst, COUNT(*)::BIGINT AS n
+  FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+),
+totals AS (
+  SELECT src AS t_src, SUM(n)::BIGINT AS row_total FROM pairs GROUP BY src
+)
+SELECT src, dst, n, n / row_total AS p
+FROM pairs JOIN totals ON src = t_src
+ORDER BY src, dst
+""",
+)
+def behavior_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the input for next-action models and behavioral drift
+    monitors.  One lead window per user, then two aggregations on the
+    tiny (src, dst) alphabet; probabilities are int/int double
+    divisions (deterministic, no rounding).  The per-user sequencing
+    shuffle is the only fact-sized exchange."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy(F.col("src").alias("t_src")).agg(
+        F.sum("n").alias("row_total")
+    )
+    return (
+        pairs.join(F.broadcast(totals), F.col("src") == F.col("t_src"))
+        .select("src", "dst", "n", (F.col("n") / F.col("row_total")).alias("p"))
+        .orderBy("src", "dst")
+    )

@@ -328,3 +328,66 @@ def mining_mad_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "olap_abc_pareto",
+    tags=("warehouse", "pareto", "cumsum", "scale"),
+    oracle=f"""
+WITH pr AS (
+  SELECT l_partkey, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT l_partkey, revenue,
+         CAST(SUM(CAST(revenue AS DECIMAL(28,6)))
+              OVER (ORDER BY revenue DESC, l_partkey
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum,
+         CAST((SELECT SUM(CAST(revenue AS DECIMAL(28,6))) FROM pr)
+              AS DOUBLE) AS total
+  FROM pr
+)
+SELECT CASE WHEN cum / total <= 0.8 THEN 'A'
+            WHEN cum / total <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       COUNT(*) AS n_parts,
+       {sql_dsum('revenue')} AS class_revenue
+FROM ranked
+GROUP BY abc_class
+ORDER BY abc_class
+""",
+)
+def olap_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts by cumulative share of total
+    revenue (A = first 80%, B = to 95%, C = tail).  The global running
+    total uses ``bucketed_global_cumsum`` — range-bucketed windows with
+    exact-decimal offsets, NO single-partition sort — so the classic
+    "cumulative share over everything" report survives any part
+    cardinality.  The total is a one-row broadcast; shares are single
+    double divisions."""
+    from ..operators.ranking import bucketed_global_cumsum
+    from .tpch_more3 import _rev
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    pr = l.groupBy("l_partkey").agg(dsum(_rev()).alias("revenue"))
+    ordered = pr.withColumn("_neg_rev", -F.col("revenue"))
+    cum = bucketed_global_cumsum(
+        ordered, ["_neg_rev", "l_partkey"], "revenue", cumsum_col="cum"
+    ).drop("_neg_rev")
+    total = pr.agg(F.sum(F.col("revenue").cast("decimal(28,6)")).cast("double").alias("total"))
+    share = F.col("cum") / F.col("total")
+    abc = (
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+    )
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select("l_partkey", "revenue", abc.alias("abc_class"))
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum("revenue").alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )

@@ -132,6 +132,9 @@ _BOUNDED_SINGLE_PARTITION = {
     # aggregation upstream, O(#tasks) rows cross the final exchange
     "dq_numeric_profile",
     "dq_referential_integrity",
+    # one-row grand-total scalar (the cumulative path itself is the
+    # bucketed-window cumsum — no global sort)
+    "olap_abc_pareto",
 }
 
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from .conftest import SF_SMALL
+
 
 def _synth(spark, n: int, groups: int = 4):
     """Deterministic pseudo-random frame: id, group, value (hash-mixed,
@@ -116,5 +118,40 @@ def test_connected_components_matches_union_find(spark):
     got = {
         r.node: r.comp
         for r in connected_components(edf, max_iter=10).collect()
+    }
+    assert got == want
+
+
+def test_bucketed_global_cumsum_equals_naive_window(spark):
+    """The range-bucketed running total must equal the naive
+    single-partition decimal cumsum exactly (which we only ever run at
+    test scale)."""
+    from pyspark.sql import Window
+
+    from stock_data_warehouse_analytics_spark.operators.ranking import (
+        bucketed_global_cumsum,
+    )
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    pr = (
+        load_table(spark, SF_SMALL, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("rev"))
+        .withColumn("_neg", -F.col("rev"))
+    )
+    got = {
+        r.o_custkey: r.cum
+        for r in bucketed_global_cumsum(
+            pr, ["_neg", "o_custkey"], "rev", cumsum_col="cum"
+        ).collect()
+    }
+    w = Window.orderBy("_neg", "o_custkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        r.o_custkey: r.cum
+        for r in pr.withColumn(
+            "cum", F.sum(F.col("rev").cast("decimal(28,6)")).over(w).cast("double")
+        ).collect()
     }
     assert got == want
