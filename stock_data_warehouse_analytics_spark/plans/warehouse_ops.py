@@ -391,3 +391,62 @@ def olap_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+_HIST_BINS = 20
+
+
+@register(
+    "olap_histogram_equi_width",
+    tags=("warehouse", "histogram", "agg"),
+    oracle=f"""
+WITH bounds AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+),
+binned AS (
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / {_HIST_BINS}))
+                              AS BIGINT), {_HIST_BINS - 1})
+         END AS bin,
+         lo, hi
+  FROM orders CROSS JOIN bounds
+)
+SELECT bin,
+       lo + bin * ((hi - lo) / {_HIST_BINS}) AS bin_lo,
+       lo + (bin + 1) * ((hi - lo) / {_HIST_BINS}) AS bin_hi,
+       COUNT(*) AS n_orders
+FROM binned
+GROUP BY bin, lo, hi
+ORDER BY bin
+""",
+)
+def olap_histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram (the profiling primitive behind every
+    distribution dashboard): global min/max as a one-row broadcast,
+    bin assignment as pure codegen arithmetic, then a bounded
+    {_HIST_BINS}-row aggregation — two scans, no sort, no UDF.  The
+    top edge folds into the last bin (LEAST), matching the closed-last
+    -interval convention; identical expression order on both engines
+    keeps the double arithmetic bit-deterministic."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    bounds = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / _HIST_BINS
+    bin_col = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("long"),
+            F.lit(_HIST_BINS - 1),
+        )
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select(bin_col.alias("bin"), "lo", "hi")
+        .groupBy("bin", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "bin",
+            (F.col("lo") + F.col("bin") * width).alias("bin_lo"),
+            (F.col("lo") + (F.col("bin") + 1) * width).alias("bin_hi"),
+            "n_orders",
+        )
+        .orderBy("bin")
+    )

@@ -135,6 +135,8 @@ _BOUNDED_SINGLE_PARTITION = {
     # one-row grand-total scalar (the cumulative path itself is the
     # bucketed-window cumsum — no global sort)
     "olap_abc_pareto",
+    # one-row min/max bounds broadcast
+    "olap_histogram_equi_width",
 }
 
 
