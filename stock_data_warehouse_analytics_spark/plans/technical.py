@@ -1,0 +1,244 @@
+"""Technical-indicator window plans — the reference's stock-analytics
+domain (datavisualization.py rolling vol / MA / spike studies) extended
+to the three classic indicators every price dashboard computes: Bollinger
+bands, Cutler's RSI, and a bounded-lookback EWMA.
+
+All three are single-shuffle window plans per ``user_id`` over ``events``
+(the stand-in price series: ``value`` is the tick, ``(ts, event_id)`` the
+deterministic order — same series the W8/W9 rolling queries use).
+
+100 TB design notes:
+- one hash-partitioned shuffle on the series key, then every expression
+  is whole-stage-codegen'd JVM arithmetic — no UDFs, no second pass;
+- rolling moments use the exact-decimal trick (``plans/exact.py``) only
+  because the driver's oracle hash-compares values; the fast-mode flag
+  swaps them for plain double sums;
+- the EWMA is deliberately *bounded-lookback* (the (1−α)^j tail beyond
+  L=10 rows weighs < 6% here and is dropped): an unbounded EWMA is a
+  sequential recurrence that cannot be a frame aggregate — the bounded
+  form is a fixed-length weighted sum, embarrassingly parallel and
+  exactly what you want at scale (pandas ``ewm`` parity within the
+  truncation tolerance, not claimed bit-equal).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .exact import (
+    davg_w,
+    dstddev_samp_w,
+    dsum_w,
+    sql_davg_w,
+    sql_dstddev_samp_w,
+    sql_dsum_w,
+)
+from .registry import register
+
+_W = "(PARTITION BY user_id ORDER BY ts, event_id)"
+_W_ROLL20 = "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)"
+_W_ROLL14 = "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)"
+
+
+def _w():
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+@register(
+    "win_bollinger_bands",
+    tags=("window", "rolling", "technical"),
+    oracle=f"""
+WITH b AS (
+  SELECT event_id, user_id, value,
+    COUNT(value) OVER {_W_ROLL20} AS cnt,
+    {sql_davg_w('value', _W_ROLL20)} AS mid,
+    {sql_dstddev_samp_w('value', _W_ROLL20)} AS sd
+  FROM events
+)
+SELECT event_id, user_id, value,
+  CASE WHEN cnt >= 20 THEN mid END AS mid,
+  CASE WHEN cnt >= 20 THEN mid + 2 * sd END AS upper_band,
+  CASE WHEN cnt >= 20 THEN mid - 2 * sd END AS lower_band,
+  CASE WHEN cnt >= 20 AND sd <> 0
+       THEN (value - (mid - 2 * sd)) / ((mid + 2 * sd) - (mid - 2 * sd))
+  END AS pct_b
+FROM b
+ORDER BY user_id, event_id
+""",
+)
+def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (20-row mid ± 2σ) + %B position within the band —
+    the band form of the reference's rolling mean/std pair
+    (datavisualization.py:411-417,640-644), with pandas
+    ``min_periods=window`` masking.  One window shuffle; mid/σ from
+    exact windowed moments so the derived band edges and %B divide out
+    bit-identically on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    roll = _w().rowsBetween(-19, 0)
+    cnt = F.count("value").over(roll)
+    mid = davg_w("value", roll)
+    sd = dstddev_samp_w("value", roll)
+    upper = mid + 2 * sd
+    lower = mid - 2 * sd
+    full = cnt >= 20
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(full, mid).alias("mid"),
+        F.when(full, upper).alias("upper_band"),
+        F.when(full, lower).alias("lower_band"),
+        F.when(full & (sd != 0), (F.col("value") - lower) / (upper - lower)).alias(
+            "pct_b"
+        ),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "win_rsi_cutler",
+    tags=("window", "rolling", "technical"),
+    oracle=f"""
+WITH d AS (
+  SELECT event_id, user_id, ts,
+    value - LAG(value, 1) OVER {_W} AS diff
+  FROM events
+), g AS (
+  SELECT event_id, user_id,
+    COUNT(diff) OVER {_W_ROLL14} AS cnt,
+    {sql_dsum_w('GREATEST(diff, 0)', _W_ROLL14)} AS sg,
+    {sql_dsum_w('GREATEST(-diff, 0)', _W_ROLL14)} AS sl
+  FROM d
+)
+SELECT event_id, user_id,
+  CASE WHEN cnt >= 14 AND sg + sl <> 0
+       THEN 100 * sg / (sg + sl) END AS rsi14
+FROM g
+ORDER BY user_id, event_id
+""",
+)
+def win_rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI-14 (SMA-based relative strength — the relational
+    cousin of Wilder's RSI, whose recursive smoothing is a sequential
+    recurrence and deliberately avoided): diff → gain/loss split →
+    14-row exact window sums → 100·G/(G+L).  Two stacked windows over
+    the same partitioning = still ONE shuffle (Catalyst reuses the
+    exchange); null until 14 diffs exist, null on flat windows."""
+    e = load_table(spark, sf_dir, "events")
+    w = _w()
+    d = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("value") - F.lag("value", 1).over(w)).alias("diff"),
+    )
+    roll = w.rowsBetween(-13, 0)
+    cnt = F.count("diff").over(roll)
+    sg = dsum_w(F.greatest(F.col("diff"), F.lit(0)), roll)
+    sl = dsum_w(F.greatest(-F.col("diff"), F.lit(0)), roll)
+    return d.select(
+        "event_id",
+        "user_id",
+        F.when((cnt >= 14) & (sg + sl != 0), 100 * sg / (sg + sl)).alias("rsi14"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "win_cumulative_distinct",
+    tags=("window", "distinct", "cumsum"),
+    oracle=f"""
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) = 1
+         THEN 1 ELSE 0 END AS is_first
+  FROM events
+)
+SELECT event_id, user_id,
+  CAST(SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS distinct_types_so_far
+FROM flagged
+ORDER BY user_id, event_id
+""",
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per user — how many distinct event types
+    each user has touched so far (the breadth-of-engagement curve).
+    There is no distinct-over-window aggregate in either engine; the
+    relational form is the first-occurrence flag (row_number = 1 over
+    (user, type)) cumulatively summed.  Two window passes over
+    user-keyed partitionings; exact integers, no state beyond the
+    window sort."""
+    e = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_cum = _w().rowsBetween(Window.unboundedPreceding, 0)
+    flagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("is_first"),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("is_first").over(w_cum).alias("distinct_types_so_far"),
+    ).orderBy("user_id", "event_id")
+
+
+# Bounded-lookback EWMA: weights (1-a)^j, j = 0..L-1, normalized over the
+# full L-window (pandas ewm(alpha=a, adjust=True) truncated at L terms).
+_EWMA_ALPHA = 0.25
+_EWMA_L = 10
+_EWMA_WEIGHTS = [(1.0 - _EWMA_ALPHA) ** j for j in range(_EWMA_L)]
+_EWMA_NORM = sum(_EWMA_WEIGHTS)
+
+
+def _dlit(x: float) -> str:
+    """Spell a double literal so DuckDB types it DOUBLE: a bare decimal
+    literal is parsed as DECIMAL (int/10^n — not always the correctly-
+    rounded double Python/Spark produce); e-notation forces the strtod
+    path, which matches bit-for-bit."""
+    r = repr(x)
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
+@register(
+    "win_ewma",
+    tags=("window", "technical", "ewma"),
+    oracle=f"""
+SELECT event_id, user_id,
+  CASE WHEN COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN {_EWMA_L - 1} PRECEDING AND CURRENT ROW) = {_EWMA_L}
+       THEN ({' + '.join(f'{_dlit(w)} * LAG(value, {j}) OVER {_W}' if j else f'{_dlit(w)} * value' for j, w in enumerate(_EWMA_WEIGHTS))})
+            / {_dlit(_EWMA_NORM)}
+  END AS ewma
+FROM events
+ORDER BY user_id, event_id
+""",
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average with a bounded L=10
+    lookback (α=0.25; truncated-tail weight <6%): a fixed-length
+    weighted sum of lags — NOT the sequential pandas recurrence, which
+    has no parallel frame form.  The weighted sum is one left-associated
+    chain of IEEE double ops written identically in both engines, so no
+    decimal machinery is needed — per-row double arithmetic is already
+    bit-deterministic.  Null until the lookback is full.  At 100 TB:
+    one shuffle, L-1 lag expressions in one codegen stage."""
+    e = load_table(spark, sf_dir, "events")
+    w = _w()
+    cnt = F.count("value").over(w.rowsBetween(-(_EWMA_L - 1), 0))
+    terms = [
+        F.lit(wt) * (F.col("value") if j == 0 else F.lag("value", j).over(w))
+        for j, wt in enumerate(_EWMA_WEIGHTS)
+    ]
+    weighted = reduce(lambda a, b: a + b, terms) / F.lit(_EWMA_NORM)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.when(cnt == _EWMA_L, weighted).alias("ewma"),
+    ).orderBy("user_id", "event_id")

@@ -98,6 +98,12 @@ def test_no_cartesian_products_anywhere(spark):
     for name in sorted(QUERIES):
         if name in ("emb_neardup_exact", "sim_topk_bruteforce", "sim_topk_lsh"):
             continue  # documented O(|Q|·N)/O(n²) baselines (broadcast NL)
+        if name == "behavior_rfm_segments":
+            # the three ONE-ROW quantile-cut tables are combined under a
+            # BroadcastExchange; Catalyst folds the constant join key so
+            # the 1×1×1 combine prints as CartesianProduct — bounded by
+            # construction (cut tables, never data)
+            continue
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
 
@@ -137,6 +143,18 @@ _BOUNDED_SINGLE_PARTITION = {
     "olap_abc_pareto",
     # one-row min/max bounds broadcast
     "olap_histogram_equi_width",
+    # one-row cut/rate/bounds tables (quantile cuts, corpus rates,
+    # spine width) built from bounded aggregates, and final one-row
+    # report aggs — partial aggregation upstream in every case
+    "behavior_rfm_segments",
+    "mix_sqrt_temperature",
+    "sketch_bloom_membership",
+    # growth curve: window over a FIXED 16-point histogram
+    "docs_vocab_growth",
+    # count-of-counts window: distinct frequency values are ≤ √(2·rows)
+    # (c1<c2<…<ck distinct counts sum ≤ rows ⇒ k(k+1)/2 ≤ rows), so the
+    # single partition holds ~1.4M tiny rows even at 10^12 input rows
+    "dq_key_skew_profile",
 }
 
 
