@@ -53,8 +53,14 @@ def asof_join(
     ts alongside the value (same one-shuffle plan) and applies the
     bound after the fill.
     """
+    if direction == "nearest":
+        return _asof_nearest(
+            probe, build, on, probe_ts, build_ts, value_col, tolerance_us
+        )
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     # tag ordering puts the build row INSIDE the frame at equal ts:
     # backward frame (-inf, current] wants build first (tag 0 < probe 1);
     # forward frame [current, +inf) wants probe first (tag 0 < build 1)
@@ -125,6 +131,75 @@ def asof_join(
         )
         .filter(F.col("__tag") == F.lit(probe_tag))
         .drop("__tag", "__f")
+    )
+
+
+def _asof_nearest(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    probe_ts: str,
+    build_ts: str,
+    value_col: str,
+    tolerance_us: int | None,
+) -> DataFrame:
+    """``direction='nearest'``: the backward and forward sweeps run as
+    two frames over the SAME partitioning and sort (one shuffle, one
+    WindowExec), then each probe row keeps whichever attached build row
+    is closer in time — ties (equal distance) prefer the earlier build
+    row, and a build row at the exact probe timestamp matches with
+    distance 0.  ``tolerance_us`` bounds the chosen row's distance."""
+    # build tag 0: at equal ts the build row sorts before the probe row,
+    # so the backward frame sees it at distance 0
+    p = probe.withColumn("__tag", F.lit(1))
+    b = build.select(
+        F.col(on), F.col(build_ts).alias(probe_ts), F.col(value_col)
+    ).withColumn("__tag", F.lit(0))
+    u = p.select(*probe.columns, "__tag").withColumn(
+        value_col, F.lit(None).cast(b.schema[value_col].dataType)
+    ).unionByName(b, allowMissingColumns=True)
+
+    sw = F.when(
+        F.col("__tag") == 0,
+        F.struct(F.col(probe_ts).alias("bts"), F.col(value_col).alias("v")),
+    )
+    w_back = (
+        Window.partitionBy(on)
+        .orderBy(probe_ts, "__tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(on)
+        .orderBy(probe_ts, "__tag")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    if u.schema[probe_ts].dataType.simpleString().startswith("timestamp"):
+        def to_us(c):  # noqa: ANN001, ANN202
+            return F.unix_micros(c.cast("timestamp"))
+    else:
+        def to_us(c):  # noqa: ANN001, ANN202
+            return c.cast("long")
+
+    bk = F.last(sw, ignorenulls=True).over(w_back)
+    fw = F.first(sw, ignorenulls=True).over(w_fwd)
+    out = u.withColumn("__b", bk).withColumn("__f", fw)
+    gap_b = to_us(F.col(probe_ts)) - to_us(F.col("__b.bts"))
+    gap_f = to_us(F.col("__f.bts")) - to_us(F.col(probe_ts))
+    # tie (gap_b == gap_f) -> backward, i.e. the earlier build row
+    pick_b = F.col("__f").isNull() | (
+        F.col("__b").isNotNull() & (gap_b <= gap_f)
+    )
+    chosen = F.when(pick_b, F.col("__b")).otherwise(F.col("__f"))
+    gap = F.when(pick_b, gap_b).otherwise(gap_f)
+    val = F.col("__chosen.v")
+    if tolerance_us is not None:
+        val = F.when(F.col("__gap") <= tolerance_us, val)
+    return (
+        out.withColumn("__chosen", chosen)
+        .withColumn("__gap", gap)
+        .withColumn(value_col, F.when(F.col("__chosen").isNotNull(), val))
+        .filter(F.col("__tag") == 1)
+        .drop("__tag", "__b", "__f", "__chosen", "__gap")
     )
 
 

@@ -64,7 +64,7 @@ def test_asof_join_differential_vs_pandas(spark):
     rng = random.Random(20260813)
     for case in range(12):
         probe, build = _random_case(rng)
-        for direction in ("backward", "forward"):
+        for direction in ("backward", "forward", "nearest"):
             for tolerance_us in (None, 0, 5 * _US):
                 got = _spark_actual(spark, probe, build, direction, tolerance_us)
                 want = _pandas_expected(probe, build, direction, tolerance_us)
