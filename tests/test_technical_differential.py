@@ -1,0 +1,136 @@
+"""Differential testing of the technical-indicator windows against
+pandas — the reference implementation of rolling semantics
+(min_periods masking, sample std, SMA-based RSI) — on randomized
+multi-key series.  Catches frame off-by-ones the single-dataset oracle
+can't (both engines could share the same wrong frame)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pandas as pd
+
+_ALPHA, _L = 0.25, 10
+
+
+def _random_series(rng: random.Random):
+    rows = []
+    eid = 0
+    for k in range(rng.randint(1, 3)):
+        for _ in range(rng.randint(1, 40)):
+            rows.append((eid, k, eid * 1_000_000, round(rng.uniform(1, 100), 2)))
+            eid += 1
+    rng.shuffle(rows)
+    return rows
+
+
+def _spark_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, value double"
+    )
+
+
+def _run_query(fn, spark, rows, tmp_path, monkeypatch):
+    """Run a registered query function against an in-memory events table
+    by monkeypatching the loader."""
+    import stock_data_warehouse_analytics_spark.plans.technical as tech
+
+    df = _spark_df(spark, rows)
+    monkeypatch.setattr(tech, "load_table", lambda _s, _d, _n: df)
+    return fn(spark, "ignored")
+
+
+def test_bollinger_matches_pandas(spark, tmp_path, monkeypatch):
+    from stock_data_warehouse_analytics_spark.plans.technical import (
+        win_bollinger_bands,
+    )
+
+    rng = random.Random(1)
+    for _ in range(5):
+        rows = _random_series(rng)
+        got = {
+            r.event_id: (r.mid, r.upper_band, r.lower_band)
+            for r in _run_query(
+                win_bollinger_bands, spark, rows, tmp_path, monkeypatch
+            ).collect()
+        }
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "ts", "value"]
+        ).sort_values(["user_id", "ts", "event_id"])
+        g = pdf.groupby("user_id")["value"]
+        mid = g.transform(lambda s: s.rolling(20).mean())
+        sd = g.transform(lambda s: s.rolling(20).std())
+        for eid, m, s in zip(pdf.event_id, mid, sd):
+            gm, gu, gl = got[eid]
+            if math.isnan(m):
+                assert gm is None and gu is None and gl is None, eid
+            else:
+                assert abs(gm - m) < 1e-9, eid
+                assert abs(gu - (m + 2 * s)) < 1e-9, eid
+                assert abs(gl - (m - 2 * s)) < 1e-9, eid
+
+
+def test_rsi_matches_pandas(spark, tmp_path, monkeypatch):
+    from stock_data_warehouse_analytics_spark.plans.technical import win_rsi_cutler
+
+    rng = random.Random(2)
+    for _ in range(5):
+        rows = _random_series(rng)
+        got = {
+            r.event_id: r.rsi14
+            for r in _run_query(
+                win_rsi_cutler, spark, rows, tmp_path, monkeypatch
+            ).collect()
+        }
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "ts", "value"]
+        ).sort_values(["user_id", "ts", "event_id"])
+
+        def rsi(s: pd.Series) -> pd.Series:
+            d = s.diff()
+            gain = d.clip(lower=0).rolling(14).sum()
+            loss = (-d).clip(lower=0).rolling(14).sum()
+            out = 100 * gain / (gain + loss)
+            return out.where((gain + loss) != 0)
+
+        want = pdf.groupby("user_id")["value"].transform(rsi)
+        for eid, w in zip(pdf.event_id, want):
+            g = got[eid]
+            if pd.isna(w):
+                assert g is None, eid
+            else:
+                assert abs(g - w) < 1e-9, (eid, g, w)
+
+
+def test_ewma_matches_truncated_weights(spark, tmp_path, monkeypatch):
+    """The bounded-lookback EWMA equals the explicit L-term weighted
+    mean (the operator's contract — NOT pandas' infinite-history ewm,
+    from which it differs by the documented truncation tail)."""
+    from stock_data_warehouse_analytics_spark.plans.technical import win_ewma
+
+    rng = random.Random(3)
+    weights = [(1 - _ALPHA) ** j for j in range(_L)]
+    norm = sum(weights)
+    for _ in range(5):
+        rows = _random_series(rng)
+        got = {
+            r.event_id: r.ewma
+            for r in _run_query(
+                win_ewma, spark, rows, tmp_path, monkeypatch
+            ).collect()
+        }
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "ts", "value"]
+        ).sort_values(["user_id", "ts", "event_id"])
+        for _, grp in pdf.groupby("user_id"):
+            vals = list(grp.value)
+            eids = list(grp.event_id)
+            for i, eid in enumerate(eids):
+                if i < _L - 1:
+                    assert got[eid] is None, eid
+                else:
+                    want = (
+                        sum(w * vals[i - j] for j, w in enumerate(weights)) / norm
+                    )
+                    assert abs(got[eid] - want) < 1e-9, eid
