@@ -1,0 +1,266 @@
+"""Warehouse-ops batch 3: rule-based consistency audit, period-over-
+period growth, user lifecycle stages, and multimodal shard manifests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .exact import dsum, sql_dsum
+from .registry import register
+
+
+@register(
+    "dq_consistency_rules",
+    tags=("warehouse", "dq", "rules"),
+    oracle="""
+WITH joined AS (
+  SELECT l.l_quantity, l.l_discount, l.l_tax, l.l_extendedprice,
+         l.l_shipdate, o.o_orderdate
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+counted AS (
+  SELECT COUNT(*) AS n_checked,
+    CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS qty_nonpositive,
+    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS discount_out_of_range,
+    CAST(SUM(CASE WHEN l_tax < 0 OR l_tax > 0.08 THEN 1 ELSE 0 END) AS BIGINT)
+      AS tax_out_of_range,
+    CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS price_nonpositive,
+    CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS BIGINT)
+      AS shipped_before_ordered
+  FROM joined
+)
+SELECT r.rule, r.n_violations, counted.n_checked
+FROM counted
+CROSS JOIN LATERAL (VALUES
+  ('qty_nonpositive', qty_nonpositive),
+  ('discount_out_of_range', discount_out_of_range),
+  ('tax_out_of_range', tax_out_of_range),
+  ('price_nonpositive', price_nonpositive),
+  ('shipped_before_ordered', shipped_before_ordered)
+) AS r(rule, n_violations)
+ORDER BY r.rule
+""",
+)
+def dq_consistency_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-rule consistency audit — five cross-column rules
+    (non-positive quantities/prices, out-of-range discount/tax,
+    shipped-before-ordered) counted in ONE pass over the joined fact:
+    every rule is a conditional sum inside the same aggregate, so
+    adding a rule costs an expression, not a scan.  The lineitem-orders
+    join is the only shuffle (fact-to-fact equi-join on the order key);
+    the 5-row long-form report unpivots from the one counted row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    rules = {
+        "qty_nonpositive": F.col("l_quantity") <= 0,
+        "discount_out_of_range": (F.col("l_discount") < 0)
+        | (F.col("l_discount") > 0.1),
+        "tax_out_of_range": (F.col("l_tax") < 0) | (F.col("l_tax") > 0.08),
+        "price_nonpositive": F.col("l_extendedprice") <= 0,
+        "shipped_before_ordered": F.col("l_shipdate") < F.col("o_orderdate"),
+    }
+    counted = j.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+            for name, cond in rules.items()
+        ],
+    )
+    stacked = counted.select(
+        F.explode(
+            F.create_map(
+                *[x for name in rules for x in (F.lit(name), F.col(name))]
+            )
+        ).alias("rule", "n_violations"),
+        "n_checked",
+    )
+    return stacked.select("rule", "n_violations", "n_checked").orderBy("rule")
+
+
+@register(
+    "olap_period_over_period",
+    tags=("warehouse", "olap", "growth", "window"),
+    oracle=f"""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         {sql_dsum('o_totalprice')} AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+  (revenue - LAG(revenue, 1) OVER (ORDER BY month))
+    / LAG(revenue, 1) OVER (ORDER BY month) AS mom_pct,
+  (revenue - LAG(revenue, 12) OVER (ORDER BY month))
+    / LAG(revenue, 12) OVER (ORDER BY month) AS yoy_pct
+FROM monthly
+ORDER BY month
+""",
+)
+def olap_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth — the
+    generalization of the reference's yearly-growth unstack
+    (olap_analysis.py:46-48) to the standard finance pair.  Monthly
+    rollup first (one shuffle over facts), then lag-1/lag-12 over the
+    MONTH table — bounded by the calendar span, so the unpartitioned
+    window is a few-dozen-row final stage at any data size."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        dsum("o_totalprice").alias("revenue")
+    )
+    w = Window.orderBy("month")
+    mom_prev = F.lag("revenue", 1).over(w)
+    yoy_prev = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        ((F.col("revenue") - mom_prev) / mom_prev).alias("mom_pct"),
+        ((F.col("revenue") - yoy_prev) / yoy_prev).alias("yoy_pct"),
+    ).orderBy("month")
+
+
+_NEW_DAYS, _CHURN_DAYS = 7, 14
+
+
+@register(
+    "events_user_lifecycle",
+    tags=("behavioral", "lifecycle", "agg"),
+    oracle=f"""
+WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+users AS (
+  SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+         COUNT(*) AS n_events,
+         COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days
+  FROM events GROUP BY user_id
+),
+staged AS (
+  SELECT CASE
+           WHEN date_diff('day', first_ts, (SELECT max_ts FROM mx)) < {_NEW_DAYS}
+             THEN 'new'
+           WHEN date_diff('day', last_ts, (SELECT max_ts FROM mx)) > {_CHURN_DAYS}
+             THEN 'churned'
+           ELSE 'active'
+         END AS stage,
+         n_events, n_active_days
+  FROM users
+)
+SELECT stage,
+       COUNT(*) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       CAST(SUM(n_active_days) AS BIGINT) AS total_active_days
+FROM staged
+GROUP BY stage
+ORDER BY stage
+""",
+)
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User lifecycle staging — new (< {_NEW_DAYS}d tenure), churned
+    (> {_CHURN_DAYS}d silent), else active — relative to the corpus
+    watermark, with per-stage event and active-day mass.  All
+    comparisons are integer day arithmetic against one broadcast
+    watermark row; two shuffles (user rollup, 3-row stage rollup)."""
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("max_ts"))
+    users = (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(F.col("ts").cast("date")).alias("n_active_days"),
+            F.max("max_ts").alias("max_ts"),
+        )
+    )
+    stage = (
+        F.when(F.datediff(F.col("max_ts"), F.col("first_ts")) < _NEW_DAYS, "new")
+        .when(F.datediff(F.col("max_ts"), F.col("last_ts")) > _CHURN_DAYS, "churned")
+        .otherwise("active")
+    )
+    return (
+        users.select(
+            stage.alias("stage"), "n_events", "n_active_days"
+        )
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").alias("total_events"),
+            F.sum("n_active_days").alias("total_active_days"),
+        )
+        .orderBy("stage")
+    )
+
+
+_SHARD_BYTES = 16 * 1024
+
+
+@register(
+    "multimodal_shard_manifest",
+    tags=("llm", "multimodal", "packing", "manifest"),
+    oracle=f"""
+WITH blobs AS (
+  SELECT doc_id, source, octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+packed AS (
+  SELECT source, doc_id, n_bytes,
+    CAST(FLOOR((CAST(SUM(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                - n_bytes) / {_SHARD_BYTES}) AS BIGINT) AS shard
+  FROM blobs
+)
+SELECT source, shard,
+       COUNT(*) AS n_blobs,
+       CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY source, shard
+ORDER BY source, shard
+""",
+)
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export shard manifest: blobs packed into ~{_SHARD_BYTES}-byte
+    shards per source by running byte total (shard = cumulative-bytes-
+    before ÷ target), the step that turns a blob table into bounded
+    training-archive files.  One window pass per source — the same
+    stance as pack_training_sequences; at extreme per-source volume
+    you'd range-partition by (source, doc_id) and offset per range
+    (two-pass), noted here rather than built because the window form
+    is the right default."""
+    from ..operators.multimodal import attach_blob
+
+    d = load_table(spark, sf_dir, "documents")
+    blobs = attach_blob(d).select(
+        "doc_id", F.col("meta.source").alias("source"), F.col("meta.n_bytes").alias("n_bytes")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = blobs.select(
+        "source",
+        "doc_id",
+        "n_bytes",
+        F.floor((F.sum("n_bytes").over(w) - F.col("n_bytes")) / _SHARD_BYTES)
+        .cast("long")
+        .alias("shard"),
+    )
+    return (
+        packed.groupBy("source", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum("n_bytes").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "shard")
+    )

@@ -151,6 +151,14 @@ _BOUNDED_SINGLE_PARTITION = {
     "sketch_bloom_membership",
     # growth curve: window over a FIXED 16-point histogram
     "docs_vocab_growth",
+    # one-row global aggregates (rule report, histogram bounds/terms,
+    # watermark row, grand mean) — partial aggregation upstream
+    "dq_consistency_rules",
+    "dq_distribution_drift",
+    "events_user_lifecycle",
+    "mining_seasonal_indices",
+    # calendar-bounded month table window (like win_rolling_corr_daily)
+    "olap_period_over_period",
     # count-of-counts window: distinct frequency values are ≤ √(2·rows)
     # (c1<c2<…<ck distinct counts sum ≤ rows ⇒ k(k+1)/2 ≤ rows), so the
     # single partition holds ~1.4M tiny rows even at 10^12 input rows
