@@ -157,6 +157,8 @@ _BOUNDED_SINGLE_PARTITION = {
     "dq_distribution_drift",
     "events_user_lifecycle",
     "mining_seasonal_indices",
+    "behavior_session_conversion",
+    "mining_churn_features",  # one-row watermark agg broadcast back
     # calendar-bounded month table window (like win_rolling_corr_daily)
     "olap_period_over_period",
     # count-of-counts window: distinct frequency values are ≤ √(2·rows)
