@@ -139,3 +139,43 @@ def stream_tumbling_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "rk")
     )
+
+
+_HOURS = list(range(24))
+
+
+@register(
+    "olap_activity_heatmap",
+    tags=("behavioral", "olap", "pivot", "heatmap"),
+    oracle="""
+SELECT dayofweek(ts) AS dow,
+       {cols}
+FROM events
+GROUP BY dow
+ORDER BY dow
+""".format(
+        cols=",\n       ".join(
+            f"CAST(SUM(CASE WHEN hour(ts) = {h} THEN 1 ELSE 0 END) AS BIGINT) AS h{h:02d}"
+            for h in _HOURS
+        )
+    ),
+)
+def olap_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap — the wide pivot every usage
+    dashboard opens with (seasonal indices give the model; this gives
+    the picture).  A 7×24 integer matrix from ONE grouped pass with 24
+    conditional sums — same plan family as the explicit-values pivot
+    (A1-A3) but with fully static columns, so the aggregate needs no
+    pivot-value discovery pass.  Spark's 1-based dayofweek shifts to
+    DuckDB's 0-based convention."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy((F.dayofweek("ts") - 1).alias("dow"))
+        .agg(
+            *[
+                F.sum(F.when(F.hour("ts") == h, 1).otherwise(0)).alias(f"h{h:02d}")
+                for h in _HOURS
+            ]
+        )
+        .orderBy("dow")
+    )
