@@ -39,13 +39,26 @@ def main() -> None:
     # extend with any remaining registered queries (stable order)
     names += [n for n in sorted(qs) if n not in names]
     # --limit N / SPARK_GRAFT_BENCH_LIMIT: time only the first N names
-    # (headline first) — the output-contract test uses this; the driver
-    # always runs the full registry
+    # (headline first); --match SUBSTR: only names containing any given
+    # substring (repeatable, comma-separable) — the output-contract test
+    # uses --limit; the driver always runs the full registry
+    def _argval(flag: str) -> str:
+        idx = sys.argv.index(flag)
+        if idx + 1 >= len(sys.argv):
+            sys.exit(f"usage: bench.py [{flag} VALUE]  ({flag} needs a value)")
+        return sys.argv[idx + 1]
+
+    if "--match" in sys.argv:
+        pats = [p for p in _argval("--match").split(",") if p]
+        names = [n for n in names if any(p in n for p in pats)]
     limit = os.environ.get("SPARK_GRAFT_BENCH_LIMIT", "")
     if "--limit" in sys.argv:
-        limit = sys.argv[sys.argv.index("--limit") + 1]
+        limit = _argval("--limit")
     if limit:
-        names = names[: int(limit)]
+        try:
+            names = names[: int(limit)]
+        except ValueError:
+            sys.exit(f"usage: bench.py [--limit N]  (got --limit {limit!r})")
 
     qs["q1_pricing_summary"](spark, sf_dir).collect()  # warmup
 

@@ -16,13 +16,15 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_fingerprint, shingles, tokens
 
 __all__ = [
     "MINHASH_PRIME",
+    "MAX_DF_FLOOR",
+    "MAX_DF_FRAC_DEN",
     "minhash_params",
     "hash_int60",
     "exact_dedup_groups",
@@ -37,6 +39,17 @@ __all__ = [
 # Mersenne prime 2^31−1: keeps a·(h mod p)+b < 2^62 — no int64 overflow
 # in either engine, so the arithmetic is bit-identical cross-engine.
 MINHASH_PRIME = (1 << 31) - 1
+
+# Hot-shingle (stop-shingle) document-frequency cap: a shingle present in
+# more than max(MAX_DF_FLOOR, n_docs // MAX_DF_FRAC_DEN) documents is
+# dropped from the representation BEFORE any self-join.  Rationale: the
+# inverted-index join produces O(df²) candidate rows per shingle, so a
+# stop-word trigram with df ~ n is a quadratic blowup at 100 TB — and it
+# carries no discriminative signal anyway.  Integer-only arithmetic
+# (floor division) so the DuckDB oracle mirror is bit-identical:
+# ``(SELECT GREATEST(50, COUNT(*) // 100) FROM documents)``.
+MAX_DF_FLOOR = 50
+MAX_DF_FRAC_DEN = 100  # cap scales as 1% of the corpus
 
 
 def minhash_params(n: int) -> list[tuple[int, int]]:
@@ -67,24 +80,78 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingle_table(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
-    """(doc_id, shingle) long table of distinct word k-grams."""
-    return docs.select(
+def shingle_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    *,
+    max_df: int | str | None = "auto",
+) -> DataFrame:
+    """(doc_id, shingle) long table of distinct word k-grams, with
+    hot-shingle removal.
+
+    ``max_df`` — the document-frequency cap:
+
+    - ``"auto"`` (default): ``max(MAX_DF_FLOOR, n_docs // MAX_DF_FRAC_DEN)``
+      — shingles in more than 1% of the corpus (floor 50) are dropped.
+      The corpus size enters as a broadcast one-row aggregate (scalar-
+      subquery pattern), the per-shingle df as a single count-window
+      over the exploded table — one shuffle on ``shingle``, no join.
+    - an ``int``: explicit cap.
+    - ``None``: uncapped (the raw inverted index; only safe when the
+      vocabulary is known to be skew-free).
+
+    Recall effect of capping: a pair of documents whose overlap lies
+    ONLY in dropped stop-shingles loses candidacy, and similarity
+    scores are computed over the capped representation (slightly
+    different from raw Jaccard).  That is the intended semantics —
+    shingles shared by >1% of a corpus identify boilerplate, not
+    duplication.  Measured on a skewed corpus (one shingle with
+    df ≈ n) in ``tests/test_dedup_recall.py``."""
+    sh = docs.select(
         "doc_id", F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    )
+    if max_df is None:
+        return sh
+    df_col = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    if max_df == "auto":
+        n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+        cap = F.greatest(
+            F.lit(MAX_DF_FLOOR).cast("long"),
+            F.floor(F.col("n_docs") / F.lit(MAX_DF_FRAC_DEN)),
+        )
+        return (
+            sh.withColumn("df", df_col)
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("df") <= cap)
+            .select("doc_id", "shingle")
+        )
+    return (
+        sh.withColumn("df", df_col)
+        .filter(F.col("df") <= F.lit(int(max_df)))
+        .select("doc_id", "shingle")
     )
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, *, k: int = 3, threshold: float = 0.5, text_col: str = "text"
+    docs: DataFrame,
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    max_df: int | str | None = "auto",
 ) -> DataFrame:
     """n-gram Jaccard near-dup: inverted-index self-join on shingle →
     per-pair intersection count → |A∪B| from per-doc sizes.
 
     The shingle join is the scalable formulation (candidates only where
-    at least one shingle collides); at 100 TB you'd additionally cap
-    hot shingles (stop-shingle removal) — here the vocabulary is small
-    enough that the skew is bounded."""
-    sh = shingle_table(docs, text_col, k)
+    at least one shingle collides), and :func:`shingle_table`'s
+    document-frequency cap (default: df ≤ max(50, 1% of corpus)) bounds
+    the hot bucket: without it a stop-word shingle with df ~ n makes
+    the self-join O(n²) on exactly the keys that matter at 100 TB.
+    Jaccard is computed over the capped representation (sizes from the
+    same capped table) so the score and the candidacy agree."""
+    sh = shingle_table(docs, text_col, k, max_df=max_df)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = sh.alias("a")
@@ -115,12 +182,20 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, *, n_hashes: int = 16, k: int = 3, text_col: str = "text"
+    docs: DataFrame,
+    *,
+    n_hashes: int = 16,
+    k: int = 3,
+    text_col: str = "text",
+    max_df: int | str | None = "auto",
 ) -> DataFrame:
     """MinHash signatures: shingle → 60-bit hash → per-permutation
     ``(a·(h mod p) + b) mod p`` → min per doc.  One explode + one
-    grouped agg; signature is ``n_hashes`` long columns."""
-    sh = shingle_table(docs, text_col, k)
+    grouped agg; signature is ``n_hashes`` long columns.  Signatures
+    are taken over the df-capped shingle set (see
+    :func:`shingle_table`) so the sketch estimates Jaccard of the SAME
+    representation the exact paths use."""
+    sh = shingle_table(docs, text_col, k, max_df=max_df)
     hm = hash_int60(F.col("shingle")) % MINHASH_PRIME
     sig_cols = [
         F.min((F.lit(a) * hm + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
@@ -136,13 +211,16 @@ def minhash_candidate_pairs(
     bands: int = 4,
     k: int = 3,
     text_col: str = "text",
+    max_df: int | str | None = "auto",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature (rows = n/bands),
     hash each band, self-join per (band, band_hash) bucket.  Distinct
     pairs out; verification (true Jaccard) composes via
     :func:`ngram_jaccard_pairs` on the candidates."""
     rows = n_hashes // bands
-    sig = minhash_signatures(docs, n_hashes=n_hashes, k=k, text_col=text_col)
+    sig = minhash_signatures(
+        docs, n_hashes=n_hashes, k=k, text_col=text_col, max_df=max_df
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

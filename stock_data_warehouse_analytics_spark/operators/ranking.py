@@ -21,6 +21,12 @@ The cut points only steer load balance, never correctness: any cuts
 yield exact ranks (skewed cuts just unbalance bucket sizes).  Both
 driver collects are bounded by ``n_buckets``, independent of row count.
 
+Every helper here is EAGER: the cut sketch and the count/sum pass run
+as driver actions at call time, so the input plan executes twice before
+the returned DataFrame's own job — callers with expensive upstreams
+should localCheckpoint/cache the input first (or pass
+``checkpoint_input=True`` where offered).
+
 Reference parity: reproduces ``row_number()/ntile() OVER (ORDER BY …)``
 (reference pandas: rank()/qcut-style global orderings) without the
 single-partition plan.
@@ -253,6 +259,7 @@ def bucketed_global_cumsum(
     *,
     n_buckets: int = 32,
     cumsum_col: str = "global_cumsum",
+    checkpoint_input: bool = False,
 ) -> DataFrame:
     """Exact running total of ``value_col`` over the GLOBAL order given
     by ``order_cols`` — without the single-partition window.  Same
@@ -262,8 +269,20 @@ def bucketed_global_cumsum(
     accumulation — exact), each bucket windows over itself, and
     offset + within-bucket decimal cumsum equals the full decimal
     running total exactly (decimal addition is associative, unlike
-    float).  Output column is double."""
+    float).  Output column is double.
+
+    EAGER, like every helper in this module: two driver actions run at
+    CALL time (the percentile-cut sketch and the per-bucket sums), so
+    the input plan is scanned twice before the returned DataFrame ever
+    executes — three times total.  For an expensive or non-deterministic
+    upstream (where re-execution could make cuts and sums inconsistent),
+    pass ``checkpoint_input=True`` to materialize the input once
+    (``localCheckpoint``) and run all three passes from the
+    materialized copy."""
     from decimal import Decimal
+
+    if checkpoint_input:
+        df = df.localCheckpoint(eager=True)
 
     lead = order_cols[0]
     qs = [i / n_buckets for i in range(1, n_buckets)]

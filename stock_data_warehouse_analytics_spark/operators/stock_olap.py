@@ -9,7 +9,9 @@ half-even parity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import weakref
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.derivations import np_round, with_time_dims
@@ -29,10 +31,31 @@ def prepare_olap_frame(fact: DataFrame, min_year: int = 2024) -> DataFrame:
     return with_time_dims(fact.filter(F.year("Date") >= min_year))
 
 
+# Per-session memo of the pivot-value enumeration: the distinct-Ticker
+# scan is metadata-sized OUTPUT but a full-table scan per pivot call —
+# at 100× that is a real job per query invocation.  Keyed by the frame's
+# semanticHash (public API), verified with sameSemantics to rule out
+# hash collisions; entries die with their session (weak keys).
+_TICKER_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[int, tuple[DataFrame, list[str]]]]" = (
+    weakref.WeakKeyDictionary()
+)
+_TICKER_SCANS = [0]  # scan counter, observable by the plan-shape test
+
+
 def _tickers_of(df: DataFrame) -> list[str]:
     # Bounded dimension enumeration (A14): a handful of tickers; the
-    # collect is a metadata-sized read, mirroring pivot-values needs.
-    return sorted(r[0] for r in df.select("Ticker").distinct().collect())
+    # collect is a metadata-sized read, mirroring pivot-values needs —
+    # cached per (session, semantically-equal frame) so repeated pivot
+    # calls over the same fact cost ONE enumeration scan, not one each.
+    per_session = _TICKER_CACHE.setdefault(df.sparkSession, {})
+    key = df.semanticHash()
+    hit = per_session.get(key)
+    if hit is not None and df.sameSemantics(hit[0]):
+        return hit[1]
+    _TICKER_SCANS[0] += 1
+    tickers = sorted(r[0] for r in df.select("Ticker").distinct().collect())
+    per_session[key] = (df, tickers)
+    return tickers
 
 
 def quarterly_price(df: DataFrame, tickers: list[str] | None = None) -> DataFrame:

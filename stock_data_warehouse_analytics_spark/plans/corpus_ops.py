@@ -14,22 +14,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.dedup import hash_int60, shingle_table
+from ..operators.dedup import (
+    MAX_DF_FLOOR,
+    MAX_DF_FRAC_DEN,
+    hash_int60,
+    shingle_table,
+)
 from ..sources.tables import load_table
 from .exact import davg, dsum, sql_davg, sql_dsum
 from .registry import register
 
 _SQL_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
 
+# Mirror of operators.dedup.shingle_table(max_df="auto") — see
+# plans/llm_dedup.py for the capping rationale.
 _SQL_SHINGLES = f"""
 toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
-sh AS (
+sh_all AS (
   SELECT doc_id, unnest(
     CASE WHEN len(t) >= 3 THEN list_distinct(
            list_transform(generate_series(1, len(t) - 2),
                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
          ELSE [array_to_string(t, ' ')] END) AS shingle
   FROM toks
+),
+sh AS (
+  SELECT doc_id, shingle FROM sh_all
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle)
+          <= (SELECT GREATEST({MAX_DF_FLOOR}, COUNT(*) // {MAX_DF_FRAC_DEN})
+              FROM documents)
 )
 """
 
@@ -65,7 +78,8 @@ def text_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedded verbatim in a longer one has low Jaccard (union is big)
     but containment ≈ 1.  Same inverted-index shingle join as
     dedup_ngram_jaccard (candidates only where a shingle collides —
-    never all-pairs; hot-shingle capping is the 100 TB add-on), with
+    never all-pairs — and the df-capped shingle table bounds the hot
+    bucket, see operators.dedup.shingle_table), with
     the keep/drop boundary as an integer cross-multiply so no float
     threshold decides membership."""
     sh = shingle_table(load_table(spark, sf_dir, "documents"))

@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 
 from ..operators.graph import connected_components
 from ..operators.dedup import (
+    MAX_DF_FLOOR,
+    MAX_DF_FRAC_DEN,
     MINHASH_PRIME,
     exact_dedup_groups,
     minhash_candidate_pairs,
@@ -22,15 +24,25 @@ from .registry import register
 
 _SQL_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
 
+# Shingle CTE with the hot-shingle document-frequency cap (mirror of
+# operators.dedup.shingle_table(max_df="auto"): a shingle kept iff its
+# df <= max(MAX_DF_FLOOR, n_docs // MAX_DF_FRAC_DEN)).  Integer-only
+# arithmetic so the boundary is bit-identical cross-engine.
 _SQL_SHINGLES = f"""
 toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
-sh AS (
+sh_all AS (
   SELECT doc_id, unnest(
     CASE WHEN len(t) >= 3 THEN list_distinct(
            list_transform(generate_series(1, len(t) - 2),
                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
          ELSE [array_to_string(t, ' ')] END) AS shingle
   FROM toks
+),
+sh AS (
+  SELECT doc_id, shingle FROM sh_all
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle)
+          <= (SELECT GREATEST({MAX_DF_FLOOR}, COUNT(*) // {MAX_DF_FRAC_DEN})
+              FROM documents)
 )
 """
 
@@ -79,7 +91,11 @@ ORDER BY doc_a, doc_b
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs (threshold 0.5) via the
-    inverted-index shingle join."""
+    inverted-index shingle join, hot shingles (df > max(50, 1% of
+    corpus)) removed from the representation before the self-join —
+    the cap that keeps the join from going O(df²) on stop-shingles at
+    100 TB (no-op on this corpus: max df ≪ cap; skew behavior pinned
+    by tests/test_dedup_recall.py)."""
     d = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, k=3, threshold=0.5).orderBy("doc_a", "doc_b")
 

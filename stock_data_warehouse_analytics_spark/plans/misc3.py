@@ -74,8 +74,9 @@ def text_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash guarantee; this query MEASURES it on the actual corpus (the
     practice that separates a sketch you trust from one you hope).
     Candidates only — the truth join reuses the inverted-index shingle
-    path, never all-pairs; per-level means sum through scale-15
-    decimals."""
+    path (df-capped, see operators.dedup.shingle_table — signatures and
+    truth share the same capped representation), never all-pairs;
+    per-level means sum through scale-15 decimals."""
     d = load_table(spark, sf_dir, "documents")
     sh = shingle_table(d)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

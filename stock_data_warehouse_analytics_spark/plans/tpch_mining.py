@@ -182,3 +182,49 @@ def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.n_bytes").alias("n_bytes"),
         F.md5("payload").alias("payload_md5"),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_decode_stats",
+    tags=("llm", "multimodal", "binary", "decode"),
+    oracle="""
+WITH src AS (
+  SELECT doc_id, text,
+         CAST(4 + doc_id % 5 AS INT) AS w,
+         CAST(3 + doc_id % 4 AS INT) AS h
+  FROM documents WHERE length(text) > 0
+),
+px AS (
+  SELECT doc_id, w, h, w * h AS npx,
+         substr(repeat(text, CAST(CEIL(3.0 * w * h / length(text)) AS INT)),
+                1, 3 * w * h) AS buf
+  FROM src
+)
+SELECT doc_id, 'ppm' AS format, w AS width, h AS height,
+       CAST(npx AS BIGINT) AS n_pixels,
+       CAST(list_sum(list_transform(generate_series(0, npx - 1),
+                     i -> ascii(substr(buf, 3 * i + 1, 1)))) AS BIGINT) AS sum_r,
+       CAST(list_sum(list_transform(generate_series(0, npx - 1),
+                     i -> ascii(substr(buf, 3 * i + 2, 1)))) AS BIGINT) AS sum_g,
+       CAST(list_sum(list_transform(generate_series(0, npx - 1),
+                     i -> ascii(substr(buf, 3 * i + 3, 1)))) AS BIGINT) AS sum_b
+FROM px
+ORDER BY doc_id
+""",
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end-to-end: synthesize binary P6 PPM blobs
+    from the corpus with pure column expressions (encode_ppm — header +
+    raw RGB triplets, dimensions derived from doc_id), then DECODE them
+    with the pure-Python/numpy codec in an Arrow mapInPandas stage
+    (operators/multimodal.py: magic-byte parse, header scan, pixel-
+    buffer channel sums).  The oracle recomputes every statistic from
+    the construction *without* going through the codec, so a decoder
+    bug — header arithmetic, channel order, row layout — breaks the
+    hash compare.  Integer channel sums keep the compare exact.  At
+    100 TB: encode and decode are both map-only stages; the only
+    shuffle would be a downstream aggregate."""
+    from ..operators.multimodal import decode_image, encode_ppm
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_image(encode_ppm(d)).orderBy("doc_id")

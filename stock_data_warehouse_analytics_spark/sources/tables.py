@@ -73,12 +73,25 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer DIV keeps full precision (double division would lose
         # low bits of the ~1.7e18 nanos epoch).  The micros variant
         # just normalizes to timestamp_ntz.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Scope the legacy conf: the setting is global to the session, so
+        # restore it when the footer turns out to be micros (otherwise a
+        # later read of an unrelated TIMESTAMP(NANOS) file would silently
+        # surface bigint).  In the nanos case the conf MUST stay set —
+        # parquet schema conversion re-reads it at physical-plan time,
+        # so restoring it would break execution of the returned (lazy)
+        # DataFrame.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
         df = spark.read.parquet(path)
         if df.schema["ts"].dataType.simpleString() == "bigint":
             ts = F.expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz")
         else:
             ts = F.col("ts").cast("timestamp_ntz")
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         return df.withColumn("ts", ts).select(
             "event_id", "ts", "user_id", "event_type", "value", "props"
         )

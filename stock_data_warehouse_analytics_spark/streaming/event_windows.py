@@ -193,11 +193,26 @@ def click_purchase_interval_join(
     )
 
 
+def _watermark_hours(watermark: str) -> float:
+    """Parse a Spark watermark duration string ('2 hours', '30 minutes',
+    '90 seconds') to hours.  Raises on unsupported/ambiguous units
+    instead of silently defaulting (the silent 2-hour fallback made the
+    stream/batch equivalence comparison wrong for non-hour watermarks)."""
+    parts = watermark.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"unsupported watermark format: {watermark!r}")
+    per_hour = {"hour": 1.0, "minute": 60.0, "second": 3600.0}
+    unit = parts[1].lower().rstrip("s")
+    if unit not in per_hour:
+        raise ValueError(f"unsupported watermark unit: {watermark!r}")
+    return float(parts[0]) / per_hour[unit]
+
+
 def left_outer_final_output(
     events: DataFrame,
     *,
     within_minutes: int = 30,
-    watermark_hours: int = 2,
+    watermark_hours: float = 2,
 ) -> DataFrame:
     """Batch mirror of the stream-stream LEFT OUTER interval join's
     FINAL output.
@@ -214,10 +229,11 @@ def left_outer_final_output(
     joined = click_purchase_interval_join(
         events, within_minutes=within_minutes, how="left"
     )
+    wm_secs = int(round(watermark_hours * 3600))
     cutoff = events.agg(
         (
             F.max("ts")
-            - F.expr(f"INTERVAL {watermark_hours} HOURS")
+            - F.expr(f"INTERVAL {wm_secs} SECONDS")
             - F.expr(f"INTERVAL {within_minutes} MINUTES")
         ).alias("evict_before")
     )
@@ -231,7 +247,7 @@ def full_outer_final_output(
     events: DataFrame,
     *,
     within_minutes: int = 30,
-    watermark_hours: int = 2,
+    watermark_hours: float = 2,
 ) -> DataFrame:
     """Batch mirror of the stream-stream FULL OUTER interval join's
     final output.  Null-padded rows emit on state eviction, and the two
@@ -244,13 +260,14 @@ def full_outer_final_output(
     joined = click_purchase_interval_join(
         events, within_minutes=within_minutes, how="full"
     )
+    wm_secs = int(round(watermark_hours * 3600))
     cutoff = events.agg(
         (
             F.max("ts")
-            - F.expr(f"INTERVAL {watermark_hours} HOURS")
+            - F.expr(f"INTERVAL {wm_secs} SECONDS")
             - F.expr(f"INTERVAL {within_minutes} MINUTES")
         ).alias("click_evict_before"),
-        (F.max("ts") - F.expr(f"INTERVAL {watermark_hours} HOURS")).alias(
+        (F.max("ts") - F.expr(f"INTERVAL {wm_secs} SECONDS")).alias(
             "purchase_evict_before"
         ),
     )
@@ -328,7 +345,7 @@ def run_stream_stream_join(
     )
     q.awaitTermination()
     stream_result = spark.table(out_table)
-    wm_hours = int(watermark.split()[0]) if "hour" in watermark else 2
+    wm_hours = _watermark_hours(watermark)
     if how == "left":
         batch_result = left_outer_final_output(
             events, within_minutes=within_minutes, watermark_hours=wm_hours

@@ -102,3 +102,63 @@ def test_emb_neardup_lsh_subset_of_exact(spark):
     for pair, cos in lsh.items():
         assert pair in exact, f"LSH emitted pair absent from exact: {pair}"
         assert exact[pair] == cos, f"cosine mismatch on {pair}"
+
+
+def test_hot_shingle_cap_skewed_corpus(spark):
+    """The df-cap's scale contract on a corpus with one pathological
+    shingle family (df ≈ n): the inverted-index self-join's candidate
+    volume collapses from O(n²) to the true near-dup pairs, pairs with
+    any non-hot overlap are all still found (recall 1.0 there), and the
+    single deliberately-missed class — pairs similar ONLY through
+    stop-shingles — is exactly the documented recall trade."""
+    from stock_data_warehouse_analytics_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
+
+    hot = "the quick brown fox jumps over"  # 4 all-hot trigrams, df = n
+    rows = []
+    for i in range(300):
+        tail = " ".join(f"u{i}w{j}" for j in range(8))
+        rows.append((i, f"{hot} {tail}"))
+    # 10 planted near-dup pairs: same tail, last word changed
+    for i in range(10):
+        tail = " ".join(f"u{i}w{j}" for j in range(7)) + f" v{i}w7"
+        rows.append((1000 + i, f"{hot} {tail}"))
+    # a pair similar ONLY via the hot prefix (one unique word each)
+    rows.append((2000, f"{hot} zonlya"))
+    rows.append((2001, f"{hot} zonlyb"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])  # n = 312 → cap 50
+
+    def n_candidates(sh):
+        a, b = sh.alias("a"), sh.alias("b")
+        return (
+            a.join(b, "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .count()
+        )
+
+    # candidate-volume collapse: every doc shares the hot trigrams with
+    # every other, so uncapped candidacy is ~4·n²/2; capped is ~tail-only
+    uncapped_cand = n_candidates(shingle_table(docs, max_df=None))
+    capped_cand = n_candidates(shingle_table(docs))  # auto cap
+    assert uncapped_cand > 150_000, uncapped_cand
+    assert capped_cand < 500, capped_cand
+
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df=None).collect()
+    }
+
+    planted = {(i, 1000 + i) for i in range(10)}
+    assert planted <= set(capped), f"missed planted pairs: {planted - set(capped)}"
+    # recall 1.0 on every pair with non-hot support: capped finds
+    # everything uncapped found except the hot-only pair
+    assert set(uncapped) - set(capped) == {(2000, 2001)}
+    # and the hot-only pair is found by the uncapped join (so the miss
+    # is the cap's doing, not the threshold's)
+    assert (2000, 2001) in uncapped

@@ -3,6 +3,8 @@ plumbing, and ANN recall checks."""
 
 from __future__ import annotations
 
+import struct
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -346,6 +348,75 @@ def test_stream_stream_left_outer_equals_batch(spark, tmp_path):
     bb = {(r.click_id, r.purchase_id, r.user_id) for r in b.collect()}
     assert any(pid is None for _, pid, _ in bb), "expected evicted unmatched rows"
     assert ss == bb
+
+
+def test_image_codec_known_pixels(spark):
+    """The REAL codec against hand-built images with known pixels:
+    a P6 PPM with a comment in the header, and a bottom-up 24-bit BMP
+    whose 3-byte rows force stride padding — decoder must report exact
+    dimensions and channel sums (BGR→RGB and row-flip included)."""
+    from stock_data_warehouse_analytics_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    # 2x2 PPM, pixels (row-major): (1,2,3) (4,5,6) (7,8,9) (10,11,12)
+    ppm = b"P6\n# a comment\n2 2\n255\n" + bytes(range(1, 13))
+    # 1x2 BMP bottom-up: file row order is BOTTOM row first; stored BGR
+    # with rows padded to 4 bytes (1 px * 3 = 3 -> stride 4).
+    # logical top pixel = RGB(10,20,30), bottom = RGB(40,50,60)
+    def bmp_row(r, g, b):
+        return bytes([b, g, r]) + b"\x00"  # BGR + 1 pad byte
+
+    px_data = bmp_row(40, 50, 60) + bmp_row(10, 20, 30)  # bottom first
+    header = (
+        b"BM" + struct.pack("<IHHI", 14 + 40 + len(px_data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 1, 2, 1, 24, 0, len(px_data), 0, 0, 0, 0)
+    )
+    bmp = header + px_data
+
+    blobs = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(bmp))], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: r for r in decode_image(blobs).collect()}
+
+    p = rows[1]
+    assert (p.format, p.width, p.height, p.n_pixels) == ("ppm", 2, 2, 4)
+    assert (p.sum_r, p.sum_g, p.sum_b) == (1 + 4 + 7 + 10, 2 + 5 + 8 + 11, 3 + 6 + 9 + 12)
+    b = rows[2]
+    assert (b.format, b.width, b.height, b.n_pixels) == ("bmp", 1, 2, 2)
+    assert (b.sum_r, b.sum_g, b.sum_b) == (50, 70, 90)
+
+    # unknown magic fails loudly, not silently
+    bad = spark.createDataFrame(
+        [(3, bytearray(b"\x89PNG...."))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="unknown image magic"):
+        decode_image(bad).collect()
+
+
+def test_encode_decode_roundtrip_matches_construction(spark):
+    """encode_ppm → decode_image roundtrip on real corpus docs: the
+    decoder's channel sums must equal sums computed directly from the
+    text construction (independent of the codec path)."""
+    from stock_data_warehouse_analytics_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+    )
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMALL, "documents").limit(20)
+    docs = {r.doc_id: r.text for r in d.collect()}
+    got = {r.doc_id: r for r in decode_image(encode_ppm(d)).collect()}
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        w, h = 4 + doc_id % 5, 3 + doc_id % 4
+        need = w * h * 3
+        buf = (text * (need // len(text) + 1))[:need].encode()
+        r = got[doc_id]
+        assert (r.width, r.height) == (w, h), doc_id
+        assert r.sum_r == sum(buf[0::3]), doc_id
+        assert r.sum_g == sum(buf[1::3]), doc_id
+        assert r.sum_b == sum(buf[2::3]), doc_id
 
 
 def test_corpus_is_ascii_for_byte_char_slicing(spark):
