@@ -168,6 +168,29 @@ def win_rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_rsi_wilder",
+    oracle=None,  # sequential recurrence — no SQL oracle; substitute:
+    # tests/test_technical_differential.py::test_wilder_rsi_matches_explicit_recurrence
+    tags=("window", "technical", "recurrence", "rows-only"),
+)
+def win_rsi_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder's RSI-14 with TRUE recursive smoothing (the indicator
+    family member win_rsi_cutler's docstring deliberately excluded):
+    ``ewm(alpha=1/14, adjust=False)`` over the gain/loss split,
+    computed by the partitioned-sequential-scan operator
+    (operators/recurrence.py — groupBy(user).applyInPandas, one Arrow
+    pass per key, O(1) carry).  Rows-only by design: the recurrence
+    reaches every prior row, so no frame-aggregate SQL reproduces it;
+    the substitute check is the explicit-recurrence differential test
+    named above, plus the row-contract assertions there (null until 14
+    diffs, 100 on pure-gain prefixes, null on flat series)."""
+    from ..operators.recurrence import wilder_rsi
+
+    e = load_table(spark, sf_dir, "events")
+    return wilder_rsi(e).orderBy("user_id", "event_id")
+
+
+@register(
     "win_cumulative_distinct",
     tags=("window", "distinct", "cumsum"),
     oracle=f"""

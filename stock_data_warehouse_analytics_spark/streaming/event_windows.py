@@ -151,6 +151,101 @@ def streaming_session(
     )
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def streaming_session_windows(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    checkpoint_dir: str,
+    out_table: str = "stream_sessions",
+    gap_minutes: int = 10,
+    watermark: str = "30 minutes",
+    use_rocksdb: bool = True,
+):
+    """True Structured Streaming session windows: file source →
+    watermark → ``session_window`` agg → memory sink, with the RocksDB
+    state store provider — the production state backend for large
+    session state (spillable, incremental-checkpointing; the default
+    HDFS-backed provider keeps all state on-heap, which is the first
+    thing to fall over when millions of sessions are open).  The
+    provider is a per-query conf picked up at stream start; restored
+    by the caller (tests) after the run.
+
+    Append mode: a session emits only when the watermark passes its
+    end (last event + gap) — the batch twin of that final output is
+    :func:`session_final_output`."""
+    if use_rocksdb:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    from ..plans.exact import dsum
+
+    sw = F.session_window("ts", f"{gap_minutes} minutes")
+    stream = (
+        spark.readStream.schema(schema)
+        .json(source_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(sw.alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return (
+        stream.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def session_final_output(
+    events: DataFrame, *, gap_minutes: int = 10, watermark_hours: float = 0.5
+) -> DataFrame:
+    """Batch mirror of the streaming session-window run's FINAL output
+    (append mode): sessions whose end (last event + gap) the final
+    watermark — ``max(all ts) − watermark`` — has passed.  Sessions
+    still open at termination stay in state and never emit."""
+    from ..plans.exact import dsum
+
+    wm_secs = int(round(watermark_hours * 3600))
+    sw = F.session_window("ts", f"{gap_minutes} minutes")
+    sessions = (
+        events.groupBy(sw.alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    cutoff = events.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {wm_secs} SECONDS")).alias("final_wm")
+    )
+    return (
+        sessions.crossJoin(F.broadcast(cutoff))
+        .where(F.col("session_end") < F.col("final_wm"))
+        .drop("final_wm")
+    )
+
+
 def click_purchase_interval_join(
     events: DataFrame, *, within_minutes: int = 30, how: str = "inner"
 ) -> DataFrame:

@@ -42,6 +42,65 @@ def test_stream_batch_equivalence(spark, tmp_path):
     assert all((max_start - k[0]).total_seconds() <= 40 * 60 for k in missing)
 
 
+def test_streaming_session_windows_rocksdb_equals_batch(spark, tmp_path):
+    """True readStream session windows on the RocksDB state store:
+    every emitted session matches the batch session_window computation
+    bit-for-bit, the emitted set equals the watermark-closed set
+    (session_final_output), and the progress metrics prove RocksDB
+    actually backed the state (not the on-heap default)."""
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+    from stock_data_warehouse_analytics_spark.streaming.event_windows import (
+        session_final_output,
+        streaming_session_windows,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "src")
+    events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).coalesce(4).write.mode("overwrite").json(src)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    try:
+        q = streaming_session_windows(
+            spark,
+            src,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            gap_minutes=10,
+            watermark="30 minutes",
+        )
+        q.awaitTermination()
+        rocksdb_metrics = [
+            m
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+            for m in op.get("customMetrics", {})
+            if m.startswith("rocksdb")
+        ]
+        assert rocksdb_metrics, "RocksDB state store not engaged"
+        stream_rows = spark.table("stream_sessions").collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    batch_rows = session_final_output(
+        events, gap_minutes=10, watermark_hours=0.5
+    ).collect()
+    key_of = lambda r: (r.user_id, r.session_start, r.session_end)  # noqa: E731
+    s = {key_of(r): (r.n_events, round(r.total_value, 6)) for r in stream_rows}
+    b = {key_of(r): (r.n_events, round(r.total_value, 6)) for r in batch_rows}
+    assert len(s) > 0
+    assert s == b
+
+
 def test_sessionize_islands_matches_session_window(spark):
     from stock_data_warehouse_analytics_spark.sources.tables import load_table
     from stock_data_warehouse_analytics_spark.streaming.event_windows import (

@@ -134,3 +134,64 @@ def test_ewma_matches_truncated_weights(spark, tmp_path, monkeypatch):
                         sum(w * vals[i - j] for j, w in enumerate(weights)) / norm
                     )
                     assert abs(got[eid] - want) < 1e-9, eid
+
+
+def test_wilder_rsi_matches_explicit_recurrence(spark, tmp_path, monkeypatch):
+    """win_rsi_wilder vs an explicit Python recurrence loop (NOT the
+    same pandas ewm call the operator uses — an independent
+    implementation of adjust=False Wilder smoothing), plus the row
+    contract: null until 14 diffs, 100 on pure-gain series, null on
+    flat series."""
+    from stock_data_warehouse_analytics_spark.plans.technical import win_rsi_wilder
+
+    rng = random.Random(7)
+    for _ in range(5):
+        rows = _random_series(rng)
+        got = {
+            r.event_id: r.rsi
+            for r in _run_query(
+                win_rsi_wilder, spark, rows, tmp_path, monkeypatch
+            ).collect()
+        }
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "ts", "value"]
+        ).sort_values(["user_id", "ts", "event_id"])
+
+        def wilder_avg(xs):
+            # explicit adjust=False recurrence, NaN-skipping seed
+            alpha = 1.0 / 14
+            out, avg, n_seen = [], None, 0
+            for x in xs:
+                if math.isnan(x):
+                    out.append(float("nan"))
+                    continue
+                n_seen += 1
+                avg = x if avg is None else (1 - alpha) * avg + alpha * x
+                out.append(avg if n_seen >= 14 else float("nan"))
+            return out
+
+        for _uid, g in pdf.groupby("user_id"):
+            d = g["value"].diff().tolist()
+            ag = wilder_avg([max(x, 0.0) if not math.isnan(x) else x for x in d])
+            al = wilder_avg([max(-x, 0.0) if not math.isnan(x) else x for x in d])
+            for eid, a_g, a_l in zip(g.event_id, ag, al):
+                out = got[eid]
+                if math.isnan(a_g) or (a_g + a_l) == 0:
+                    assert out is None, (eid, out)
+                else:
+                    want = 100.0 * a_g / (a_g + a_l)
+                    assert abs(out - want) < 1e-9, (eid, out, want)
+
+    # contract rows: monotone-increasing series → RSI exactly 100;
+    # flat series → null
+    mono = [(i, 0, i * 1000, float(i)) for i in range(20)]
+    flat = [(100 + i, 1, i * 1000, 5.0) for i in range(20)]
+    got = {
+        r.event_id: r.rsi
+        for r in _run_query(
+            win_rsi_wilder, spark, mono + flat, tmp_path, monkeypatch
+        ).collect()
+    }
+    assert got[19] == 100.0
+    assert all(got[i] is None for i in range(14))  # <14 diffs
+    assert all(got[100 + i] is None for i in range(20))  # flat
