@@ -38,10 +38,14 @@ def connected_components(
     """(node, component) for every node appearing in ``edges``, where
     ``component`` is the minimum node id reachable via undirected
     paths.  Deterministic by construction (min over a set)."""
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    sym = sym.localCheckpoint(eager=True)
+    # materialize the edge list FIRST, then derive the symmetric
+    # closure from the checkpointed copy — a union of two selects over
+    # the raw plan would execute the (often expensive) upstream
+    # pair-generation twice
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
+    sym = fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
 
     labels = (
         sym.select(F.col("a").alias("node"))

