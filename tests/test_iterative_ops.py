@@ -123,3 +123,38 @@ def test_asof_tolerance_limits(spark):
         "left_semi",
     )
     assert matched.count() == eq_ts.count()
+
+
+def test_product_quantization_contract(spark):
+    """PQ contract (the rows-only substitute check cited in the query
+    docstring): all 8 subspaces present with codebooks no larger than
+    16, every subspace's reconstruction distortion strictly beats the
+    global-mean baseline (a 1-centroid codebook), and the fit is
+    deterministic (fixed seeds → identical distortion on re-run)."""
+    get_queries()
+    rows = {
+        r.subspace: r
+        for r in QUERIES["emb_product_quantization"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(rows) == set(range(8))
+
+    vecs = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, SF_SMALL, "embeddings")
+            .select("embedding")
+            .collect()
+        ]
+    )
+    for s, r in rows.items():
+        assert r.n_vectors == len(vecs)
+        assert 1 <= r.n_codes_used <= 16
+        sub = vecs[:, s * 8 : (s + 1) * 8]
+        baseline = float(((sub - sub.mean(axis=0)) ** 2).sum())
+        assert r.distortion < baseline, (s, r.distortion, baseline)
+
+    again = {
+        r.subspace: r.distortion
+        for r in QUERIES["emb_product_quantization"].fn(spark, SF_SMALL).collect()
+    }
+    assert again == {s: r.distortion for s, r in rows.items()}

@@ -172,6 +172,12 @@ _BOUNDED_SINGLE_PARTITION = {
     "dedup_ngram_jaccard",
     "text_dedup_containment",
     "text_minhash_calibration",
+    # theta sketch: every global agg here is over k=256-row sketch
+    # tables or one-row theta scalars — sketch-sized by construction
+    "sketch_theta_set_difference",
+    # octave window: ≤ 41 rows (one per rank octave; 2^41 ranks covers
+    # any vocabulary) — bounded like docs_vocab_growth's 16-point table
+    "text_zipf_octave_fit",
 }
 
 
