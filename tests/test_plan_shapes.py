@@ -178,6 +178,9 @@ _BOUNDED_SINGLE_PARTITION = {
     # octave window: ≤ 41 rows (one per rank octave; 2^41 ranks covers
     # any vocabulary) — bounded like docs_vocab_growth's 16-point table
     "text_zipf_octave_fit",
+    # PQ: eight one-row per-subspace report aggregates unioned —
+    # partial aggregation upstream, one row each crosses the exchange
+    "emb_product_quantization",
 }
 
 
