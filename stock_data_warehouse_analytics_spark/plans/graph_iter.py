@@ -162,3 +162,90 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), F.col("rank").alias("rank_micro"))
         .orderBy(F.desc("rank_micro"), "nation")
     )
+
+
+def _sql_triangles() -> str:
+    from .llm_dedup import _sql_minhash_ctes
+
+    return f"""
+WITH {_sql_minhash_ctes()},
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT doc_a AS node FROM pairs
+    UNION ALL SELECT doc_b FROM pairs
+  ) GROUP BY node
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM pairs) AS n_edges,
+       (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT n_triangles FROM tri) AS n_triangles,
+       3.0 * (SELECT n_triangles FROM tri)
+         / (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg)
+         AS clustering_coefficient
+"""
+
+
+@register(
+    "graph_triangle_count",
+    tags=("graph", "triangle", "dedup", "quality"),
+    oracle=_sql_triangles(),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the near-dup candidate graph — the cluster-
+    cohesion diagnostic for dedup quality: a high global clustering
+    coefficient (3·triangles / wedges) means LSH candidates form tight
+    cliques (true duplicate groups); a low one means chains of
+    borderline pairs that connected-components would glue into
+    accidental mega-clusters.  Algorithm: the standard distributed
+    formulation over canonically-ordered edges (doc_a < doc_b, so each
+    triangle a<b<c is counted exactly once) — one self-join to form
+    wedges, one membership join to close them; shuffle volume
+    O(Σ deg²) with NO direction-doubling.  Degrees/wedges come from one
+    grouped count.  The one-row report aggregates are sketch-sized."""
+    from ..operators.dedup import minhash_candidate_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = minhash_candidate_pairs(d, n_hashes=16, bands=4).localCheckpoint(
+        eager=True
+    )
+    deg = (
+        edges.select(F.col("doc_a").alias("node"))
+        .unionByName(edges.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (
+                3.0 * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double")
+            ).alias("clustering_coefficient"),
+        )
+    )

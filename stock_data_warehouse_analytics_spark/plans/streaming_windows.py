@@ -220,3 +220,37 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(
         F.col("click_id").asc_nulls_last(), F.col("purchase_id").asc_nulls_last()
     )
+
+
+_US_6H = 6 * 3600 * 1_000_000
+
+
+@register(
+    "stream_static_enrich",
+    tags=("streaming", "join", "static", "enrichment"),
+    oracle=f"""
+SELECT
+  make_timestamp((epoch_us(e.ts) // {_US_6H}) * {_US_6H}) AS window_start,
+  c.c_mktsegment AS segment,
+  COUNT(*) AS n,
+  {sql_dsum('e.value')} AS total_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the streaming fact joined to a
+    broadcast dimension (customer segment) before a windowed rollup —
+    the canonical enrich-then-aggregate streaming topology (the static
+    side needs NO watermark or state: Spark re-broadcasts it per
+    micro-batch).  This registered plan is the exact batch twin of the
+    readStream pipeline asserted equal in
+    tests/test_streaming_multimodal.py::test_stream_static_enrich_equals_batch;
+    the dimension is broadcast (dims fit; facts never shuffle for the
+    join) and the only shuffle is the windowed aggregation."""
+    from ..streaming.event_windows import static_enriched_agg
+
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    return static_enriched_agg(e, c)

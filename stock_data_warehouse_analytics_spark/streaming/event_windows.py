@@ -489,3 +489,64 @@ def run_stream_batch_equiv(
         )
     )
     return stream_result, batch_result
+
+
+def static_enriched_agg(
+    events: DataFrame,
+    customer: DataFrame,
+    hours: int = 6,
+    *,
+    ordered: bool = True,
+) -> DataFrame:
+    """Enrich-then-aggregate: join the (possibly streaming) events frame
+    to the static customer dimension on user_id = c_custkey (broadcast —
+    the static side of a stream-static join holds no state), then a
+    tumbling event-time window per market segment.  The identical
+    expression runs under readStream (see streaming_static_enrich) with
+    ``ordered=False`` — append-mode streams cannot sort."""
+    from ..plans.exact import dsum
+
+    dim = customer.select("c_custkey", F.col("c_mktsegment").alias("segment"))
+    win = F.window("ts", f"{hours} hours")
+    out = (
+        events.join(F.broadcast(dim), events["user_id"] == dim["c_custkey"])
+        .groupBy(win.alias("w"), "segment")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "segment", "n", "total_value"
+        )
+    )
+    return out.orderBy("window_start", "segment") if ordered else out
+
+
+def streaming_static_enrich(
+    spark: SparkSession,
+    source_dir: str,
+    customer: DataFrame,
+    *,
+    checkpoint_dir: str,
+    out_table: str = "stream_enriched",
+    hours: int = 6,
+    watermark: str = "30 minutes",
+):
+    """True readStream version of :func:`static_enriched_agg`: file
+    source → watermark → broadcast static-dim join → tumbling window
+    agg → memory sink (append)."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .json(source_dir)
+        .withWatermark("ts", watermark)
+    )
+    out = static_enriched_agg(stream, customer, hours=hours, ordered=False)
+    return (
+        out.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -181,6 +181,9 @@ _BOUNDED_SINGLE_PARTITION = {
     # PQ: eight one-row per-subspace report aggregates unioned —
     # partial aggregation upstream, one row each crosses the exchange
     "emb_product_quantization",
+    # triangle report: one-row node/edge/wedge/triangle aggregates over
+    # the (bounded) candidate-pair graph — partial-agg upstream
+    "graph_triangle_count",
 }
 
 

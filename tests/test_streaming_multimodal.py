@@ -101,6 +101,48 @@ def test_streaming_session_windows_rocksdb_equals_batch(spark, tmp_path):
     assert s == b
 
 
+def test_stream_static_enrich_equals_batch(spark, tmp_path):
+    """readStream + broadcast static-dim join + windowed agg must equal
+    the registered batch twin for every watermark-closed window."""
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+    from stock_data_warehouse_analytics_spark.streaming.event_windows import (
+        static_enriched_agg,
+        streaming_static_enrich,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    customer = load_table(spark, SF_SMALL, "customer")
+    src = str(tmp_path / "src")
+    events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).coalesce(4).write.mode("overwrite").json(src)
+
+    q = streaming_static_enrich(
+        spark, src, customer, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    s = {
+        (r.window_start, r.segment): (r.n, round(r.total_value, 6))
+        for r in spark.table("stream_enriched").collect()
+    }
+    b = {
+        (r.window_start, r.segment): (r.n, round(r.total_value, 6))
+        for r in static_enriched_agg(events, customer).collect()
+    }
+    assert len(s) > 0
+    for key, val in s.items():
+        assert b[key] == val
+    # only the final (watermark-open) windows may be missing
+    missing = set(b) - set(s)
+    max_start = max(k[0] for k in b)
+    assert all(k[0] == max_start for k in missing), missing
+
+
 def test_sessionize_islands_matches_session_window(spark):
     from stock_data_warehouse_analytics_spark.sources.tables import load_table
     from stock_data_warehouse_analytics_spark.streaming.event_windows import (
