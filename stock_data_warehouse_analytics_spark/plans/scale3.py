@@ -350,3 +350,63 @@ def emb_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(DataFrame.unionByName, per_sub).orderBy("subspace")
+
+
+# -------------------------------------------------------------- z-order
+
+from ..operators.layout import morton_code_16, sql_morton_16  # noqa: E402
+
+_Z_BUCKET_SHIFT = 24  # 32-bit code >> 24 → 256 coarse z-buckets
+
+
+@register(
+    "olap_zorder_bucket_stats",
+    tags=("olap", "layout", "zorder", "data-skipping"),
+    oracle=f"""
+WITH coded AS (
+  SELECT l_orderkey, l_partkey,
+         {sql_morton_16("(l_orderkey & 65535)", "(l_partkey & 65535)")} AS z
+  FROM lineitem
+)
+SELECT z >> {_Z_BUCKET_SHIFT} AS z_bucket,
+       COUNT(*) AS n_rows,
+       MIN(l_orderkey & 65535) AS min_ok, MAX(l_orderkey & 65535) AS max_ok,
+       MIN(l_partkey & 65535) AS min_pk, MAX(l_partkey & 65535) AS max_pk
+FROM coded
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def olap_zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering statistics — the `OPTIMIZE ZORDER BY`
+    primitive: interleave the low 16 bits of (l_orderkey, l_partkey)
+    into a 32-bit space-filling-curve code (pure int64 shift/mask/or —
+    exact, oracle-mirrored with identical constants), then show that
+    every coarse z-bucket bounds BOTH dimensions (min/max per bucket):
+    files written in z-order carry tight footer stats on every
+    participating column, so scans prune on either predicate — the
+    multi-dimensional data-skipping story single-column sort cannot
+    give.  The measured file-level skipping effect is pinned in
+    tests/test_storage_layout.py::test_zorder_write_bounds_both_dims.
+    One shuffle (the bucket groupBy); the code itself is map-only."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ok = F.col("l_orderkey").bitwiseAND(F.lit(65535))
+    pk = F.col("l_partkey").bitwiseAND(F.lit(65535))
+    coded = li.select(
+        ok.alias("ok"),
+        pk.alias("pk"),
+        morton_code_16(ok, pk).alias("z"),
+    )
+    return (
+        coded.groupBy(
+            F.shiftright("z", _Z_BUCKET_SHIFT).alias("z_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ok").alias("min_ok"),
+            F.max("ok").alias("max_ok"),
+            F.min("pk").alias("min_pk"),
+            F.max("pk").alias("max_pk"),
+        )
+        .orderBy("z_bucket")
+    )

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..sources.tables import register_views
+from ..sources.tables import load_table, register_views
 from .exact import sql_dsum
 from .registry import register
 
@@ -217,4 +217,61 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(mixed).alias("max_mix"),
         )
         .orderBy("bucket")
+    )
+
+
+@register(
+    "sql_udtf_polymorphic",
+    tags=("sql", "udtf", "polymorphic", "analyze"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       toks[1] AS tok1, toks[2] AS tok2, toks[3] AS tok3,
+       CAST(len(toks) AS BIGINT) AS n_tokens
+FROM t
+ORDER BY doc_id
+""",
+)
+def sql_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF — the Spark 4 table-function surface
+    where ``analyze()`` computes the OUTPUT SCHEMA from the call's
+    literal arguments at plan time: ``lead_tokens(text, k)`` returns k
+    token columns (tok1…tokk) plus a count, so the same function serves
+    any width without code changes (the static-schema cousin is
+    text_sentences_udtf).  The UDTF itself is deterministic whitespace
+    tokenization, so the LATERAL result is oracle-exact.  Arrow-batched
+    like every Python UDTF; per-row fan-out stays map-side."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    class LeadTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            n = int(k.value)
+            fields = [
+                StructField(f"tok{i + 1}", StringType()) for i in range(n)
+            ] + [StructField("n_tokens", LongType())]
+            return AnalyzeResult(StructType(fields))
+
+        def eval(self, text: str, k: int):
+            toks = [t for t in (text or "").strip().lower().split() if t]
+            lead = [toks[i] if i < len(toks) else None for i in range(int(k))]
+            yield (*lead, len(toks))
+
+    spark.udtf.register("lead_tokens", udtf(LeadTokens))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_docs_poly")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.tok1, t.tok2, t.tok3, t.n_tokens
+        FROM _docs_poly d, LATERAL lead_tokens(d.text, 3) t
+        ORDER BY d.doc_id
+        """
     )
