@@ -184,6 +184,9 @@ _BOUNDED_SINGLE_PARTITION = {
     # triangle report: one-row node/edge/wedge/triangle aggregates over
     # the (bounded) candidate-pair graph — partial-agg upstream
     "graph_triangle_count",
+    # CM join-size report: one-row min-of-4-dots estimate and one-row
+    # exact join size — sketch-cell (1024-row) and partial-agg inputs
+    "sketch_join_size_estimate",
 }
 
 
