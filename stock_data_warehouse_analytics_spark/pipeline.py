@@ -5,9 +5,11 @@ reference's three scripts:
 - ``run_olap``   ≙ ``python olap_analysis.py`` result tables (olap_results/01–04)
 - ``run_mining`` ≙ ``python datamining_analysis.py`` (datamining_results/01–04)
 
-Chart rendering (matplotlib/plotly PNGs) is presentation, not engine
-(SURVEY.md §2.1 S8) — the result *tables* are the contract, and every
-one matches the reference's committed goldens (tests/test_pipeline_cli.py).
+Chart PNGs (S8) render too — ``run_charts`` ≙ the chart set of
+``olap_analysis.py:80-184`` via the dependency-free PNG encoder in
+``sources/charts.py`` (matplotlib is absent here).  The result *tables*
+remain the primary contract and every one matches the reference's
+committed goldens (tests/test_pipeline_cli.py).
 
 CLI:  python -m stock_data_warehouse_analytics_spark all \\
           --input /root/reference/stock_data --output /tmp/out
@@ -22,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .schemas import TICKERS
 from .sources.stock_csv import load_stock_facts, write_csv_single
 
-__all__ = ["run_etl", "run_olap", "run_mining", "main"]
+__all__ = ["run_etl", "run_olap", "run_mining", "run_charts", "main"]
 
 
 def run_etl(
@@ -95,13 +97,92 @@ def run_mining(spark: SparkSession, fact: DataFrame, results_dir: str) -> None:
     )
 
 
+def run_charts(spark: SparkSession, fact: DataFrame, charts_dir: str) -> list[str]:
+    """Chart PNG sinks (S8 — olap_analysis.py:80-184's chart set,
+    rendered by the dependency-free encoder in sources/charts.py):
+    per-ticker price-trend line, quarterly-avg-price bar, monthly-avg-
+    volume bar, plus the combined monthly-close multi-line.  All chart
+    inputs are REPORT-grain aggregates collected to the driver (the
+    reference renders from the same pivoted tables); raw facts never
+    leave the executors.  Returns the written paths."""
+    from .operators.stock_olap import monthly_close_pivot, prepare_olap_frame
+    from .sources.charts import bar_chart, line_chart
+
+    os.makedirs(charts_dir, exist_ok=True)
+    df = prepare_olap_frame(fact)
+    written: list[str] = []
+
+    def save(canvas, name: str) -> None:
+        path = os.path.join(charts_dir, name)
+        with open(path, "wb") as f:
+            f.write(canvas.png())
+        written.append(path)
+
+    def month_fmt(ordinal: float) -> str:
+        import datetime
+
+        d = datetime.date.fromordinal(int(ordinal))
+        return f"{d.year}-{d.month:02d}"
+
+    from pyspark.sql import functions as F
+
+    tickers = sorted(
+        r[0] for r in df.select("Ticker").distinct().collect()
+    )
+    for t in tickers:
+        rows = (
+            df.filter(F.col("Ticker") == t)
+            .select("Date", "Close", "Year", "Quarter", "YearMonth", "Volume")
+            .orderBy("Date")
+            .collect()
+        )
+        pts = [(r.Date.toordinal(), r.Close) for r in rows]
+        save(
+            line_chart(
+                [(t, pts)], title=f"{t} PRICE TREND", x_fmt=month_fmt
+            ),
+            f"{t}_01_price_trend.png",
+        )
+        q: dict[str, list[float]] = {}
+        v: dict[str, list[float]] = {}
+        for r in rows:
+            q.setdefault(f"{r.Year}Q{r.Quarter}", []).append(r.Close)
+            v.setdefault(str(r.YearMonth), []).append(r.Volume)
+        save(
+            bar_chart(
+                list(q), [sum(x) / len(x) for x in q.values()],
+                title=f"{t} QUARTERLY AVG PRICE",
+            ),
+            f"{t}_02_quarterly_price.png",
+        )
+        save(
+            bar_chart(
+                [m[2:] for m in v], [sum(x) / len(x) for x in v.values()],
+                title=f"{t} MONTHLY AVG VOLUME",
+            ),
+            f"{t}_03_monthly_volume.png",
+        )
+    wide = monthly_close_pivot(df, tickers).collect()
+    series = []
+    for t in tickers:
+        pts = [
+            (float(i), r[t]) for i, r in enumerate(wide) if r[t] is not None
+        ]
+        series.append((t, pts))
+    save(
+        line_chart(series, title="MONTHLY AVG CLOSE - ALL TICKERS"),
+        "00_monthly_close_combined.png",
+    )
+    return written
+
+
 def main(argv: list[str] | None = None) -> None:
     import argparse
 
     from .session import get_spark
 
     p = argparse.ArgumentParser(prog="stock_data_warehouse_analytics_spark")
-    p.add_argument("stage", choices=["etl", "olap", "mining", "all"])
+    p.add_argument("stage", choices=["etl", "olap", "mining", "charts", "all"])
     p.add_argument("--input", required=True, help="raw stock_data dir")
     p.add_argument("--output", required=True, help="output root dir")
     args = p.parse_args(argv)
@@ -114,6 +195,8 @@ def main(argv: list[str] | None = None) -> None:
         run_olap(spark, fact, os.path.join(args.output, "olap_results"))
     if args.stage in ("mining", "all"):
         run_mining(spark, fact, os.path.join(args.output, "datamining_results"))
+    if args.stage in ("charts", "all"):
+        run_charts(spark, fact, os.path.join(args.output, "olap_charts"))
     spark.stop()
 
 
