@@ -295,3 +295,240 @@ def olap_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# -------------------------------------------- incremental / provenance
+
+from .llm_dedup import _sql_minhash_ctes  # noqa: E402
+
+_NEW_CUT_FRAC_DEN = 5  # last 1/5 of doc_ids = the "new batch"
+
+
+@register(
+    "dedup_incremental_new_batch",
+    tags=("llm", "dedup", "incremental", "minhash"),
+    oracle=f"""
+WITH {_sql_minhash_ctes()},
+cut AS (SELECT MAX(doc_id) - (MAX(doc_id) - MIN(doc_id)) // {_NEW_CUT_FRAC_DEN}
+          AS cut FROM documents),
+newb AS (SELECT doc_id, band, band_hash FROM banded CROSS JOIN cut
+         WHERE doc_id > cut),
+oldb AS (SELECT doc_id, band, band_hash FROM banded CROSS JOIN cut
+         WHERE doc_id <= cut),
+vs_corpus AS (
+  SELECT DISTINCT n.doc_id FROM newb n JOIN oldb o USING (band, band_hash)
+),
+within AS (
+  SELECT DISTINCT a.doc_id FROM newb a JOIN newb b USING (band, band_hash)
+  WHERE a.doc_id <> b.doc_id
+),
+tagged AS (
+  SELECT d.doc_id,
+         (v.doc_id IS NOT NULL) AS dup_vs_corpus,
+         (w.doc_id IS NOT NULL) AS dup_within_batch
+  FROM (SELECT doc_id FROM documents CROSS JOIN cut WHERE doc_id > cut) d
+  LEFT JOIN vs_corpus v USING (doc_id)
+  LEFT JOIN within w USING (doc_id)
+)
+SELECT dup_vs_corpus, dup_within_batch, COUNT(*) AS n_docs
+FROM tagged
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the shape a production pipeline actually
+    runs daily: only the NEW batch (here: the top 1/5 of doc_ids) is
+    signatured and checked, (a) against the EXISTING corpus's banded
+    MinHash index (new×old band join — at 100 TB the old side is a
+    precomputed, bucketed-by-band-hash table, so the join touches only
+    colliding buckets and the corpus is never re-deduplicated) and
+    (b) within the batch itself (new×new).  Report: new docs by
+    (dup-vs-corpus, dup-within-batch).  The full-corpus rerun this
+    replaces costs O(corpus) per day; the incremental form costs
+    O(batch + collisions)."""
+    from ..operators.dedup import minhash_signatures
+
+    d = load_table(spark, sf_dir, "documents")
+    cut = d.agg(
+        (
+            F.max("doc_id")
+            - F.floor(
+                (F.max("doc_id") - F.min("doc_id")) / _NEW_CUT_FRAC_DEN
+            )
+        ).alias("cut")
+    )
+    sig = minhash_signatures(d, n_hashes=16)
+    rows_per_band = 4
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(4)
+    ]
+    banded = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("doc_id", "bb.band", "bb.band_hash")
+        .crossJoin(F.broadcast(cut))
+    )
+    newb = banded.filter(F.col("doc_id") > F.col("cut")).drop("cut")
+    oldb = banded.filter(F.col("doc_id") <= F.col("cut")).drop("cut")
+    vs_corpus = (
+        newb.join(oldb.select("band", "band_hash").distinct(), ["band", "band_hash"])
+        .select("doc_id")
+        .distinct()
+        .withColumn("dup_vs_corpus", F.lit(True))
+    )
+    a, b = newb.alias("a"), newb.alias("b")
+    within = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("dup_within_batch", F.lit(True))
+    )
+    new_docs = (
+        d.select("doc_id").crossJoin(F.broadcast(cut)).filter(
+            F.col("doc_id") > F.col("cut")
+        )
+    )
+    return (
+        new_docs.join(vs_corpus, "doc_id", "left")
+        .join(within, "doc_id", "left")
+        .select(
+            F.coalesce("dup_vs_corpus", F.lit(False)).alias("dup_vs_corpus"),
+            F.coalesce("dup_within_batch", F.lit(False)).alias(
+                "dup_within_batch"
+            ),
+        )
+        .groupBy("dup_vs_corpus", "dup_within_batch")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("dup_vs_corpus", "dup_within_batch")
+    )
+
+
+@register(
+    "dedup_source_matrix",
+    tags=("llm", "dedup", "provenance"),
+    oracle=f"""
+WITH {_sql_minhash_ctes()},
+src AS (SELECT doc_id, source FROM documents)
+SELECT LEAST(sa.source, sb.source) AS source_x,
+       GREATEST(sa.source, sb.source) AS source_y,
+       COUNT(*) AS n_pairs
+FROM pairs p
+JOIN src sa ON sa.doc_id = p.doc_a
+JOIN src sb ON sb.doc_id = p.doc_b
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication PROVENANCE: the near-dup candidate pairs broken down
+    by unordered source pair — within-source duplication (mirrored
+    crawls) vs cross-source (syndication) demand different fixes, and
+    this matrix is the first question asked of any dedup report.  The
+    source dimension broadcasts; one grouped count over the pair
+    table."""
+    from ..operators.dedup import minhash_candidate_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(d, n_hashes=16, bands=4)
+    src = d.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_x", "source_y")
+    )
+
+
+# ------------------------------------------------------ quality yield
+
+_YIELD_THRESHOLDS = [i / 10 for i in range(10)]  # 0.0 … 0.9
+
+
+def _sql_yield() -> str:
+    from .llm_text2 import _sql_quality
+
+    # e-notation literals force DuckDB's DOUBLE strtod path (a bare
+    # decimal literal is DECIMAL-typed — the cookbook's literal trap)
+    cols = ",\n  ".join(
+        f"CAST(SUM(CASE WHEN q >= {t!r}e0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS s{i}"
+        for i, t in enumerate(_YIELD_THRESHOLDS)
+    )
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT {t!r}e0 AS threshold, s{i} AS n_survivors, n FROM wide"
+        for i, t in enumerate(_YIELD_THRESHOLDS)
+    )
+    return f"""
+q AS (SELECT ROUND({_sql_quality()}, 6) AS q FROM documents),
+wide AS (SELECT {cols}, COUNT(*) AS n FROM q),
+long AS (
+{rows}
+)
+SELECT threshold, n_survivors,
+       n_survivors::DOUBLE / n AS survival_rate
+FROM long
+ORDER BY threshold
+"""
+
+
+@register(
+    "docs_quality_yield_curve",
+    tags=("llm", "text", "quality", "yield"),
+    oracle=f"WITH {_sql_yield()}",
+)
+def docs_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold YIELD CURVE — how much corpus survives each
+    candidate quality floor (0.0 … 0.9): the tuning chart behind every
+    filter-threshold decision (trade data volume against quality).
+    ONE scan: ten conditional sums in a single aggregate, unpivoted to
+    rows driver-free; survival rates are exact two-integer divisions.
+    Complements docs_quality_gate (which applies ONE chosen floor)."""
+    from ..functions.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    q = F.round(quality_score(F.col("text")), 6)
+    wide = d.select(q.alias("q")).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(F.col("q") >= F.lit(t), 1).otherwise(0))
+            .cast("long")
+            .alias(f"s{i}")
+            for i, t in enumerate(_YIELD_THRESHOLDS)
+        ],
+    )
+    rows = [
+        F.struct(
+            F.lit(t).alias("threshold"), F.col(f"s{i}").alias("n_survivors")
+        )
+        for i, t in enumerate(_YIELD_THRESHOLDS)
+    ]
+    return (
+        wide.select("n", F.explode(F.array(*rows)).alias("r"))
+        .select(
+            "r.threshold",
+            "r.n_survivors",
+            (F.col("r.n_survivors").cast("double") / F.col("n")).alias(
+                "survival_rate"
+            ),
+        )
+        .orderBy("threshold")
+    )

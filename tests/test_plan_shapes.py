@@ -187,6 +187,13 @@ _BOUNDED_SINGLE_PARTITION = {
     # CM join-size report: one-row min-of-4-dots estimate and one-row
     # exact join size — sketch-cell (1024-row) and partial-agg inputs
     "sketch_join_size_estimate",
+    # one-row scalars by construction: the batch-cutoff max/min agg and
+    # the shingle-cap corpus count (incremental dedup), the df-cap
+    # scalar (source matrix), the single wide conditional-sum row that
+    # the yield curve unpivots — partial aggregation upstream in all
+    "dedup_incremental_new_batch",
+    "dedup_source_matrix",
+    "docs_quality_yield_curve",
 }
 
 
