@@ -31,6 +31,7 @@ __all__ = [
     "shingle_table",
     "ngram_jaccard_pairs",
     "minhash_signatures",
+    "banded_signatures",
     "minhash_candidate_pairs",
     "simhash",
     "simhash_near_pairs",
@@ -204,7 +205,7 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*sig_cols)
 
 
-def minhash_candidate_pairs(
+def banded_signatures(
     docs: DataFrame,
     *,
     n_hashes: int = 16,
@@ -213,10 +214,10 @@ def minhash_candidate_pairs(
     text_col: str = "text",
     max_df: int | str | None = "auto",
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs: band the signature (rows = n/bands),
-    hash each band, self-join per (band, band_hash) bucket.  Distinct
-    pairs out; verification (true Jaccard) composes via
-    :func:`ngram_jaccard_pairs` on the candidates."""
+    """(doc_id, band, band_hash) — the LSH band INDEX over MinHash
+    signatures: the table a production pipeline persists (bucketed by
+    (band, band_hash)) so that batch self-joins AND incremental
+    new-vs-corpus probes are bucket-local lookups."""
     rows = n_hashes // bands
     sig = minhash_signatures(
         docs, n_hashes=n_hashes, k=k, text_col=text_col, max_df=max_df
@@ -232,9 +233,27 @@ def minhash_candidate_pairs(
         )
         for b in range(bands)
     ]
-    banded = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", "bb.band", "bb.band_hash")
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    *,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    text_col: str = "text",
+    max_df: int | str | None = "auto",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature (rows = n/bands),
+    hash each band, self-join per (band, band_hash) bucket.  Distinct
+    pairs out; verification (true Jaccard) composes via
+    :func:`ngram_jaccard_pairs` on the candidates."""
+    banded = banded_signatures(
+        docs, n_hashes=n_hashes, bands=bands, k=k, text_col=text_col, max_df=max_df
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, on=["band", "band_hash"])

@@ -182,32 +182,29 @@ def fit_ivf_quantizer(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
-    """Fit the IVF coarse quantizer ONCE: ``pyspark.ml`` KMeans
-    (scalable k-means|| init) over the normalized corpus.  Returns
-    ``(assigned, centers_df)`` — the cell-assigned corpus (lazy,
-    map-side transform) and the k×dim centroid table (the only state
-    that ever reaches the driver, bounded by construction).
+    """Fit the IVF coarse quantizer ONCE — the custom distributed Lloyd
+    trainer (``operators/kmeans.py``: one Arrow scan per iteration,
+    driver state = the k×dim centroid array, deterministic md5-hash
+    seeding; replaced ``pyspark.ml.KMeans``, whose per-fit fixed
+    overhead dominated codebook-sized fits).  Returns
+    ``(assigned, centers_df)`` — the cell-assigned corpus and the k×dim
+    centroid table (the only state that ever reaches the driver,
+    bounded by construction).  ``seed`` is accepted for signature
+    stability but unused: seeding is hash-deterministic, no RNG.
 
     At scale the quantizer is fit once (typically on a sample) and
     reused across every query batch; ``topk_ivf_probe`` is the
     per-batch path.  In a real deployment ``assigned`` is written
     bucketed by ``cell`` so assignment is a one-time layout cost."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from .kmeans import assign_codes, lloyd_fit
 
     c = emb.select(
         F.col(id_col).alias("neighbor_id"), normalize(F.col(vec_col)).alias("_cn")
+    ).localCheckpoint(eager=True)  # every Lloyd pass reuses one scan
+    centers = lloyd_fit(
+        c, id_col="neighbor_id", vec_col="_cn", k=n_cells, iters=max_iter
     )
-    ml_in = c.withColumn("features", array_to_vector("_cn"))
-    model = KMeans(
-        k=n_cells,
-        seed=seed,
-        maxIter=max_iter,
-        featuresCol="features",
-        predictionCol="cell",
-    ).fit(ml_in)
-    assigned = model.transform(ml_in).select("neighbor_id", "_cn", "cell")
-    centers = model.clusterCenters()
+    assigned = assign_codes(c, centers, vec_col="_cn", code_col="cell")
     centers_df = emb.sparkSession.createDataFrame(
         [(i, [float(x) for x in cen]) for i, cen in enumerate(centers)],
         "cell int, cvec array<double>",

@@ -347,7 +347,7 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dup-vs-corpus, dup-within-batch).  The full-corpus rerun this
     replaces costs O(corpus) per day; the incremental form costs
     O(batch + collisions)."""
-    from ..operators.dedup import minhash_signatures
+    from ..operators.dedup import banded_signatures
 
     d = load_table(spark, sf_dir, "documents")
     cut = d.agg(
@@ -358,27 +358,8 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cut")
     )
-    sig = minhash_signatures(d, n_hashes=16)
-    rows_per_band = 4
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("band_hash"),
-        )
-        for b in range(4)
-    ]
-    banded = (
-        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
-        .select("doc_id", "bb.band", "bb.band_hash")
-        .crossJoin(F.broadcast(cut))
+    banded = banded_signatures(d, n_hashes=16, bands=4).crossJoin(
+        F.broadcast(cut)
     )
     newb = banded.filter(F.col("doc_id") > F.col("cut")).drop("cut")
     oldb = banded.filter(F.col("doc_id") <= F.col("cut")).drop("cut")

@@ -351,7 +351,7 @@ def emb_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if not len(pdf):
                     continue
                 seen = True
-                X = _np.array(pdf["embedding"].tolist(), dtype=_np.float64)
+                X = _np.vstack(pdf["embedding"].to_numpy()).astype(_np.float64)
                 for s in range(m):
                     Xs = X[:, s * dim : (s + 1) * dim]
                     C = cb_arr[s]
