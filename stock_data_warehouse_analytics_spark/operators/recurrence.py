@@ -89,3 +89,70 @@ def wilder_rsi(
     arranged = df.select(*keep, *[c for c in order_cols if c not in keep], value)
     arranged = arranged.repartition(key).sortWithinPartitions(key, *order_cols)
     return arranged.mapInPandas(scan, schema=out_schema)
+
+
+def holt_linear(
+    df: DataFrame,
+    *,
+    key: str = "user_id",
+    order: tuple[str, ...] = ("ts", "event_id"),
+    value: str = "value",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    out_cols: tuple[str, ...] = ("event_id", "user_id"),
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) — a TWO-state
+    sequential recurrence (``l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1})``,
+    ``b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}``; initialized at the SECOND
+    point of each key: l₂ = x₂, b₂ = x₂−x₁, first point null)
+    that no frame aggregate OR single grouped-ewm call expresses — the
+    second member of the partitioned-sequential-scan family after
+    :func:`wilder_rsi`.  Carry is O(1) per key; the per-key loop here
+    is an explicit Python recurrence over each key's contiguous slice
+    (no cython kernel exists for coupled recurrences — honest cost,
+    bounded by partition size).  Emits the one-step-ahead forecast
+    ``l_t + b_t`` alongside level and trend; rows before the 2-point
+    init are null.  Differential-tested against statsmodels-convention
+    replays in tests/test_technical_differential.py."""
+    import numpy as np  # noqa: F401 — closure-captured
+    import pandas as pd  # noqa: F401
+
+    out_schema = (
+        ", ".join(f"{c} long" for c in out_cols)
+        + ", level double, trend double, forecast double"
+    )
+    order_cols = list(order)
+    keep = list(out_cols)
+
+    def scan(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        chunks = [b for b in batches]
+        if not chunks:
+            return
+        pdf = _pd.concat(chunks, ignore_index=True)
+        x = pdf[value].to_numpy(dtype=_np.float64)
+        keys = pdf[key].to_numpy()
+        n = len(pdf)
+        lvl = _np.full(n, _np.nan)
+        trd = _np.full(n, _np.nan)
+        start = 0
+        for i in range(1, n + 1):
+            if i == n or keys[i] != keys[start]:
+                if i - start >= 2:
+                    l_, b_ = x[start + 1], x[start + 1] - x[start]
+                    lvl[start + 1], trd[start + 1] = l_, b_
+                    for j in range(start + 2, i):
+                        prev = l_
+                        l_ = alpha * x[j] + (1 - alpha) * (l_ + b_)
+                        b_ = beta * (l_ - prev) + (1 - beta) * b_
+                        lvl[j], trd[j] = l_, b_
+                start = i
+        yield pdf[keep].assign(
+            level=lvl, trend=trd, forecast=lvl + trd
+        )
+
+    arranged = df.select(*keep, *[c for c in order_cols if c not in keep], value)
+    arranged = arranged.repartition(key).sortWithinPartitions(key, *order_cols)
+    return arranged.mapInPandas(scan, schema=out_schema)

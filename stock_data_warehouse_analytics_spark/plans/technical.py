@@ -191,6 +191,29 @@ def win_rsi_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_holt_linear_forecast",
+    oracle=None,  # coupled two-state recurrence — no SQL oracle; substitute:
+    # tests/test_technical_differential.py::test_holt_linear_matches_explicit_recurrence
+    tags=("window", "technical", "recurrence", "forecast", "rows-only"),
+)
+def win_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend + one-step
+    forecast, α=0.3 β=0.1) per user series — the forecasting recurrence
+    a frame aggregate cannot express because level and trend are
+    COUPLED states (each step reads both previous states; the
+    single-state ewm trick of win_rsi_wilder doesn't apply).  Runs on
+    the partitioned-sequential-scan operator
+    (operators/recurrence.holt_linear): one shuffle on user_id, O(1)
+    carry per key, per-key explicit recurrence bounded by partition
+    size.  Rows-only by design; substitute check is the
+    explicit-recurrence differential test named above."""
+    from ..operators.recurrence import holt_linear
+
+    e = load_table(spark, sf_dir, "events")
+    return holt_linear(e).orderBy("user_id", "event_id")
+
+
+@register(
     "win_cumulative_distinct",
     tags=("window", "distinct", "cumsum"),
     oracle=f"""

@@ -106,9 +106,15 @@ def olap_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the bounded-memory exact-quantile operator (broadcast back as
     a 3-row table, rounded to 6 dp on both engines so the clip picks
     identical values); clipping is pure LEAST/GREATEST codegen; moments
-    via exact decimal sums.  Two scans of lineitem (sketch + final),
-    one small shuffle each — no per-group value buffers anywhere."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    via exact decimal sums.  The 2-column projection feeds FIVE passes
+    (quantile sketch/counts/rank + grand moments) — materialized once
+    (localCheckpoint, same multi-pass trade as the MAD query); no
+    per-group value buffers anywhere."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .localCheckpoint(eager=True)
+    )
     cuts = grouped_exact_quantiles(
         li, "l_returnflag", "l_extendedprice", [("lo", 0.05), ("hi", 0.95)]
     ).select(

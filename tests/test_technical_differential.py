@@ -195,3 +195,46 @@ def test_wilder_rsi_matches_explicit_recurrence(spark, tmp_path, monkeypatch):
     assert got[19] == 100.0
     assert all(got[i] is None for i in range(14))  # <14 diffs
     assert all(got[100 + i] is None for i in range(20))  # flat
+
+
+def test_holt_linear_matches_explicit_recurrence(spark, tmp_path, monkeypatch):
+    """win_holt_linear_forecast vs an independent recurrence replay:
+    level/trend/forecast per row, null before the 2-point init."""
+    from stock_data_warehouse_analytics_spark.plans.technical import (
+        win_holt_linear_forecast,
+    )
+
+    rng = random.Random(11)
+    for _ in range(4):
+        rows = _random_series(rng)
+        got = {
+            r.event_id: (r.level, r.trend, r.forecast)
+            for r in _run_query(
+                win_holt_linear_forecast, spark, rows, tmp_path, monkeypatch
+            ).collect()
+        }
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "ts", "value"]
+        ).sort_values(["user_id", "ts", "event_id"])
+        a, b = 0.3, 0.1
+        for _uid, g in pdf.groupby("user_id"):
+            xs = g["value"].tolist()
+            eids = g["event_id"].tolist()
+            want = [None, None]
+            if len(xs) >= 2:
+                l_, b_ = xs[1], xs[1] - xs[0]
+                want = [None, (l_, b_)]
+                for x in xs[2:]:
+                    prev = l_
+                    l_ = a * x + (1 - a) * (l_ + b_)
+                    b_ = b * (l_ - prev) + (1 - b) * b_
+                    want.append((l_, b_))
+            for eid, w in zip(eids, want):
+                gl, gt, gf = got[eid]
+                if w is None:
+                    assert gl is None and gt is None and gf is None, eid
+                else:
+                    wl, wt = w
+                    assert abs(gl - wl) < 1e-9, (eid, gl, wl)
+                    assert abs(gt - wt) < 1e-9, (eid, gt, wt)
+                    assert abs(gf - (wl + wt)) < 1e-9, eid
