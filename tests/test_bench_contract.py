@@ -41,3 +41,29 @@ def test_bench_prints_parseable_json_contract():
     assert len(full["queries"]) == 3
     assert full["sf"] == 0.001
     assert summary["value"] == full["value"]
+
+
+def test_bench_match_filter_and_arg_errors():
+    """--match restricts to matching names; malformed --limit exits
+    with a usage error instead of a traceback (ADVICE r02)."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--match", "dedup_exact"],
+        capture_output=True, text=True, env=env, timeout=300, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    full = json.loads(out.stdout.strip().splitlines()[0])
+    assert list(full["queries"]) == ["dedup_exact"]
+
+    for argv in (["--limit"], ["--limit", "xyz"]):
+        bad = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), *argv],
+            capture_output=True, text=True, env=env, timeout=120, cwd=REPO,
+        )
+        assert bad.returncode != 0
+        assert "usage:" in (bad.stderr + bad.stdout)
+        assert "Traceback" not in bad.stderr
