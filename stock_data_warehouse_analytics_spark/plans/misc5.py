@@ -513,3 +513,172 @@ def docs_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+# --------------------------------------------------------- benford audit
+
+# log10(1 + 1/d) for d = 1..9, precomputed HERE (Python) so neither
+# engine evaluates a transcendental — the expected frequencies enter
+# both plans as identical double literals.
+_BENFORD = {
+    d: round(__import__("math").log10(1 + 1 / d), 10) for d in range(1, 10)
+}
+
+# first significant digit without log10: decade selection by literal
+# thresholds, then floor of one double division — both engines run the
+# identical operation sequence, so the classification is deterministic
+_SQL_FIRST_DIGIT = """
+CASE WHEN value >= 100 THEN FLOOR(value / 100)
+     WHEN value >= 10 THEN FLOOR(value / 10)
+     WHEN value >= 1 THEN FLOOR(value)
+     WHEN value >= 0.1e0 THEN FLOOR(value / 0.1e0)
+     WHEN value >= 0.01e0 THEN FLOOR(value / 0.01e0)
+     ELSE FLOOR(value / 0.001e0) END
+"""
+
+
+@register(
+    "dq_benford_audit",
+    tags=("warehouse", "dq", "benford", "audit"),
+    oracle=f"""
+WITH digits AS (
+  SELECT CAST({_SQL_FIRST_DIGIT} AS BIGINT) AS digit
+  FROM events WHERE value > 0
+),
+counts AS (
+  SELECT digit, COUNT(*) AS n FROM digits
+  WHERE digit BETWEEN 1 AND 9 GROUP BY digit
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+SELECT digit, n,
+       n::DOUBLE / total AS observed_freq,
+       CASE digit {' '.join(f'WHEN {d} THEN {p!r}e0' for d, p in _BENFORD.items())} END
+         AS expected_freq,
+       (n::DOUBLE / total
+        - CASE digit {' '.join(f'WHEN {d} THEN {p!r}e0' for d, p in _BENFORD.items())} END)
+       * (n::DOUBLE / total
+        - CASE digit {' '.join(f'WHEN {d} THEN {p!r}e0' for d, p in _BENFORD.items())} END)
+       / CASE digit {' '.join(f'WHEN {d} THEN {p!r}e0' for d, p in _BENFORD.items())} END
+         AS chi2_term
+FROM counts CROSS JOIN tot
+ORDER BY digit
+""",
+)
+def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit — the classic fabricated-data
+    canary for financial/metric columns: observed first-significant-
+    digit frequencies against log10(1+1/d), with per-digit χ² terms.
+    No engine evaluates a transcendental: the expected frequencies are
+    Python-precomputed double literals, and the first digit comes from
+    literal decade thresholds + one floored division (the identical
+    operation sequence on both engines — the dq_distribution_drift
+    stance).  One scan, one 9-row aggregate."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    v = F.col("value")
+    digit = (
+        F.when(v >= 100, F.floor(v / 100))
+        .when(v >= 10, F.floor(v / 10))
+        .when(v >= 1, F.floor(v))
+        .when(v >= 0.1, F.floor(v / 0.1))
+        .when(v >= 0.01, F.floor(v / 0.01))
+        .otherwise(F.floor(v / 0.001))
+    ).cast("long")
+    counts = (
+        e.select(digit.alias("digit"))
+        .filter(F.col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("total"))
+    expected = F.create_map(
+        *[F.lit(x) for d, p in _BENFORD.items() for x in (d, float(p))]
+    )[F.col("digit")]
+    obs = F.col("n").cast("double") / F.col("total")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            obs.alias("observed_freq"),
+            expected.alias("expected_freq"),
+            ((obs - expected) * (obs - expected) / expected).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ------------------------------------------------------ share of parent
+
+@register(
+    "olap_share_of_parent",
+    tags=("olap", "rollup", "share", "window"),
+    oracle="""
+WITH rn AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * CAST((1 - l.l_discount) AS DECIMAL(12,6))) AS rev_dec
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT region, nation, rev_dec,
+         SUM(rev_dec) OVER (PARTITION BY region) AS region_dec,
+         SUM(rev_dec) OVER () AS total_dec
+  FROM rn
+)
+SELECT region, nation,
+       ROUND(CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE), 2) AS revenue,
+       CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(region_dec AS VARCHAR) AS DOUBLE) AS share_of_region,
+       CAST(CAST(region_dec AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(total_dec AS VARCHAR) AS DOUBLE) AS region_share_of_total
+FROM w
+ORDER BY region, nation
+""",
+)
+def olap_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent ratios — the % columns every drill-down report
+    carries: nation revenue as a share of its region, and the region as
+    a share of the grand total, from ONE grouped aggregate + two window
+    sums over the (|nations|-row) aggregate — no rollup self-joins, no
+    second scan.  Window sums run over DIMENSION-sized data (the
+    aggregate), so the unpartitioned total window is bounded.  Revenue
+    goes through the exact-decimal route; shares divide doubles derived
+    from identical decimal sums on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev_dec = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (1 - F.col("l_discount")).cast("decimal(12,6)")
+    )
+    grouped = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(rev_dec.alias("rev_dec"))
+    )
+    # window sums stay DECIMAL (associative — order of summation across
+    # partitions cannot shift the result the way double window sums
+    # do); the string-route to double happens only at the divisions
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
+    region_dec = F.sum("rev_dec").over(w_region)
+    total_dec = F.sum("rev_dec").over(w_all)
+    return grouped.select(
+        "region",
+        "nation",
+        F.round(dbl(F.col("rev_dec")), 2).alias("revenue"),
+        (dbl(F.col("rev_dec")) / dbl(region_dec)).alias("share_of_region"),
+        (dbl(region_dec) / dbl(total_dec)).alias("region_share_of_total"),
+    ).orderBy("region", "nation")

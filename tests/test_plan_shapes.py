@@ -194,6 +194,11 @@ _BOUNDED_SINGLE_PARTITION = {
     "dedup_incremental_new_batch",
     "dedup_source_matrix",
     "docs_quality_yield_curve",
+    # one-row digit-count total (benford) and the grand-total window
+    # over the |nations|-row aggregate (share-of-parent) — both
+    # dimension/report-sized inputs, partial aggregation upstream
+    "dq_benford_audit",
+    "olap_share_of_parent",
 }
 
 
