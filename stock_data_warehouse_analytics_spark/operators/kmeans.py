@@ -44,7 +44,13 @@ def lloyd_fit(
         .select("_v")
         .collect()
     )
+    if not seed_rows:
+        raise ValueError("lloyd_fit: input DataFrame is empty — cannot seed")
     centers = np.array([r._v for r in seed_rows], dtype=np.float64)
+    # degrade gracefully when the input has fewer than k rows: the seed
+    # collect returned < k centers, so cnt/nz must be sized to match
+    # (else centers[nz] raises a boolean-index length mismatch)
+    k = min(k, centers.shape[0])
     part_schema = "code int, cnt long, sums array<double>"
 
     def make_pass(C: np.ndarray):

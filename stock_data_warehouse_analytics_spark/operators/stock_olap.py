@@ -40,6 +40,7 @@ _TICKER_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[int, tuple[DataFram
     weakref.WeakKeyDictionary()
 )
 _TICKER_SCANS = [0]  # scan counter, observable by the plan-shape test
+_TICKER_CACHE_MAX = 8  # FIFO bound on cached (frame, tickers) entries
 
 
 def _tickers_of(df: DataFrame) -> list[str]:
@@ -47,6 +48,14 @@ def _tickers_of(df: DataFrame) -> list[str]:
     # collect is a metadata-sized read, mirroring pivot-values needs —
     # cached per (session, semantically-equal frame) so repeated pivot
     # calls over the same fact cost ONE enumeration scan, not one each.
+    # Bounded cache (FIFO, ≤ _TICKER_CACHE_MAX entries) so the
+    # per-session dict can neither grow without bound nor pin a strong
+    # reference to every frame ever pivoted.  Staleness assumption: the
+    # cache keys on PLAN semantics, so if the underlying files change
+    # in-place within one session, re-reads of the same path serve the
+    # cached enumeration — call spark.catalog.clearCache()/rebuild the
+    # session (or simply pass `tickers=` explicitly) after mutating
+    # source files mid-session.
     per_session = _TICKER_CACHE.setdefault(df.sparkSession, {})
     key = df.semanticHash()
     hit = per_session.get(key)
@@ -54,6 +63,8 @@ def _tickers_of(df: DataFrame) -> list[str]:
         return hit[1]
     _TICKER_SCANS[0] += 1
     tickers = sorted(r[0] for r in df.select("Ticker").distinct().collect())
+    while len(per_session) >= _TICKER_CACHE_MAX:
+        per_session.pop(next(iter(per_session)))
     per_session[key] = (df, tickers)
     return tickers
 

@@ -143,20 +143,34 @@ def scd1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
 
-    def latest(df: DataFrame, col: str) -> DataFrame:
+    def latest(df: DataFrame, col: str, present: str) -> DataFrame:
+        # lit(True) presence marker: action classification must branch
+        # on ROW PRESENCE (the oracle's t.user_id IS NULL), not value
+        # nullness — a present row with a NULL value is an update/keep,
+        # not an insert (round-3 advisor item).
         return (
             df.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("user_id", F.col("value").alias(col))
+            .select(
+                "user_id",
+                F.col("value").alias(col),
+                F.lit(True).alias(present),
+            )
         )
 
-    tgt = latest(e.filter(F.col("ts") < F.lit(_T_CUT).cast("timestamp_ntz")), "old_value")
+    tgt = latest(
+        e.filter(F.col("ts") < F.lit(_T_CUT).cast("timestamp_ntz")),
+        "old_value",
+        "_in_tgt",
+    )
     src = latest(
-        e.filter(F.col("ts") >= F.lit(_T_CUT).cast("timestamp_ntz")), "new_value"
+        e.filter(F.col("ts") >= F.lit(_T_CUT).cast("timestamp_ntz")),
+        "new_value",
+        "_in_src",
     )
     action = (
-        F.when(F.col("old_value").isNull(), "insert")
-        .when(F.col("new_value").isNull(), "keep")
+        F.when(F.col("_in_tgt").isNull(), "insert")
+        .when(F.col("_in_src").isNull(), "keep")
         .otherwise("update")
     )
     return (

@@ -524,17 +524,26 @@ _BENFORD = {
     d: round(__import__("math").log10(1 + 1 / d), 10) for d in range(1, 10)
 }
 
-# first significant digit without log10: decade selection by literal
-# thresholds, then floor of one double division — both engines run the
-# identical operation sequence, so the classification is deterministic
-_SQL_FIRST_DIGIT = """
-CASE WHEN value >= 100 THEN FLOOR(value / 100)
-     WHEN value >= 10 THEN FLOOR(value / 10)
-     WHEN value >= 1 THEN FLOOR(value)
-     WHEN value >= 0.1e0 THEN FLOOR(value / 0.1e0)
-     WHEN value >= 0.01e0 THEN FLOOR(value / 0.01e0)
-     ELSE FLOOR(value / 0.001e0) END
-"""
+# First significant digit without log10: decade selection by literal
+# thresholds, then floor of ONE multiply/divide by an EXACT integer
+# power of ten.  Never divide by a decimal fraction: 0.1/0.01/0.001
+# are not representable as doubles, so e.g. 0.3 / 0.1 = 2.999…→digit 2
+# (the round-3 advisor caught 52/1898 sub-1 rows misclassified), while
+# 0.3 * 10 rounds to exactly 3.0.  Integer powers of ten up to 10^15
+# ARE exact doubles, and a correctly-rounded x*10^k or x/10^k cannot
+# cross a digit boundary (boundaries d*10^e are themselves exact for
+# the covered range).  Supported magnitude range: [1e-6, 1e12) —
+# asserted by the WHERE below; out-of-range rows are excluded (and
+# counted nowhere), not silently misbinned.
+_BENFORD_LO, _BENFORD_HI = "0.000001e0", "1000000000000"
+_DECADES = (  # (threshold SQL literal, scaling SQL expression)
+    [(f"1{'0' * e}", f"value / 1{'0' * e}") for e in range(11, 0, -1)]
+    + [("1", "value")]
+    + [(f"0.{'0' * (e - 1)}1e0", f"value * 1{'0' * e}") for e in range(1, 7)]
+)
+_SQL_FIRST_DIGIT = "CASE " + " ".join(
+    f"WHEN value >= {t} THEN FLOOR({s})" for t, s in _DECADES
+) + " END"
 
 
 @register(
@@ -543,7 +552,7 @@ CASE WHEN value >= 100 THEN FLOOR(value / 100)
     oracle=f"""
 WITH digits AS (
   SELECT CAST({_SQL_FIRST_DIGIT} AS BIGINT) AS digit
-  FROM events WHERE value > 0
+  FROM events WHERE value >= {_BENFORD_LO} AND value < {_BENFORD_HI}
 ),
 counts AS (
   SELECT digit, COUNT(*) AS n FROM digits
@@ -570,19 +579,31 @@ def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit frequencies against log10(1+1/d), with per-digit χ² terms.
     No engine evaluates a transcendental: the expected frequencies are
     Python-precomputed double literals, and the first digit comes from
-    literal decade thresholds + one floored division (the identical
-    operation sequence on both engines — the dq_distribution_drift
-    stance).  One scan, one 9-row aggregate."""
-    e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    literal decade thresholds + one floor of an EXACT power-of-ten
+    multiply/divide (never a divide by a non-representable decimal
+    fraction — see _DECADES), the identical operation sequence on both
+    engines.  Supported magnitude range [1e-6, 1e12), enforced by the
+    same range filter in both plans; out-of-range rows are excluded,
+    not misbinned.  One scan, one 9-row aggregate."""
     v = F.col("value")
-    digit = (
-        F.when(v >= 100, F.floor(v / 100))
-        .when(v >= 10, F.floor(v / 10))
-        .when(v >= 1, F.floor(v))
-        .when(v >= 0.1, F.floor(v / 0.1))
-        .when(v >= 0.01, F.floor(v / 0.01))
-        .otherwise(F.floor(v / 0.001))
-    ).cast("long")
+    e = load_table(spark, sf_dir, "events").filter((v >= 1e-6) & (v < 1e12))
+    # identical decade chain as the SQL mirror, generated from _DECADES
+    digit = None
+    for thr_sql, scale_sql in _DECADES:
+        thr = float(thr_sql.replace("e0", ""))
+        if scale_sql == "value":
+            scaled = v
+        elif "/" in scale_sql:
+            scaled = v / float(scale_sql.split("/")[1])
+        else:
+            scaled = v * float(scale_sql.split("*")[1])
+        branch = F.floor(scaled)
+        digit = (
+            F.when(v >= thr, branch)
+            if digit is None
+            else digit.when(v >= thr, branch)
+        )
+    digit = digit.cast("long")
     counts = (
         e.select(digit.alias("digit"))
         .filter(F.col("digit").between(1, 9))
