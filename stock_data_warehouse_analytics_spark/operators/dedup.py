@@ -29,6 +29,8 @@ __all__ = [
     "hash_int60",
     "exact_dedup_groups",
     "shingle_table",
+    "positioned_shingle_table",
+    "exact_substring_spans",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "banded_signatures",
@@ -131,6 +133,131 @@ def shingle_table(
         sh.withColumn("df", df_col)
         .filter(F.col("df") <= F.lit(int(max_df)))
         .select("doc_id", "shingle")
+    )
+
+
+def positioned_shingle_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    *,
+    max_df: int | str | None = "auto",
+) -> DataFrame:
+    """(doc_id, pos, shingle) — ALL word-k-gram occurrences with their
+    1-based start-token position.  Unlike :func:`shingle_table` this is
+    NOT distinct (position matters: the same shingle at two positions
+    is two rows) — it is the relational stand-in for a suffix array,
+    the base table for exact-substring dedup.
+
+    Same zipped-slice construction as ``functions.text.shingles`` (the
+    per-index ``element_at`` formulation measured ~40× slower); docs
+    shorter than ``k`` tokens contribute no rows.
+
+    ``max_df`` semantics: for the positioned table the cap counts
+    total OCCURRENCES per shingle (``count(*) over shingle``), not
+    distinct docs — occurrences are what bound the O(occ²) self-join a
+    downstream matcher runs, and a boilerplate k-gram repeated 10⁶
+    times in one doc is exactly as toxic as one spread over 10⁶ docs.
+    Dropping a hot seed splits (or shortens) any span that crosses it
+    — the documented recall trade, measured in
+    ``tests/test_dedup_recall.py``."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    length = n - (k - 1)
+    grams = F.slice(toks, 1, length)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, length),
+            lambda acc, t: F.concat_ws(" ", acc, t),
+        )
+    arr = F.when(n >= k, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    ps = docs.select(
+        "doc_id", F.posexplode(arr).alias("idx", "shingle")
+    ).select("doc_id", (F.col("idx") + 1).alias("pos"), "shingle")
+    if max_df is None:
+        return ps
+    occ = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    if max_df == "auto":
+        n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+        cap = F.greatest(
+            F.lit(MAX_DF_FLOOR).cast("long"),
+            F.floor(F.col("n_docs") / F.lit(MAX_DF_FRAC_DEN)),
+        )
+        return (
+            ps.withColumn("occ", occ)
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("occ") <= cap)
+            .select("doc_id", "pos", "shingle")
+        )
+    return (
+        ps.withColumn("occ", occ)
+        .filter(F.col("occ") <= F.lit(int(max_df)))
+        .select("doc_id", "pos", "shingle")
+    )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    *,
+    k: int = 8,
+    min_span: int | None = None,
+    text_col: str = "text",
+    max_df: int | str | None = "auto",
+) -> DataFrame:
+    """Exact substring dedup: every MAXIMAL shared token span of
+    ≥ ``min_span`` tokens (default ``k``) between two distinct
+    documents — the third production dedup mode (after whole-doc exact
+    and near-dup), the one that catches a licence header or boilerplate
+    paragraph repeated inside otherwise-distinct docs.
+
+    Relational formulation instead of suffix arrays (Lee et al. 2022
+    build one over the whole corpus — inherently sequential): seed on
+    exact ``k``-gram matches via the positioned inverted index, then
+    extend by POSITION ADJACENCY.  Two docs sharing a span of L ≥ k
+    tokens produce L−k+1 seed matches on one DIAGONAL
+    (``pos_a − pos_b`` constant), at consecutive ``pos_a`` — so maximal
+    spans are gaps-and-islands over (doc_a, doc_b, diag): island key =
+    ``pos_a − row_number()``, span = [min pos_a, max pos_a + k − 1].
+
+    Scale: one shuffle on ``shingle`` (hot seeds df-capped upstream —
+    the O(occ²) guard), then a window + group over the seed-match
+    table, which is ~|span tokens| sized, orders of magnitude smaller
+    than the corpus.  No driver state, no Python row UDFs."""
+    if min_span is None:
+        min_span = k
+    ps = positioned_shingle_table(docs, text_col, k, max_df=max_df)
+    a, b = ps.alias("a"), ps.alias("b")
+    m = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pos_a"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = m.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pos_a").alias("s"),
+            F.max("pos_a").alias("e"),
+            F.count(F.lit(1)).alias("n_seed_matches"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("s").cast("long").alias("start_a"),
+            (F.col("s") - F.col("diag")).cast("long").alias("start_b"),
+            (F.col("e") - F.col("s") + k).cast("long").alias("span_tokens"),
+            "n_seed_matches",
+        )
+        .filter(F.col("span_tokens") >= min_span)
     )
 
 

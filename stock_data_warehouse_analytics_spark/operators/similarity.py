@@ -28,6 +28,7 @@ __all__ = [
     "topk_ivf",
     "neardup_cosine_pairs",
     "neardup_exact_blocked",
+    "semantic_dedup",
 ]
 
 
@@ -501,3 +502,83 @@ def neardup_cosine_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return _verify_pairs(base, cand, threshold)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    threshold: float = 0.97,
+    n_cells: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the IVF coarse
+    quantizer, then inside each cell drop every member that is within
+    cosine ``threshold`` of its cluster's kept representative — the
+    embedding-space twin of ``dedup_keep_representative`` (which
+    operates on MinHash clusters of the TEXT).
+
+    Decision rule, made deterministic: within-cell pairs at
+    ``cosine ≥ threshold`` form an ε-graph; connected components of
+    that graph are the duplicate groups and the MIN id per component
+    survives (the same canonical-representative rule every dedup path
+    here uses — no order-dependent greedy pass).
+
+    Returns one row per vector: (id, cell, cluster_id, keep).
+
+    Scale: the O(cell²) pairwise stage is the SemDeDup bargain — the
+    quantizer bounds each cell to ~n/k members so the join is
+    O(n²/k) spread over k independent cells, never a global all-pairs;
+    at 100 TB you raise ``n_cells`` so cells stay executor-sized (and
+    can swap the fold-dot for the blocked-matmul kernel of
+    ``neardup_exact_blocked`` per cell).  Cross-cell near-dupes are
+    missed by construction — SemDeDup's documented recall trade
+    (measured in ``tests/test_dedup_recall.py``).
+
+    ``assigned`` — pass a pre-fit ``fit_ivf_quantizer`` assignment to
+    reuse the session's quantizer (the registered query does)."""
+    from .graph import connected_components
+
+    if assigned is None:
+        assigned, _ = fit_ivf_quantizer(
+            emb,
+            n_cells=n_cells,
+            max_iter=max_iter,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    a = assigned.select(
+        "cell", F.col("neighbor_id").alias("id_a"), F.col("_cn").alias("_va")
+    )
+    b = assigned.select(
+        "cell", F.col("neighbor_id").alias("id_b"), F.col("_cn").alias("_vb")
+    )
+    edges = (
+        a.join(b, on="cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(edges, src="id_a", dst="id_b").select(
+        F.col("node").alias(id_col), F.col("comp").alias("_comp")
+    )
+    return (
+        assigned.select(F.col("neighbor_id").alias(id_col), "cell")
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(F.col("_comp"), F.col(id_col)).alias("cluster_id"),
+            (
+                F.col("_comp").isNull() | (F.col(id_col) == F.col("_comp"))
+            ).alias("keep"),
+        )
+    )

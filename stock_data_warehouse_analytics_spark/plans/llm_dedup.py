@@ -14,6 +14,7 @@ from ..operators.dedup import (
     MAX_DF_FRAC_DEN,
     MINHASH_PRIME,
     exact_dedup_groups,
+    exact_substring_spans,
     minhash_candidate_pairs,
     minhash_params,
     ngram_jaccard_pairs,
@@ -298,4 +299,69 @@ def dedup_keep_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
         decided.groupBy("lang", "keep")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "keep")
+    )
+
+
+# ------------------------------------------------- exact substring dedup
+
+_SUBSTR_K = 8  # seed width = minimum reportable span, in tokens
+
+
+@register(
+    "dedup_exact_substring",
+    tags=("llm", "dedup", "substring", "islands"),
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+ps_all AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(t) - {_SUBSTR_K - 1})) AS pos,
+         unnest(list_transform(generate_series(1, len(t) - {_SUBSTR_K - 1}),
+                i -> array_to_string(t[i:i+{_SUBSTR_K - 1}], ' '))) AS shingle
+  FROM toks WHERE len(t) >= {_SUBSTR_K}
+),
+ps AS (
+  SELECT doc_id, pos, shingle FROM ps_all
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle)
+          <= (SELECT GREATEST({MAX_DF_FLOOR}, COUNT(*) // {MAX_DF_FRAC_DEN})
+              FROM documents)
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pos_a, a.pos - b.pos AS diag
+  FROM ps a JOIN ps b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT doc_a, doc_b, diag, pos_a,
+         pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                    ORDER BY pos_a) AS grp
+  FROM m
+)
+SELECT doc_a, doc_b,
+       CAST(MIN(pos_a) AS BIGINT) AS start_a,
+       CAST(MIN(pos_a) - diag AS BIGINT) AS start_b,
+       CAST(MAX(pos_a) - MIN(pos_a) + {_SUBSTR_K} AS BIGINT) AS span_tokens,
+       COUNT(*) AS n_seed_matches
+FROM isl
+GROUP BY doc_a, doc_b, diag, grp
+HAVING MAX(pos_a) - MIN(pos_a) + {_SUBSTR_K} >= {_SUBSTR_K}
+ORDER BY doc_a, doc_b, start_a, start_b
+""",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SUBSTRING dedup — every maximal shared token span of
+    ≥ 8 tokens between distinct documents, found relationally
+    (positioned k-gram inverted index → diagonal gaps-and-islands)
+    instead of the sequential suffix-array construction of Lee et al.
+    2022.  Catches the licence-header / boilerplate-paragraph case that
+    whole-doc dedup misses.  Oracle-exact: tokenization, seed matching
+    and island extension are deterministic integer arithmetic on both
+    engines.  Planted-span recall is pinned by
+    ``tests/test_dedup_recall.py::test_exact_substring_planted_spans``.
+    Scale: seed join is df-capped (hot boilerplate k-grams dropped —
+    the O(occ²) guard); the window+group run over the seed-MATCH table
+    (≈ shared-token volume, ≪ corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_substring_spans(d, k=_SUBSTR_K).orderBy(
+        "doc_a", "doc_b", "start_a", "start_b"
     )

@@ -18,6 +18,7 @@ from ..operators.similarity import (
     fit_ivf_quantizer,
     neardup_cosine_pairs,
     neardup_exact_blocked,
+    semantic_dedup,
     topk_bruteforce,
     topk_ivf_probe,
     topk_lsh,
@@ -215,4 +216,25 @@ def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return neardup_cosine_pairs(
         e, threshold=0.35, exact=False, n_planes=32, bands=8
+    )
+
+
+@register(
+    "emb_semantic_dedup",
+    tags=("llm", "dedup", "embedding", "semdedup"),
+    oracle=None,  # k-means cells aren't SQL-expressible; planted-dupe
+    # recall + determinism pinned by tests/test_dedup_recall.py::
+    # test_semantic_dedup_planted_groups
+)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end (SemDeDup, Abbas et al. 2023): IVF
+    cells (the session's cached quantizer) → within-cell cosine ε-graph
+    (threshold 0.97) → connected components → min-id survivor.  One row
+    per vector: (vec_id, cell, cluster_id, keep) — the embedding-space
+    twin of ``dedup_keep_representative``.  Pairwise work is O(n²/k)
+    spread over k independent cells, never global all-pairs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = ivf_quantizer(spark, sf_dir)
+    return semantic_dedup(e, threshold=0.97, assigned=assigned).orderBy(
+        "vec_id"
     )

@@ -162,3 +162,110 @@ def test_hot_shingle_cap_skewed_corpus(spark):
     # and the hot-only pair is found by the uncapped join (so the miss
     # is the cap's doing, not the threshold's)
     assert (2000, 2001) in uncapped
+
+
+def test_exact_substring_planted_spans(spark):
+    """Plant a shared 200-token span inside N otherwise-distinct docs
+    and assert exact_substring_spans recovers every pair with the EXACT
+    span boundaries and length — the substitute check for the
+    gaps-and-islands extension logic (the oracle replays the same
+    algorithm, so a boundary bug would be invisible to the hash gate).
+    Also pins: (a) a doc with NO overlap produces no rows, (b) two
+    disjoint shared spans in one pair come out as two islands."""
+    from stock_data_warehouse_analytics_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(5000)]
+    span = " ".join(rng.choice(vocab) for _ in range(200))
+    span2 = " ".join(rng.choice(vocab) for _ in range(40))
+
+    def noise(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    docs = [
+        # span planted at token offsets 51 (doc 0), 11 (doc 1), 1 (doc 2)
+        (0, noise(50) + " " + span + " " + noise(30)),
+        (1, noise(10) + " " + span + " " + noise(5)),
+        (2, span + " " + noise(80)),
+        # doc with no overlap at all
+        (3, noise(300)),
+        # doc sharing TWO disjoint spans with doc 0: span2 + tail of span
+        (4, span2 + " " + noise(60) + " " + span),
+        (5, noise(20) + " " + span2 + " " + noise(40)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = exact_substring_spans(df, k=8).collect()
+    got = {
+        (r.doc_a, r.doc_b): (r.start_a, r.start_b, r.span_tokens)
+        for r in rows
+        if (r.doc_a, r.doc_b) != (0, 4) and (r.doc_a, r.doc_b) != (4, 5)
+    }
+    # every planted pair found with exact boundaries (1-based positions)
+    assert got[(0, 1)] == (51, 11, 200)
+    assert got[(0, 2)] == (51, 1, 200)
+    assert got[(1, 2)] == (11, 1, 200)
+    # doc 3 appears nowhere
+    assert not [r for r in rows if 3 in (r.doc_a, r.doc_b)]
+    # doc 0 vs doc 4: exactly one island — the 200-token span (doc 4
+    # holds it at offset 40+60+1 = 101); doc 4 vs 5 share span2 (40 toks)
+    d04 = [r for r in rows if (r.doc_a, r.doc_b) == (0, 4)]
+    assert len(d04) == 1 and (
+        d04[0].start_a,
+        d04[0].start_b,
+        d04[0].span_tokens,
+    ) == (51, 101, 200)
+    d45 = [r for r in rows if (r.doc_a, r.doc_b) == (4, 5)]
+    assert len(d45) == 1 and (
+        d45[0].start_a,
+        d45[0].start_b,
+        d45[0].span_tokens,
+    ) == (1, 21, 40)
+
+
+def test_semantic_dedup_planted_groups(spark):
+    """Seeded corpus with planted semantic duplicate groups: each group
+    is one base vector plus tiny perturbations (cosine ≥ 0.999 —
+    far above the 0.97 threshold), distinct base vectors are
+    near-orthogonal in expectation (dim 32, cosine ≪ 0.9).  Asserts:
+    every planted group keeps exactly its min id and drops the rest,
+    every singleton survives, and the whole decision table is
+    deterministic across two independent runs (Lloyd + CC are
+    RNG-free)."""
+    import numpy as np
+
+    from stock_data_warehouse_analytics_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 32
+    base = rng.normal(size=(40, dim))
+    rows = []
+    # ids 0..39 are the 40 base vectors; groups: base i in {0,1,2,3,4}
+    # gets dupes at ids 100+i and 200+i (perturbation 1e-4)
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    for i in range(5):
+        for off in (100, 200):
+            pert = base[i] + 1e-4 * rng.normal(size=dim)
+            rows.append((off + i, [float(x) for x in pert]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out1 = semantic_dedup(df, threshold=0.97, n_cells=8).orderBy("vec_id")
+    got1 = {r.vec_id: (r.cluster_id, r.keep) for r in out1.collect()}
+
+    for i in range(5):
+        assert got1[i] == (i, True), f"group {i} representative wrong"
+        assert got1[100 + i] == (i, False)
+        assert got1[200 + i] == (i, False)
+    for i in range(5, 40):
+        assert got1[i] == (i, True), f"singleton {i} should survive"
+
+    # determinism: an independent second run yields the identical table
+    out2 = semantic_dedup(df, threshold=0.97, n_cells=8).orderBy("vec_id")
+    got2 = {r.vec_id: (r.cluster_id, r.keep) for r in out2.collect()}
+    assert got1 == got2
