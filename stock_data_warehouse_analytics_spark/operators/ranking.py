@@ -48,6 +48,46 @@ __all__ = [
 
 _BUCKET = "_rk_bucket"
 
+# Optimized-plan node names that make an input "bare-scan cheap" — a
+# chain of these re-executes for pennies, anything else (Join/Aggregate/
+# Window/Generate/…) is worth materializing before a multi-action helper
+# scans it 2-3×.
+_TRIVIAL_PLAN_NODES = (
+    "Project",
+    "Filter",
+    "Relation",
+    "LocalRelation",
+    "SubqueryAlias",
+    "LogicalRDD",
+    "Scan",
+)
+
+
+def _materialize_if_needed(
+    df: DataFrame, checkpoint_input: bool | None
+) -> DataFrame:
+    """Shared input guard for the EAGER multi-action helpers in this
+    module (each runs 2 driver actions at call time + the caller's own
+    execution = 3 scans of the input).  ``checkpoint_input``:
+
+    - ``None`` (default) — AUTO: ``localCheckpoint`` unless the
+      optimized plan is a bare scan chain (scan/filter/project only).
+      A join/aggregate/window/generate upstream would otherwise pay its
+      full cost three times, and a non-deterministic upstream could
+      make the cut table and the final pass inconsistent.
+    - ``True`` / ``False`` — explicit override (False: caller has
+      already materialized or accepts the rescans)."""
+    if checkpoint_input is None:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        trivial = True
+        for ln in plan.splitlines():
+            node = ln.lstrip("+-: ").strip()
+            if node and not node.startswith(_TRIVIAL_PLAN_NODES):
+                trivial = False
+                break
+        checkpoint_input = not trivial
+    return df.localCheckpoint(eager=True) if checkpoint_input else df
+
 
 def bucketed_global_rank(
     df: DataFrame,
@@ -55,6 +95,7 @@ def bucketed_global_rank(
     *,
     n_buckets: int = 32,
     rank_col: str = "global_rank",
+    checkpoint_input: bool | None = None,
 ) -> tuple[DataFrame, int]:
     """Add an exact 1-based global ``rank_col`` ordered by
     ``order_cols`` (ties broken by the later columns — pass a unique
@@ -62,7 +103,10 @@ def bucketed_global_rank(
 
     Two bounded driver round-trips (cuts, bucket counts); the data path
     is one ``n_buckets``-way partitioned sort — no single-partition
-    exchange at any input size."""
+    exchange at any input size.  ``checkpoint_input`` defaults to AUTO
+    (see :func:`_materialize_if_needed`): non-bare-scan inputs are
+    localCheckpointed once instead of re-executing for each pass."""
+    df = _materialize_if_needed(df, checkpoint_input)
     lead = order_cols[0]
     qs = [i / n_buckets for i in range(1, n_buckets)]
     cuts_row = df.select(
@@ -266,7 +310,7 @@ def bucketed_global_cumsum(
     *,
     n_buckets: int = 32,
     cumsum_col: str = "global_cumsum",
-    checkpoint_input: bool = False,
+    checkpoint_input: bool | None = None,
 ) -> DataFrame:
     """Exact running total of ``value_col`` over the GLOBAL order given
     by ``order_cols`` — without the single-partition window.  Same
@@ -281,15 +325,14 @@ def bucketed_global_cumsum(
     EAGER, like every helper in this module: two driver actions run at
     CALL time (the percentile-cut sketch and the per-bucket sums), so
     the input plan is scanned twice before the returned DataFrame ever
-    executes — three times total.  For an expensive or non-deterministic
-    upstream (where re-execution could make cuts and sums inconsistent),
-    pass ``checkpoint_input=True`` to materialize the input once
-    (``localCheckpoint``) and run all three passes from the
-    materialized copy."""
+    executes — three times total.  ``checkpoint_input`` defaults to
+    AUTO (see :func:`_materialize_if_needed`): any input that is not a
+    bare scan chain is localCheckpointed once and all three passes run
+    from the materialized copy; pass ``False`` to opt out when the
+    caller has already materialized."""
     from decimal import Decimal
 
-    if checkpoint_input:
-        df = df.localCheckpoint(eager=True)
+    df = _materialize_if_needed(df, checkpoint_input)
 
     lead = order_cols[0]
     qs = [i / n_buckets for i in range(1, n_buckets)]

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["tfidf_features", "top_terms_by_tfidf"]
+__all__ = ["tfidf_features", "top_terms_by_tfidf", "bpe_train_merges"]
 
 
 def tfidf_features(
@@ -50,3 +50,93 @@ def top_terms_by_tfidf(docs: DataFrame, *, k: int = 10, text_col: str = "text") 
         .orderBy(F.desc("total_tfidf"), "term")
         .limit(k)
     )
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    *,
+    rounds: int = 10,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """TRAIN a BPE merge table — the tokenizer-prep job (Sennrich et
+    al. 2016), as a relational loop like PageRank/CC: ``rounds``
+    iterations of (count adjacent symbol pairs weighted by word
+    frequency → merge the argmax pair everywhere).
+
+    Returns ``(merges, vocab)``: the merge table
+    (round, left, right, merged, pair_count) and the final symbolized
+    word-frequency table (word, freq, syms).
+
+    Relational formulation:
+    - the corpus collapses ONCE into the word-frequency table (Heaps'
+      law: ≪ corpus size — this is the only scan of the data);
+    - per round, pair counts are one explode + grouped SUM over the
+      vocab (a shuffle over vocab-sized data), the argmax is a
+      ``limit(1).collect()`` — ONE row of driver state per round, with
+      a deterministic tie-break (count desc, left asc, right asc);
+    - the merge itself is a map-only left-fold over each symbol array
+      (greedy leftmost non-overlapping, the BPE rule: fold can never
+      re-merge its own output because ``merged != left`` by
+      construction), ``localCheckpoint`` per round to keep lineage flat
+      (the CC/PageRank pattern, ``operators/graph.py:17``).
+
+    Character-level symbols, no end-of-word marker (documented
+    simplification — the marker adds a column, not a new operator
+    shape).  Differential-tested against a driver-side pure-Python
+    reference in ``tests/test_iterative_ops.py``."""
+    from ..functions.text import tokens
+
+    word_freq = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = word_freq.select(
+        "w", "freq", F.split(F.col("w"), "").alias("syms")
+    ).localCheckpoint(eager=True)
+
+    spark = docs.sparkSession
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rnd in range(1, rounds + 1):
+        pair = F.zip_with(
+            F.slice(F.col("syms"), 1, F.size("syms") - 1),
+            F.slice(F.col("syms"), 2, F.size("syms") - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        top = (
+            vocab.filter(F.size("syms") >= 2)
+            .select("freq", F.explode(pair).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0].l, top[0].r, int(top[0].cnt)
+        m = l + r
+        merges.append((rnd, l, r, m, cnt))
+        lc, rc, mc = F.lit(l), F.lit(r), F.lit(m)
+        merged_syms = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == lc)
+                & (s == rc),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(mc)
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        vocab = vocab.select(
+            "w", "freq", merged_syms.alias("syms")
+        ).localCheckpoint(eager=True)
+
+    merges_df = spark.createDataFrame(
+        merges,
+        "round int, left string, right string, merged string, pair_count long",
+    )
+    return merges_df, vocab

@@ -1,0 +1,155 @@
+"""Tokenizer-prep queries (round 4): BPE merge-table TRAINING and the
+per-domain token-budget corpus mix — the two jobs that sit between a
+deduped corpus and a training run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text_ml import bpe_train_merges
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "text_bpe_train_merges",
+    tags=("llm", "text", "bpe", "tokenizer", "iterative"),
+    oracle=None,  # iterative argmax loop — not SQL-expressible; the
+    # merge table is differential-tested against a pure-Python
+    # reference in tests/test_iterative_ops.py::test_bpe_train_merges
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE VOCABULARY TRAINING (10 merge rounds) over ``documents`` —
+    the iterative top-pair merge loop (count adjacent symbol pairs
+    weighted by word frequency → merge argmax everywhere), run
+    relationally: corpus collapses once into the Heaps-bounded
+    word-frequency table, each round is one vocab-sized shuffle plus a
+    single-row argmax collect, the merge itself a map-only array fold,
+    checkpointed per round (``operators/text_ml.py``).  Complements
+    ``text_bpe_token_cost``, which only APPLIES a pre-tokenizer.
+    Deterministic: tie-break (count desc, left asc, right asc), no
+    RNG — the same corpus always yields the same merge table."""
+    d = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train_merges(d, rounds=10)
+    return merges.orderBy("round")
+
+
+# ------------------------------------------- token-budget corpus mixing
+
+# integer percent weights and a 1/2 total budget — all boundary
+# arithmetic stays integer (floor), bit-identical cross-engine
+_BUDGET_W_PCT = {"web": 60, "books": 30, "code": 10}
+_BUDGET_DEN = 200  # sum(weights)=100 × budget denominator 2 → half the corpus
+
+_SQL_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+@register(
+    "mix_token_budget_per_domain",
+    tags=("llm", "sampling", "mixing", "budget"),
+    oracle=f"""
+WITH tagged AS (
+  SELECT doc_id,
+         CASE WHEN {_SQL_H60.format(x="source")} % 3 = 0 THEN 'web'
+              WHEN {_SQL_H60.format(x="source")} % 3 = 1 THEN 'books'
+              ELSE 'code' END AS corpus,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+  FROM documents
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM tagged),
+cum AS (
+  SELECT corpus, doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY corpus ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - n_tokens AS cum_before,
+         (total_tokens
+          * CASE corpus WHEN 'web' THEN {_BUDGET_W_PCT['web']}
+                        WHEN 'books' THEN {_BUDGET_W_PCT['books']}
+                        ELSE {_BUDGET_W_PCT['code']} END)
+          // {_BUDGET_DEN} AS budget_tokens
+  FROM tagged CROSS JOIN tot
+)
+SELECT corpus,
+       MAX(budget_tokens) AS budget_tokens,
+       COUNT(*) AS n_avail,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_avail,
+       COUNT(*) FILTER (WHERE cum_before < budget_tokens) AS n_selected,
+       CAST(COALESCE(SUM(n_tokens) FILTER (WHERE cum_before < budget_tokens), 0)
+            AS BIGINT) AS tokens_selected
+FROM cum
+GROUP BY corpus
+ORDER BY corpus
+""",
+)
+def mix_token_budget_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain HARD token budgets — the production form of corpus
+    mixing (``mix_weighted_corpora`` hits target weights only in
+    expectation via acceptance rates; a training run has a fixed token
+    budget per source).  Each domain is capped at
+    ``total_tokens × weight ÷ 2`` tokens: docs ordered by doc_id are
+    taken while the cumulative token count BEFORE the doc is under
+    budget — the same cumulative-cutoff semantics as
+    ``multimodal_shard_manifest``'s packing (the crossing doc is
+    included, so every budget is met or exceeded by < one doc).
+    Integer boundary arithmetic on both engines (floor division), so
+    the selection is bit-exact.  Scale: one scan → token counts, one
+    broadcast one-row total, one per-domain window — no joins over
+    data-sized tables; at extreme per-domain volume the window becomes
+    the two-pass range-partitioned running sum (noted at the shard
+    manifest)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import token_count
+    from ..operators.dedup import hash_int60
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = (
+        F.when(hash_int60(F.col("source")) % 3 == 0, "web")
+        .when(hash_int60(F.col("source")) % 3 == 1, "books")
+        .otherwise("code")
+    )
+    tagged = d.select(
+        "doc_id",
+        corpus.alias("corpus"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    tot = tagged.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
+    w_pct = (
+        F.when(F.col("corpus") == "web", _BUDGET_W_PCT["web"])
+        .when(F.col("corpus") == "books", _BUDGET_W_PCT["books"])
+        .otherwise(_BUDGET_W_PCT["code"])
+    )
+    win = (
+        Window.partitionBy("corpus")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        tagged.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum_before",
+            (F.sum("n_tokens").over(win) - F.col("n_tokens")).cast("long"),
+        )
+        .withColumn(
+            "budget_tokens",
+            F.floor(
+                F.col("total_tokens") * w_pct / F.lit(_BUDGET_DEN)
+            ).cast("long"),
+        )
+    )
+    sel = F.col("cum_before") < F.col("budget_tokens")
+    return (
+        cum.groupBy("corpus")
+        .agg(
+            F.max("budget_tokens").alias("budget_tokens"),
+            F.count(F.lit(1)).alias("n_avail"),
+            F.sum("n_tokens").cast("long").alias("tokens_avail"),
+            F.count(F.when(sel, 1)).alias("n_selected"),
+            F.coalesce(F.sum(F.when(sel, F.col("n_tokens"))), F.lit(0))
+            .cast("long")
+            .alias("tokens_selected"),
+        )
+        .orderBy("corpus")
+    )

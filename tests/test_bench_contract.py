@@ -57,7 +57,8 @@ def test_bench_match_filter_and_arg_errors():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     full = json.loads(out.stdout.strip().splitlines()[0])
-    assert list(full["queries"]) == ["dedup_exact"]
+    # substring match: both dedup_exact and dedup_exact_substring qualify
+    assert list(full["queries"]) == ["dedup_exact", "dedup_exact_substring"]
 
     for argv in (["--limit"], ["--limit", "xyz"]):
         bad = subprocess.run(

@@ -158,3 +158,64 @@ def test_product_quantization_contract(spark):
         for r in QUERIES["emb_product_quantization"].fn(spark, SF_SMALL).collect()
     }
     assert again == {s: r.distortion for s, r in rows.items()}
+
+
+def test_bpe_train_merges_matches_python_reference(spark):
+    """Differential check of the relational BPE trainer against a
+    driver-side pure-Python reference (same tokenization, same greedy
+    leftmost-non-overlapping merge, same (count desc, left, right)
+    tie-break) on the sf0.001 corpus — pins the pair counting, the
+    argmax selection AND the fold-merge rewrite round by round."""
+    from collections import Counter
+
+    from stock_data_warehouse_analytics_spark.operators.text_ml import (
+        bpe_train_merges,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+
+    # ---- pure-Python reference
+    freq: Counter = Counter()
+    for r in docs.select("text").collect():
+        for w in (r.text or "").strip().lower().split():
+            if w:
+                freq[w] += 1
+    vocab = {w: list(w) for w in freq}
+
+    def ref_rounds(n):
+        out = []
+        for rnd in range(1, n + 1):
+            pairs: Counter = Counter()
+            for w, syms in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += freq[w]
+            if not pairs:
+                break
+            (l, r), cnt = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            m = l + r
+            out.append((rnd, l, r, m, cnt))
+            for w, syms in vocab.items():
+                new, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        new.append(m)
+                        i += 2
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                vocab[w] = new
+        return out
+
+    expected = ref_rounds(8)
+    merges, final_vocab = bpe_train_merges(docs, rounds=8)
+    got = [
+        (r.round, r.left, r.right, r.merged, r.pair_count)
+        for r in merges.orderBy("round").collect()
+    ]
+    assert got == expected
+
+    # final symbolization also matches the reference, word for word
+    got_syms = {r.w: list(r.syms) for r in final_vocab.collect()}
+    assert got_syms == vocab

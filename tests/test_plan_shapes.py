@@ -172,6 +172,11 @@ _BOUNDED_SINGLE_PARTITION = {
     "dedup_ngram_jaccard",
     "text_dedup_containment",
     "text_minhash_calibration",
+    "dedup_exact_substring",  # same one-row corpus-size cap scalar
+    # one-row grand token total (SUM partial-agg upstream, O(#tasks)
+    # rows cross the final exchange) broadcast into per-domain budgets;
+    # the running sum itself windows per corpus, never globally
+    "mix_token_budget_per_domain",
     # theta sketch: every global agg here is over k=256-row sketch
     # tables or one-row theta scalars — sketch-sized by construction
     "sketch_theta_set_difference",

@@ -155,3 +155,41 @@ def test_bucketed_global_cumsum_equals_naive_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_bucketed_helpers_auto_checkpoint_heuristic(spark):
+    """VERDICT r03 item 7: the eager multi-action helpers materialize
+    any NON-bare-scan input automatically (localCheckpoint → LogicalRDD
+    in the optimized plan), and leave bare scan/filter/project chains
+    alone — so no registered query can accidentally re-execute an
+    expensive upstream 3×."""
+    from stock_data_warehouse_analytics_spark.operators.ranking import (
+        _materialize_if_needed,
+        bucketed_global_rank,
+    )
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+    # bare scan chain: auto leaves the plan untouched (no LogicalRDD)
+    out = _materialize_if_needed(li.filter(F.col("l_quantity") > 10), None)
+    assert "LogicalRDD" not in out._jdf.queryExecution().optimizedPlan().toString()
+
+    # aggregated input: auto materializes (plan collapses to LogicalRDD)
+    agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    out2 = _materialize_if_needed(agg, None)
+    assert "LogicalRDD" in out2._jdf.queryExecution().optimizedPlan().toString()
+
+    # an already-checkpointed input is NOT re-checkpointed (same plan id)
+    out3 = _materialize_if_needed(out2, None)
+    assert out3 is out2
+
+    # end-to-end: ranking an aggregate still returns correct ranks
+    ranked, n = bucketed_global_rank(agg, ["q", "l_orderkey"], rank_col="r")
+    rows = ranked.orderBy("r").collect()
+    assert n == len(rows)
+    assert [r.r for r in rows] == list(range(1, n + 1))
+    qs = [(r.q, r.l_orderkey) for r in rows]
+    assert qs == sorted(qs)
