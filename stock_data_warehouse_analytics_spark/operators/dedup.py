@@ -31,6 +31,7 @@ __all__ = [
     "shingle_table",
     "positioned_shingle_table",
     "exact_substring_spans",
+    "repeated_spans_within_doc",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "banded_signatures",
@@ -254,6 +255,69 @@ def exact_substring_spans(
             "doc_b",
             F.col("s").cast("long").alias("start_a"),
             (F.col("s") - F.col("diag")).cast("long").alias("start_b"),
+            (F.col("e") - F.col("s") + k).cast("long").alias("span_tokens"),
+            "n_seed_matches",
+        )
+        .filter(F.col("span_tokens") >= min_span)
+    )
+
+
+def repeated_spans_within_doc(
+    docs: DataFrame,
+    *,
+    k: int = 3,
+    min_span: int | None = None,
+    max_occ_per_doc: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """WITHIN-document repeated spans — the repetition-removal view
+    (a paragraph pasted twice, looped boilerplate): maximal token spans
+    of ≥ ``min_span`` (default ``k``) that occur at two positions in
+    the SAME document.  Same diagonal gaps-and-islands as
+    :func:`exact_substring_spans`, with the self-join keyed on
+    ``(doc_id, shingle)`` — doc-local, so the shuffle key is never
+    globally hot.
+
+    ``max_occ_per_doc``: a shingle occurring more than this many times
+    in ONE doc is dropped before the join — the within-doc analog of
+    the global df cap.  A degenerate doc repeating one token 10⁶ times
+    would otherwise contribute O(occ²) = 10¹² join rows; past ~50
+    repeats the doc is saturated boilerplate and the signal is already
+    unambiguous.  Output: (doc_id, start_first, start_second,
+    span_tokens, n_seed_matches), one row per maximal repeated span
+    (both copies' start positions, 1-based)."""
+    if min_span is None:
+        min_span = k
+    ps = positioned_shingle_table(docs, text_col, k, max_df=None)
+    occ = F.count(F.lit(1)).over(Window.partitionBy("doc_id", "shingle"))
+    ps = (
+        ps.withColumn("_occ", occ)
+        .filter(F.col("_occ") <= max_occ_per_doc)
+        .drop("_occ")
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    m = (
+        a.join(b, on=["doc_id", "shingle"])
+        .filter(F.col("a.pos") < F.col("b.pos"))
+        .select(
+            "doc_id",
+            F.col("a.pos").alias("pos_a"),
+            (F.col("b.pos") - F.col("a.pos")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("doc_id", "diag").orderBy("pos_a")
+    isl = m.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "diag", "grp")
+        .agg(
+            F.min("pos_a").alias("s"),
+            F.max("pos_a").alias("e"),
+            F.count(F.lit(1)).alias("n_seed_matches"),
+        )
+        .select(
+            "doc_id",
+            F.col("s").cast("long").alias("start_first"),
+            (F.col("s") + F.col("diag")).cast("long").alias("start_second"),
             (F.col("e") - F.col("s") + k).cast("long").alias("span_tokens"),
             "n_seed_matches",
         )

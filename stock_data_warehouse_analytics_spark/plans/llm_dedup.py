@@ -18,6 +18,7 @@ from ..operators.dedup import (
     minhash_candidate_pairs,
     minhash_params,
     ngram_jaccard_pairs,
+    repeated_spans_within_doc,
     simhash_near_pairs,
 )
 from ..sources.tables import load_table
@@ -365,3 +366,58 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_spans(d, k=_SUBSTR_K).orderBy(
         "doc_a", "doc_b", "start_a", "start_b"
     )
+
+
+_WD_K = 3  # within-doc seed width (3-grams: repetition shows at small k)
+_WD_MAX_OCC = 50
+
+
+@register(
+    "text_repeated_spans_within_doc",
+    tags=("llm", "dedup", "repetition", "islands"),
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+ps_all AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(t) - {_WD_K - 1})) AS pos,
+         unnest(list_transform(generate_series(1, len(t) - {_WD_K - 1}),
+                i -> array_to_string(t[i:i+{_WD_K - 1}], ' '))) AS shingle
+  FROM toks WHERE len(t) >= {_WD_K}
+),
+ps AS (
+  SELECT doc_id, pos, shingle FROM ps_all
+  QUALIFY COUNT(*) OVER (PARTITION BY doc_id, shingle) <= {_WD_MAX_OCC}
+),
+m AS (
+  SELECT a.doc_id, a.pos AS pos_a, b.pos - a.pos AS diag
+  FROM ps a JOIN ps b USING (doc_id, shingle)
+  WHERE a.pos < b.pos
+),
+isl AS (
+  SELECT doc_id, diag, pos_a,
+         pos_a - ROW_NUMBER() OVER (PARTITION BY doc_id, diag
+                                    ORDER BY pos_a) AS grp
+  FROM m
+)
+SELECT doc_id,
+       CAST(MIN(pos_a) AS BIGINT) AS start_first,
+       CAST(MIN(pos_a) + diag AS BIGINT) AS start_second,
+       CAST(MAX(pos_a) - MIN(pos_a) + {_WD_K} AS BIGINT) AS span_tokens,
+       COUNT(*) AS n_seed_matches
+FROM isl
+GROUP BY doc_id, diag, grp
+ORDER BY doc_id, start_first, start_second
+""",
+)
+def text_repeated_spans_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-doc repeated spans (repetition removal's position-level
+    view — where ``text_repetition_signals`` scores, this LOCATES):
+    maximal token spans occurring twice in one document, via the
+    doc-local diagonal gaps-and-islands over the positioned 3-gram
+    table with a per-(doc, shingle) occurrence cap (the within-doc
+    O(occ²) guard — ``operators/dedup.py``).  Join key (doc_id,
+    shingle) is never globally hot.  Oracle-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return repeated_spans_within_doc(
+        d, k=_WD_K, max_occ_per_doc=_WD_MAX_OCC
+    ).orderBy("doc_id", "start_first", "start_second")

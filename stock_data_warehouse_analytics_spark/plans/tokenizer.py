@@ -5,9 +5,12 @@ deduped corpus and a training run.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens
 from ..operators.text_ml import bpe_train_merges
 from ..sources.tables import load_table
 from .registry import register
@@ -31,8 +34,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``text_bpe_token_cost``, which only APPLIES a pre-tokenizer.
     Deterministic: tie-break (count desc, left asc, right asc), no
     RNG — the same corpus always yields the same merge table."""
-    d = load_table(spark, sf_dir, "documents")
-    merges, _ = bpe_train_merges(d, rounds=10)
+    merges, _ = trained_bpe(spark, sf_dir)
     return merges.orderBy("round")
 
 
@@ -152,4 +154,80 @@ def mix_token_budget_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tokens_selected"),
         )
         .orderBy("corpus")
+    )
+
+
+# Per-session memo of the trained (merges, vocab) pair per sf_dir —
+# training is 10 sequential Spark jobs; both BPE queries reuse one fit
+# (the ivf_quantizer stance).  Entries die with their session.
+_BPE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, tuple]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def trained_bpe(spark: SparkSession, sf_dir: str):
+    """(merges_df, final_vocab) for the standard 10-round trainer —
+    fit on first use per (session, sf_dir), reused afterwards.  The
+    vocab frame is already localCheckpoint-materialized by the trainer
+    loop, so reuse costs no recomputation."""
+    per_session = _BPE_CACHE.setdefault(spark, {})
+    if sf_dir not in per_session:
+        d = load_table(spark, sf_dir, "documents")
+        per_session[sf_dir] = bpe_train_merges(d, rounds=10)
+    return per_session[sf_dir]
+
+
+@register(
+    "text_bpe_encode_cost",
+    tags=("llm", "text", "bpe", "tokenizer"),
+    oracle=None,  # depends on the iteratively-trained merge table; the
+    # trainer AND the final symbolization are differential-tested
+    # word-for-word in tests/test_iterative_ops.py — this query is a
+    # join/agg over that verified vocab
+)
+def text_bpe_encode_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the trained BPE vocabulary — the job that
+    runs after ``text_bpe_train_merges``: per-source token-cost report
+    (whitespace tokens vs post-merge BPE symbols vs characters).  The
+    trained vocab is Heaps-bounded, so the word→symbol-count lookup is
+    a BROADCAST join against the exploded token stream — one scan of
+    the corpus, no data-sized shuffle.  Unknown words (impossible here
+    — vocab is trained on the same corpus — but real in incremental
+    encoding) fall back to character count."""
+    d = load_table(spark, sf_dir, "documents")
+    _, vocab = trained_bpe(spark, sf_dir)
+    costs = vocab.select(
+        "w", F.size("syms").alias("n_syms")
+    )
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(tokens(F.col("text"))).alias("w"),
+    ).filter(F.length("w") > 0)
+    per_doc = (
+        toks.join(F.broadcast(costs), "w", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.coalesce(F.col("n_syms"), F.length("w"))
+            ).alias("n_symbols"),
+            F.sum(F.length("w")).alias("n_chars"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("ws_tokens"),
+            F.sum("n_symbols").cast("long").alias("bpe_symbols"),
+            F.sum("n_chars").cast("long").alias("chars"),
+            F.round(
+                F.sum("n_symbols") / F.sum("n_tokens"), 6
+            ).alias("symbols_per_token"),
+            F.round(
+                F.sum("n_chars") / F.sum("n_symbols"), 6
+            ).alias("chars_per_symbol"),
+        )
+        .orderBy("source")
     )

@@ -219,3 +219,29 @@ def test_bpe_train_merges_matches_python_reference(spark):
     # final symbolization also matches the reference, word for word
     got_syms = {r.w: list(r.syms) for r in final_vocab.collect()}
     assert got_syms == vocab
+
+
+def test_bpe_encode_cost_invariants(spark):
+    """Substitute check for rows-only ``text_bpe_encode_cost``: the
+    per-source report must satisfy the algebraic invariants of BPE
+    (each word is ≥1 and ≤len(word) symbols, so
+    ws_tokens ≤ bpe_symbols ≤ chars), and the corpus-wide totals must
+    equal independently computed plain-expression sums (no rows lost
+    in the vocab join).  The vocab itself is word-for-word
+    differential-verified in test_bpe_train_merges_matches_python_*."""
+    from stock_data_warehouse_analytics_spark.functions.text import tokens
+
+    rows = QUERIES["text_bpe_encode_cost"].fn(spark, SF_SMALL).collect()
+    assert rows, "empty report"
+    for r in rows:
+        assert r.ws_tokens <= r.bpe_symbols <= r.chars, r
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") > 0
+    )
+    exp = tok.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length("w")).alias("c")
+    ).first()
+    assert sum(r.ws_tokens for r in rows) == exp.n
+    assert sum(r.chars for r in rows) == exp.c
