@@ -32,6 +32,7 @@ __all__ = [
     "positioned_shingle_table",
     "exact_substring_spans",
     "repeated_spans_within_doc",
+    "span_coverage",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "banded_signatures",
@@ -259,6 +260,88 @@ def exact_substring_spans(
             "n_seed_matches",
         )
         .filter(F.col("span_tokens") >= min_span)
+    )
+
+
+def span_coverage(
+    docs: DataFrame,
+    *,
+    k: int = 8,
+    drop_threshold_pct: int = 20,
+    text_col: str = "text",
+    max_df: int | str | None = "auto",
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """The substring-dedup DECISION layer: per document, what fraction
+    of its tokens lies inside spans shared with other documents —
+    computed as the INTERVAL UNION of all its shared spans (a doc
+    duplicated against many partners must not double-count overlapping
+    spans).  Docs at ≥ ``drop_threshold_pct``% coverage are flagged
+    ``would_drop`` — the gate a production pipeline applies after
+    :func:`exact_substring_spans`.
+
+    Interval union is a second gaps-and-islands, over SPANS this time:
+    per doc, order intervals by (start, end); an interval opens a new
+    island iff its start exceeds the running max end of all earlier
+    intervals; islands then collapse to (min start, max end).  Integer
+    arithmetic throughout (the drop test is ``covered·100 ≥
+    n_tokens·pct``) — oracle-exact.  All windows partition by doc_id;
+    interval volume ≈ span count ≪ corpus.
+
+    ``spans`` — pass a pre-computed (e.g. session-cached/materialized)
+    :func:`exact_substring_spans` result to skip recomputing it."""
+    if spans is None:
+        spans = exact_substring_spans(
+            docs, k=k, text_col=text_col, max_df=max_df
+        )
+    side_a = spans.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("start_a").alias("s"),
+        (F.col("start_a") + F.col("span_tokens") - 1).alias("e"),
+    )
+    side_b = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("span_tokens") - 1).alias("e"),
+    )
+    iv = side_a.unionByName(side_b)
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    new_isl = F.when(
+        F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+    ).otherwise(0)
+    merged = (
+        iv.withColumn("isl", F.sum(new_isl).over(w_cum))
+        .groupBy("doc_id", "isl")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+    )
+    cov = merged.groupBy("doc_id").agg(
+        F.sum(F.col("me") - F.col("ms") + 1).cast("long").alias("covered_tokens"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+    from ..functions.text import token_count
+
+    nt = docs.select(
+        "doc_id", token_count(F.col(text_col)).cast("long").alias("n_tokens")
+    )
+    return cov.join(nt, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "covered_tokens",
+        "n_intervals",
+        F.round(F.col("covered_tokens") / F.col("n_tokens"), 6).alias("coverage"),
+        (
+            F.col("covered_tokens") * 100
+            >= F.col("n_tokens") * drop_threshold_pct
+        ).alias("would_drop"),
     )
 
 

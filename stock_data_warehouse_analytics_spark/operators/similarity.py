@@ -29,6 +29,7 @@ __all__ = [
     "neardup_cosine_pairs",
     "neardup_exact_blocked",
     "semantic_dedup",
+    "semantic_dedup_incremental",
 ]
 
 
@@ -580,5 +581,83 @@ def semantic_dedup(
             (
                 F.col("_comp").isNull() | (F.col(id_col) == F.col("_comp"))
             ).alias("keep"),
+        )
+    )
+
+
+def semantic_dedup_incremental(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    threshold: float = 0.97,
+    n_cells: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The DAILY-production shape of semantic dedup: a NEW batch of
+    embeddings admitted against an EXISTING corpus.  The quantizer is
+    fit on the OLD corpus only (in production it already exists — here
+    the fit stands in for loading it); new vectors are assigned to the
+    existing cells map-side and compared, within their cell only,
+    against (a) old members → ``dup_vs_corpus`` and (b) other new
+    members → ``dup_within_batch``.
+
+    Returns one row per NEW vector: (id, cell, dup_vs_corpus,
+    dup_within_batch).  Work is |new|·(cell sizes), never
+    |corpus|² — the same bucket-local probe shape as
+    ``topk_ivf_probe`` and ``dedup_incremental_new_batch``."""
+    import numpy as np
+
+    from .kmeans import assign_codes
+
+    assigned_old, centers_df = fit_ivf_quantizer(
+        old, n_cells=n_cells, max_iter=max_iter, id_col=id_col, vec_col=vec_col
+    )
+    centers = np.array(
+        [r.cvec for r in centers_df.orderBy("cell").collect()]
+    )  # k×dim — codebook-sized driver state, same as the fit itself
+    new_norm = new.select(
+        F.col(id_col).alias("neighbor_id"), normalize(F.col(vec_col)).alias("_cn")
+    )
+    assigned_new = assign_codes(
+        new_norm, centers, vec_col="_cn", code_col="cell"
+    ).localCheckpoint(eager=True)  # reused three times below
+
+    n = assigned_new.select(
+        "cell", F.col("neighbor_id").alias("new_id"), F.col("_cn").alias("_vn")
+    )
+    o = assigned_old.select(
+        "cell", F.col("neighbor_id").alias("old_id"), F.col("_cn").alias("_vo")
+    )
+    vs_corpus = (
+        n.join(o, on="cell")
+        .filter(F.round(dot(F.col("_vn"), F.col("_vo")), 6) >= threshold)
+        .select("new_id")
+        .distinct()
+        .withColumn("_dup_corpus", F.lit(True))
+    )
+    n2 = assigned_new.select(
+        "cell", F.col("neighbor_id").alias("other_id"), F.col("_cn").alias("_vb")
+    )
+    within = (
+        n.join(n2, on="cell")
+        .filter(F.col("new_id") != F.col("other_id"))
+        .filter(F.round(dot(F.col("_vn"), F.col("_vb")), 6) >= threshold)
+        .select("new_id")
+        .distinct()
+        .withColumn("_dup_batch", F.lit(True))
+    )
+    return (
+        assigned_new.select(
+            F.col("neighbor_id").alias(id_col), "cell"
+        )
+        .join(vs_corpus.withColumnRenamed("new_id", id_col), id_col, "left")
+        .join(within.withColumnRenamed("new_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce("_dup_corpus", F.lit(False)).alias("dup_vs_corpus"),
+            F.coalesce("_dup_batch", F.lit(False)).alias("dup_within_batch"),
         )
     )

@@ -20,6 +20,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     repeated_spans_within_doc,
     simhash_near_pairs,
+    span_coverage,
 )
 from ..sources.tables import load_table
 from .registry import register
@@ -307,12 +308,11 @@ def dedup_keep_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SUBSTR_K = 8  # seed width = minimum reportable span, in tokens
 
-
-@register(
-    "dedup_exact_substring",
-    tags=("llm", "dedup", "substring", "islands"),
-    oracle=f"""
-WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+# CTE chain ending in ``spans(doc_a, doc_b, start_a, start_b,
+# span_tokens, n_seed_matches)`` — the maximal-shared-span table,
+# shared by the span query and the coverage rollup.
+_SQL_SPANS = f"""
+toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
 ps_all AS (
   SELECT doc_id,
          unnest(generate_series(1, len(t) - {_SUBSTR_K - 1})) AS pos,
@@ -337,15 +337,49 @@ isl AS (
          pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
                                     ORDER BY pos_a) AS grp
   FROM m
+),
+spans AS (
+  SELECT doc_a, doc_b,
+         CAST(MIN(pos_a) AS BIGINT) AS start_a,
+         CAST(MIN(pos_a) - diag AS BIGINT) AS start_b,
+         CAST(MAX(pos_a) - MIN(pos_a) + {_SUBSTR_K} AS BIGINT) AS span_tokens,
+         COUNT(*) AS n_seed_matches
+  FROM isl
+  GROUP BY doc_a, doc_b, diag, grp
+  HAVING MAX(pos_a) - MIN(pos_a) + {_SUBSTR_K} >= {_SUBSTR_K}
+)"""
+
+
+# Per-session memo of the (localCheckpoint-materialized) maximal-span
+# table per sf_dir — two registered queries (the span list and the
+# coverage rollup) consume the same spans; the table is ~shared-token
+# volume, far smaller than the corpus, so materializing it once is the
+# production shape (a pipeline would persist it).  Entries die with
+# their session.
+import weakref
+
+_SPANS_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
 )
-SELECT doc_a, doc_b,
-       CAST(MIN(pos_a) AS BIGINT) AS start_a,
-       CAST(MIN(pos_a) - diag AS BIGINT) AS start_b,
-       CAST(MAX(pos_a) - MIN(pos_a) + {_SUBSTR_K} AS BIGINT) AS span_tokens,
-       COUNT(*) AS n_seed_matches
-FROM isl
-GROUP BY doc_a, doc_b, diag, grp
-HAVING MAX(pos_a) - MIN(pos_a) + {_SUBSTR_K} >= {_SUBSTR_K}
+
+
+def _substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_session = _SPANS_CACHE.setdefault(spark, {})
+    if sf_dir not in per_session:
+        d = load_table(spark, sf_dir, "documents")
+        per_session[sf_dir] = exact_substring_spans(
+            d, k=_SUBSTR_K
+        ).localCheckpoint(eager=True)
+    return per_session[sf_dir]
+
+
+@register(
+    "dedup_exact_substring",
+    tags=("llm", "dedup", "substring", "islands"),
+    oracle=f"""
+WITH {_SQL_SPANS}
+SELECT doc_a, doc_b, start_a, start_b, span_tokens, n_seed_matches
+FROM spans
 ORDER BY doc_a, doc_b, start_a, start_b
 """,
 )
@@ -362,8 +396,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: seed join is df-capped (hot boilerplate k-grams dropped —
     the O(occ²) guard); the window+group run over the seed-MATCH table
     (≈ shared-token volume, ≪ corpus)."""
-    d = load_table(spark, sf_dir, "documents")
-    return exact_substring_spans(d, k=_SUBSTR_K).orderBy(
+    return _substring_spans(spark, sf_dir).orderBy(
         "doc_a", "doc_b", "start_a", "start_b"
     )
 
@@ -421,3 +454,64 @@ def text_repeated_spans_within_doc(spark: SparkSession, sf_dir: str) -> DataFram
     return repeated_spans_within_doc(
         d, k=_WD_K, max_occ_per_doc=_WD_MAX_OCC
     ).orderBy("doc_id", "start_first", "start_second")
+
+
+@register(
+    "dedup_span_coverage",
+    tags=("llm", "dedup", "substring", "coverage", "islands"),
+    oracle=f"""
+WITH {_SQL_SPANS},
+iv AS (
+  SELECT doc_a AS doc_id, start_a AS s,
+         start_a + span_tokens - 1 AS e FROM spans
+  UNION ALL
+  SELECT doc_b, start_b, start_b + span_tokens - 1 FROM spans
+),
+marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+                ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_isl
+  FROM iv
+),
+isl2 AS (
+  SELECT doc_id, s, e,
+         SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM marked
+),
+merged AS (
+  SELECT doc_id, isl, MIN(s) AS ms, MAX(e) AS me
+  FROM isl2 GROUP BY doc_id, isl
+),
+cov AS (
+  SELECT doc_id, CAST(SUM(me - ms + 1) AS BIGINT) AS covered_tokens,
+         COUNT(*) AS n_intervals
+  FROM merged GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       c.covered_tokens,
+       c.n_intervals,
+       ROUND(c.covered_tokens / CAST(len(t.t) AS BIGINT), 6) AS coverage,
+       c.covered_tokens * 100 >= CAST(len(t.t) AS BIGINT) * 20 AS would_drop
+FROM cov c JOIN toks t USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup YIELD decision: per document, the fraction of
+    tokens inside spans shared with ANY other document — the interval
+    UNION of its ``dedup_exact_substring`` spans (a second
+    gaps-and-islands, over intervals), with a ≥20%-coverage
+    ``would_drop`` gate (integer-arithmetic boundary).  The operator a
+    pipeline runs between span detection and corpus rewrite.
+    Oracle-exact end-to-end — both islands stages replay identically
+    in SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    return span_coverage(
+        d,
+        k=_SUBSTR_K,
+        drop_threshold_pct=20,
+        spans=_substring_spans(spark, sf_dir),
+    ).orderBy("doc_id")

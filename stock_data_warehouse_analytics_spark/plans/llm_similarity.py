@@ -19,6 +19,7 @@ from ..operators.similarity import (
     neardup_cosine_pairs,
     neardup_exact_blocked,
     semantic_dedup,
+    semantic_dedup_incremental,
     topk_bruteforce,
     topk_ivf_probe,
     topk_lsh,
@@ -237,4 +238,39 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, _ = ivf_quantizer(spark, sf_dir)
     return semantic_dedup(e, threshold=0.97, assigned=assigned).orderBy(
         "vec_id"
+    )
+
+
+@register(
+    "emb_semantic_dedup_incremental",
+    tags=("llm", "dedup", "embedding", "semdedup", "incremental"),
+    oracle=None,  # k-means cells — not SQL-expressible; planted
+    # cross-batch/within-batch dupes pinned by tests/test_dedup_recall
+    # .py::test_semantic_dedup_incremental_planted
+)
+def emb_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL semantic dedup — the daily-batch admission query:
+    the top-decile vec_id range plays the 'new batch', the rest the
+    existing corpus; quantizer fit on the corpus side only, new
+    vectors assigned map-side and compared bucket-locally (old→
+    ``dup_vs_corpus``, new→``dup_within_batch``), summarized per flag
+    pair.  The embedding-space twin of
+    ``dedup_incremental_new_batch``."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bounds = e.agg(
+        F.max("vec_id").alias("mx"), F.min("vec_id").alias("mn")
+    ).first()  # one-row bounds scalar (same stance as the minhash twin)
+    cut = bounds.mx - (bounds.mx - bounds.mn) // 10
+    # max_iter 3: an admission quantizer needs coarse cells, not
+    # convergence (the full-corpus fit uses 5 — see ivf_quantizer)
+    dec = semantic_dedup_incremental(
+        e.filter(F.col("vec_id") <= cut),
+        e.filter(F.col("vec_id") > cut),
+        threshold=0.97,
+        max_iter=3,
+    )
+    return (
+        dec.groupBy("dup_vs_corpus", "dup_within_batch")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("dup_vs_corpus", "dup_within_batch")
     )

@@ -21,7 +21,8 @@ from .registry import register
     tags=("llm", "text", "bpe", "tokenizer", "iterative"),
     oracle=None,  # iterative argmax loop — not SQL-expressible; the
     # merge table is differential-tested against a pure-Python
-    # reference in tests/test_iterative_ops.py::test_bpe_train_merges
+    # reference in tests/test_iterative_ops.py::
+    # test_bpe_train_merges_matches_python_reference
 )
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE VOCABULARY TRAINING (10 merge rounds) over ``documents`` —

@@ -269,3 +269,47 @@ def test_semantic_dedup_planted_groups(spark):
     out2 = semantic_dedup(df, threshold=0.97, n_cells=8).orderBy("vec_id")
     got2 = {r.vec_id: (r.cluster_id, r.keep) for r in out2.collect()}
     assert got1 == got2
+
+
+def test_semantic_dedup_incremental_planted(spark):
+    """Planted cross-batch and within-batch semantic dupes for the
+    incremental admission operator: an old corpus of 40 near-orthogonal
+    vectors; a new batch containing (a) two near-copies of old vectors
+    → dup_vs_corpus, (b) two near-copies of one novel vector →
+    dup_within_batch on both, (c) two novel singletons → no flags."""
+    import numpy as np
+
+    from stock_data_warehouse_analytics_spark.operators.similarity import (
+        semantic_dedup_incremental,
+    )
+
+    rng = np.random.default_rng(11)
+    dim = 32
+    base = rng.normal(size=(40, dim))
+    old = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    novel = rng.normal(size=(3, dim))
+    new = [
+        (100, [float(x) for x in base[3] + 1e-4 * rng.normal(size=dim)]),
+        (101, [float(x) for x in base[7] + 1e-4 * rng.normal(size=dim)]),
+        (102, [float(x) for x in novel[0]]),
+        (103, [float(x) for x in novel[0] + 1e-4 * rng.normal(size=dim)]),
+        (104, [float(x) for x in novel[1]]),
+        (105, [float(x) for x in novel[2]]),
+    ]
+    schema = "vec_id long, embedding array<double>"
+    dec = semantic_dedup_incremental(
+        spark.createDataFrame(old, schema),
+        spark.createDataFrame(new, schema),
+        threshold=0.97,
+        n_cells=8,
+    )
+    got = {
+        r.vec_id: (r.dup_vs_corpus, r.dup_within_batch) for r in dec.collect()
+    }
+    assert got[100] == (True, False)
+    assert got[101] == (True, False)
+    assert got[102] == (False, True)
+    assert got[103] == (False, True)
+    assert got[104] == (False, False)
+    assert got[105] == (False, False)
+    assert len(got) == 6

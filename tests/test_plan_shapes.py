@@ -173,6 +173,7 @@ _BOUNDED_SINGLE_PARTITION = {
     "text_dedup_containment",
     "text_minhash_calibration",
     "dedup_exact_substring",  # same one-row corpus-size cap scalar
+    "dedup_span_coverage",  # same cap scalar (reuses the spans plan)
     # one-row grand token total (SUM partial-agg upstream, O(#tasks)
     # rows cross the final exchange) broadcast into per-domain budgets;
     # the running sum itself windows per corpus, never globally
