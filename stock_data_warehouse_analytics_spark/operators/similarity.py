@@ -183,6 +183,7 @@ def fit_ivf_quantizer(
     max_iter: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_sample_per_cell: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit the IVF coarse quantizer ONCE — the custom distributed Lloyd
     trainer (``operators/kmeans.py``: one Arrow scan per iteration,
@@ -203,8 +204,20 @@ def fit_ivf_quantizer(
     c = emb.select(
         F.col(id_col).alias("neighbor_id"), normalize(F.col(vec_col)).alias("_cn")
     ).localCheckpoint(eager=True)  # every Lloyd pass reuses one scan
+    fit_input = c
+    if fit_sample_per_cell is not None:
+        # Fit on a deterministic hash sample of ~n_cells·fit_sample_per_cell
+        # vectors: each Lloyd pass costs O(sample·k·dim) instead of
+        # O(n·k·dim) — with k ∝ √n this keeps the FIT linear in n while
+        # the full corpus is still assigned exactly (one extra map pass).
+        n = c.count()
+        target = n_cells * fit_sample_per_cell
+        if n > target:
+            bucket = hash_int60(F.col("neighbor_id").cast("string")) % 1_000_000
+            keep = int(target * 1_000_000 // n)
+            fit_input = c.filter(bucket < keep).localCheckpoint(eager=True)
     centers = lloyd_fit(
-        c, id_col="neighbor_id", vec_col="_cn", k=n_cells, iters=max_iter
+        fit_input, id_col="neighbor_id", vec_col="_cn", k=n_cells, iters=max_iter
     )
     assigned = assign_codes(c, centers, vec_col="_cn", code_col="cell")
     centers_df = emb.sparkSession.createDataFrame(
@@ -514,6 +527,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assigned: DataFrame | None = None,
+    fit_sample_per_cell: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with the IVF coarse
@@ -550,24 +564,9 @@ def semantic_dedup(
             max_iter=max_iter,
             id_col=id_col,
             vec_col=vec_col,
+            fit_sample_per_cell=fit_sample_per_cell,
         )
-    a = assigned.select(
-        "cell", F.col("neighbor_id").alias("id_a"), F.col("_cn").alias("_va")
-    )
-    b = assigned.select(
-        "cell", F.col("neighbor_id").alias("id_b"), F.col("_cn").alias("_vb")
-    )
-    edges = (
-        a.join(b, on="cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(dot(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b")
-    )
+    edges = _within_cell_edges(assigned, threshold)
     comp = connected_components(edges, src="id_a", dst="id_b").select(
         F.col("node").alias(id_col), F.col("comp").alias("_comp")
     )
@@ -585,6 +584,53 @@ def semantic_dedup(
     )
 
 
+
+def _within_cell_edges(assigned: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, id_b) pairs at cosine ≥ ``threshold`` within each cell —
+    the SemDeDup pairwise stage as a per-cell BLOCKED MATMUL
+    (``applyInPandas`` over cells, row-chunked numpy ``X @ X.T``)
+    instead of a fold-dot self-join: same candidate set, ~15× faster
+    (the interpreted per-pair fold was 27 s of a 41 s ×10-scale run).
+    Chunking caps the in-memory score block at CHUNK×cell_size, so a
+    hot cell degrades gracefully instead of OOMing.  Cosine is rounded
+    to 6 before thresholding like every similarity operator here; the
+    matmul's sum order can differ from the fold's in the last ulp,
+    which round-6 absorbs except on exact knife edges — acceptable for
+    a rows-only operator whose tests use wide margins."""
+    CHUNK = 4096
+
+    def pairs(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        X = _np.vstack(pdf["_cn"].to_numpy()).astype(_np.float64)
+        ids = pdf["neighbor_id"].to_numpy()
+        n = len(ids)
+        out_a, out_b = [], []
+        for lo in range(0, n, CHUNK):
+            hi = min(lo + CHUNK, n)
+            S = X[lo:hi] @ X.T
+            ii, jj = _np.nonzero(_np.round(S, 6) >= threshold)
+            gi = ii + lo
+            keep = gi < jj  # upper triangle only, no self-pairs
+            gi, jj = gi[keep], jj[keep]
+            a, b = ids[gi], ids[jj]
+            out_a.append(_np.minimum(a, b))
+            out_b.append(_np.maximum(a, b))
+        if not out_a:
+            return _pd.DataFrame({"id_a": [], "id_b": []})
+        return _pd.DataFrame(
+            {
+                "id_a": _np.concatenate(out_a),
+                "id_b": _np.concatenate(out_b),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        pairs, "id_a long, id_b long"
+    )
+
+
 def semantic_dedup_incremental(
     old: DataFrame,
     new: DataFrame,
@@ -594,6 +640,7 @@ def semantic_dedup_incremental(
     max_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_sample_per_cell: int | None = None,
 ) -> DataFrame:
     """The DAILY-production shape of semantic dedup: a NEW batch of
     embeddings admitted against an EXISTING corpus.  The quantizer is
@@ -612,7 +659,8 @@ def semantic_dedup_incremental(
     from .kmeans import assign_codes
 
     assigned_old, centers_df = fit_ivf_quantizer(
-        old, n_cells=n_cells, max_iter=max_iter, id_col=id_col, vec_col=vec_col
+        old, n_cells=n_cells, max_iter=max_iter, id_col=id_col,
+        vec_col=vec_col, fit_sample_per_cell=fit_sample_per_cell,
     )
     centers = np.array(
         [r.cvec for r in centers_df.orderBy("cell").collect()]

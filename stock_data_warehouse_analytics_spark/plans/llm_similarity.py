@@ -235,10 +235,23 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of ``dedup_keep_representative``.  Pairwise work is O(n²/k)
     spread over k independent cells, never global all-pairs."""
     e = load_table(spark, sf_dir, "embeddings")
-    assigned, _ = ivf_quantizer(spark, sf_dir)
-    return semantic_dedup(e, threshold=0.97, assigned=assigned).orderBy(
-        "vec_id"
-    )
+    # Cell count must scale with the corpus — a FIXED cell count makes
+    # SemDeDup quadratic again (measured: 4.6×/14× time at 2×/5× data).
+    # k = √n/3 balances the two cost terms of a single-level quantizer
+    # (fit O(sample·k) with the hash-sampled fit set, within-cell pairs
+    # O(n·cell_size) = O(n^1.5)); past ~10⁹ vectors you'd add a second
+    # quantizer level (IVF-in-IVF), noted not built.  Floor 16 keeps the
+    # sf0.1 corpus on the shared session quantizer.
+    n = e.count()  # one-long driver scalar
+    n_cells = max(16, __import__("math").isqrt(n) // 3)
+    if n_cells == 16:
+        assigned, _ = ivf_quantizer(spark, sf_dir)  # reuse session fit
+    else:
+        assigned = None
+    return semantic_dedup(
+        e, threshold=0.97, n_cells=n_cells, max_iter=5, assigned=assigned,
+        fit_sample_per_cell=200,
+    ).orderBy("vec_id")
 
 
 @register(
@@ -263,11 +276,16 @@ def emb_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     cut = bounds.mx - (bounds.mx - bounds.mn) // 10
     # max_iter 3: an admission quantizer needs coarse cells, not
     # convergence (the full-corpus fit uses 5 — see ivf_quantizer)
+    old_side = e.filter(F.col("vec_id") <= cut)
+    # same √n cell scaling + sampled fit as emb_semantic_dedup
+    n_cells = max(16, __import__("math").isqrt(old_side.count()) // 3)
     dec = semantic_dedup_incremental(
-        e.filter(F.col("vec_id") <= cut),
+        old_side,
         e.filter(F.col("vec_id") > cut),
         threshold=0.97,
+        n_cells=n_cells,
         max_iter=3,
+        fit_sample_per_cell=200,
     )
     return (
         dec.groupBy("dup_vs_corpus", "dup_within_batch")

@@ -142,3 +142,148 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ----------------------------------------- round-4 classifier + eval
+
+_SQL_TOKENS_M = r"string_split_regex(lower(trim(text)), '\s+')"
+_SQL_NTOK_M = f"len({_SQL_TOKENS_M})"
+_SQL_PUNCT_M = (
+    r"((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE"
+    r" / length(text))"
+)
+_SQL_STOP_EN = (
+    r"len(regexp_extract_all(lower(trim(text)),"
+    r" '\b(the|of|and|to|in|is|a|for)\b'))"
+)
+_SQL_QUALITY = f"""ROUND(
+    LEAST(1.0, {_SQL_NTOK_M} / 100.0) * 0.4
+    + LEAST(1.0, ({_SQL_STOP_EN}::DOUBLE / {_SQL_NTOK_M}) * 5) * 0.3
+    + (1.0 - LEAST(1.0, {_SQL_PUNCT_M} * 10)) * 0.3, 6)"""
+
+
+@register(
+    "eval_auc_rank_sum",
+    tags=("mining", "eval", "auc", "rank"),
+    oracle=f"""
+WITH scored AS (
+  SELECT {_SQL_QUALITY} AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+grp AS (
+  SELECT score, CAST(SUM(y) AS BIGINT) AS n_pos_s,
+         COUNT(*) AS n_s
+  FROM scored GROUP BY score
+),
+cum AS (
+  SELECT n_pos_s, n_s,
+         CAST(COALESCE(SUM(n_s) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM grp
+),
+agg AS (
+  SELECT CAST(SUM(n_pos_s * (2 * cum_before + n_s + 1)) AS BIGINT)
+           AS dbl_rank_sum,
+         CAST(SUM(n_pos_s) AS BIGINT) AS n_pos,
+         CAST(SUM(n_s - n_pos_s) AS BIGINT) AS n_neg
+  FROM cum
+)
+SELECT n_pos, n_neg,
+       ROUND((dbl_rank_sum - n_pos * (n_pos + 1))::DOUBLE
+             / (2 * n_pos * n_neg), 6) AS auc
+FROM agg
+""",
+)
+def eval_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC (ROC area) computed RELATIONALLY as the Mann-Whitney
+    rank-sum statistic — the evaluation primitive every classifier
+    pipeline needs, with proper tie handling (average ranks) and NO
+    per-threshold sweep.  Scale-correct formulation: ranks are never
+    materialized per row — the corpus collapses to per-SCORE groups
+    (one data shuffle), and each tied group's doubled rank-sum
+    contribution is ``n_pos_s · (2·cum_before + n_s + 1)`` via a
+    running count over the DISTINCT-score table, which is bounded by
+    the score domain (quality is rounded to 6 decimals in [0,1] →
+    ≤ 10⁶+1 rows) regardless of corpus size.  Arithmetic stays INTEGER
+    until one final division, so the result is bit-identical
+    cross-engine.  Score = the corpus quality heuristic; label =
+    lang=='en'."""
+    from ..functions.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        F.round(quality_score(F.col("text")), 6).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    grp = scored.groupBy("score").agg(
+        F.sum("y").cast("long").alias("n_pos_s"),
+        F.count(F.lit(1)).alias("n_s"),
+    )
+    from pyspark.sql import Window
+
+    w_prev = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = grp.select(
+        "n_pos_s",
+        "n_s",
+        F.coalesce(F.sum("n_s").over(w_prev), F.lit(0))
+        .cast("long")
+        .alias("cum_before"),
+    )
+    agg = cum.agg(
+        F.sum(
+            F.col("n_pos_s") * (2 * F.col("cum_before") + F.col("n_s") + 1)
+        )
+        .cast("long")
+        .alias("dbl_rank_sum"),
+        F.sum("n_pos_s").cast("long").alias("n_pos"),
+        F.sum(F.col("n_s") - F.col("n_pos_s")).cast("long").alias("n_neg"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("dbl_rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1))
+            .cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@register(
+    "mining_logreg_irls",
+    tags=("mining", "ml", "logreg", "iterative"),
+    oracle=None,  # iterative Newton solve with driver-side d×d algebra;
+    # differential-tested against a numpy IRLS in
+    # tests/test_iterative_ops.py::test_irls_logreg_matches_numpy
+)
+def mining_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed LOGISTIC REGRESSION via IRLS/Newton
+    (``operators/logreg.py``): label lang=='en' on three text features
+    + intercept.  Each Newton step is ONE map-side-combined aggregate
+    producing the d(d+1)/2+d weighted moments (O(#tasks) rows cross the
+    exchange — never data); the driver solves a 4×4 system.  The GLM
+    twin of the Lloyd trainer.  Output: one row per coefficient,
+    rounded to 6 (floating partial-sum order is the only
+    nondeterminism; at 6 decimals the result is stable)."""
+    from ..functions.text import punct_ratio, stopword_ratio, token_count
+    from ..operators.logreg import irls_logreg
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = d.select(
+        F.lit(1.0).alias("intercept"),
+        (token_count(F.col("text")) / 100.0).alias("ntok_100"),
+        punct_ratio(F.col("text")).alias("punct"),
+        stopword_ratio(F.col("text")).alias("stop_en"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    cols = ["intercept", "ntok_100", "punct", "stop_en"]
+    beta = irls_logreg(feats, feature_cols=cols, label_col="y", iters=8)
+    return spark.createDataFrame(
+        [(c, round(b, 6)) for c, b in zip(cols, beta)],
+        "feature string, beta double",
+    )

@@ -245,3 +245,43 @@ def test_bpe_encode_cost_invariants(spark):
     ).first()
     assert sum(r.ws_tokens for r in rows) == exp.n
     assert sum(r.chars for r in rows) == exp.c
+
+
+def test_irls_logreg_matches_numpy(spark):
+    """Differential check of the distributed IRLS trainer against a
+    driver-side numpy IRLS (identical update rule, weight floor and
+    ridge) on a seeded synthetic logit problem — pins the moment
+    aggregation and the Newton solve.  Also checks the fit actually
+    recovers the planted coefficient signs."""
+    import numpy as np
+
+    from stock_data_warehouse_analytics_spark.operators.logreg import (
+        irls_logreg,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    X = np.column_stack([np.ones(n), rng.normal(size=(n, 2))])
+    true_beta = np.array([-0.5, 1.5, -2.0])
+    p = 1 / (1 + np.exp(-X @ true_beta))
+    y = (rng.random(n) < p).astype(float)
+
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c), float(t)) for (a, b, c), t in zip(X, y)],
+        "x0 double, x1 double, x2 double, y double",
+    )
+    got = np.array(
+        irls_logreg(df, feature_cols=["x0", "x1", "x2"], label_col="y", iters=8)
+    )
+
+    beta = np.zeros(3)
+    for _ in range(8):
+        xb = X @ beta
+        pr = 1 / (1 + np.exp(-xb))
+        w = np.maximum(pr * (1 - pr), 1e-9)
+        z = xb + (y - pr) / w
+        A = (X * w[:, None]).T @ X + 1e-6 * np.eye(3)
+        beta = np.linalg.solve(A, (X * w[:, None]).T @ z)
+
+    assert np.allclose(got, beta, rtol=1e-6, atol=1e-8), (got, beta)
+    assert np.sign(got[1]) == 1 and np.sign(got[2]) == -1

@@ -174,6 +174,10 @@ _BOUNDED_SINGLE_PARTITION = {
     "text_minhash_calibration",
     "dedup_exact_substring",  # same one-row corpus-size cap scalar
     "dedup_span_coverage",  # same cap scalar (reuses the spans plan)
+    # distinct-score running count: the unpartitioned window runs over
+    # per-SCORE groups — score is rounded to 6 decimals in [0,1], so
+    # ≤ 10^6+1 rows at ANY corpus size — plus the final one-row agg
+    "eval_auc_rank_sum",
     # one-row grand token total (SUM partial-agg upstream, O(#tasks)
     # rows cross the final exchange) broadcast into per-domain budgets;
     # the running sum itself windows per corpus, never globally
