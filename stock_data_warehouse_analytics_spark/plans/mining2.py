@@ -287,3 +287,68 @@ def mining_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(c, round(b, 6)) for c, b in zip(cols, beta)],
         "feature string, beta double",
     )
+
+
+@register(
+    "eval_calibration_bins",
+    tags=("mining", "eval", "calibration"),
+    oracle=f"""
+WITH scored AS (
+  SELECT {_SQL_QUALITY} AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin, score, y
+  FROM scored
+)
+SELECT bin,
+       COUNT(*) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       ROUND(SUM(y)::DOUBLE / COUNT(*), 6) AS observed_rate,
+       ROUND(CAST(SUM(CAST(score * 1000000 AS BIGINT)) AS BIGINT)::DOUBLE
+             / (1000000 * COUNT(*)), 6) AS mean_score
+FROM binned
+GROUP BY bin
+ORDER BY bin
+""",
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION (reliability) table for the quality-score-as-
+    classifier: decile score bins vs observed positive rate — AUC's
+    companion diagnostic (AUC measures ranking, calibration measures
+    probability faithfulness).  Mean score per bin goes through a
+    ×10⁶-integer route (scores are round-6 already, so the scaling is
+    EXACT) and one final division — bit-identical cross-engine, no
+    double-sum ordering hazard.  One scan, one 10-row aggregate."""
+    from ..functions.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        F.round(quality_score(F.col("text")), 6).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9)).alias(
+            "bin"
+        ),
+        "score",
+        "y",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.round(
+                F.sum("y").cast("double") / F.count(F.lit(1)), 6
+            ).alias("observed_rate"),
+            F.round(
+                F.sum((F.col("score") * 1_000_000).cast("long"))
+                .cast("double")
+                / (F.lit(1_000_000) * F.count(F.lit(1))),
+                6,
+            ).alias("mean_score"),
+        )
+        .orderBy("bin")
+    )
