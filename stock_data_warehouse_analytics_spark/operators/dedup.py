@@ -33,6 +33,7 @@ __all__ = [
     "exact_substring_spans",
     "repeated_spans_within_doc",
     "span_coverage",
+    "union_intervals",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "banded_signatures",
@@ -263,6 +264,50 @@ def exact_substring_spans(
     )
 
 
+
+def union_intervals(
+    iv: DataFrame,
+    *,
+    key_cols: list[str],
+    s_col: str = "s",
+    e_col: str = "e",
+) -> DataFrame:
+    """INTERVAL UNION per key — merge overlapping/touching integer
+    intervals [s, e] (inclusive ends; intervals sharing an endpoint
+    merge) into maximal disjoint islands.  The generic primitive behind
+    span coverage, sessionization-by-extent and calendar gap audits.
+
+    Gaps-and-islands over intervals: per key, order by (s, e); an
+    interval opens a new island iff its start exceeds the running MAX
+    end of all earlier intervals (a plain running max is NOT enough —
+    an interval can be swallowed by an earlier, longer one).  One
+    window partitioning per key, integer arithmetic only —
+    SQL-mirrorable verbatim.  Output: key cols + (ms, me) per island.
+    Property-tested against a driver-side sweep-line reference in
+    ``tests/test_properties.py``."""
+    w_prev = (
+        Window.partitionBy(*key_cols)
+        .orderBy(s_col, e_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy(s_col, e_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    new_isl = F.when(
+        F.col(s_col)
+        > F.coalesce(F.max(e_col).over(w_prev), F.lit(float("-inf"))),
+        1,
+    ).otherwise(0)
+    return (
+        iv.withColumn("_isl", F.sum(new_isl).over(w_cum))
+        .groupBy(*key_cols, "_isl")
+        .agg(F.min(s_col).alias("ms"), F.max(e_col).alias("me"))
+        .drop("_isl")
+    )
+
+
 def span_coverage(
     docs: DataFrame,
     *,
@@ -305,24 +350,7 @@ def span_coverage(
         (F.col("start_b") + F.col("span_tokens") - 1).alias("e"),
     )
     iv = side_a.unionByName(side_b)
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_cum = (
-        Window.partitionBy("doc_id")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    new_isl = F.when(
-        F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
-    ).otherwise(0)
-    merged = (
-        iv.withColumn("isl", F.sum(new_isl).over(w_cum))
-        .groupBy("doc_id", "isl")
-        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
-    )
+    merged = union_intervals(iv, key_cols=["doc_id"])
     cov = merged.groupBy("doc_id").agg(
         F.sum(F.col("me") - F.col("ms") + 1).cast("long").alias("covered_tokens"),
         F.count(F.lit(1)).alias("n_intervals"),

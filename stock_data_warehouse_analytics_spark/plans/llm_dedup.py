@@ -18,6 +18,7 @@ from ..operators.dedup import (
     minhash_candidate_pairs,
     minhash_params,
     ngram_jaccard_pairs,
+    positioned_shingle_table,
     repeated_spans_within_doc,
     simhash_near_pairs,
     span_coverage,
@@ -515,3 +516,95 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         drop_threshold_pct=20,
         spans=_substring_spans(spark, sf_dir),
     ).orderBy("doc_id")
+
+
+_CONTAM_MIN_SPAN = 13  # GPT-3-style 13-gram contamination rule
+
+
+@register(
+    "contamination_span_level",
+    tags=("llm", "dedup", "contamination", "eval", "islands"),
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+ps_all AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(t) - {_SUBSTR_K - 1})) AS pos,
+         unnest(list_transform(generate_series(1, len(t) - {_SUBSTR_K - 1}),
+                i -> array_to_string(t[i:i+{_SUBSTR_K - 1}], ' '))) AS shingle
+  FROM toks WHERE len(t) >= {_SUBSTR_K}
+),
+ps AS (
+  SELECT doc_id, pos, shingle FROM ps_all
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle)
+          <= (SELECT GREATEST({MAX_DF_FLOOR}, COUNT(*) // {MAX_DF_FRAC_DEN})
+              FROM documents)
+),
+m AS (
+  SELECT a.doc_id AS test_doc, b.doc_id AS train_doc,
+         a.pos AS pos_a, a.pos - b.pos AS diag
+  FROM ps a JOIN ps b USING (shingle)
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+),
+isl AS (
+  SELECT test_doc, train_doc, diag, pos_a,
+         pos_a - ROW_NUMBER() OVER (PARTITION BY test_doc, train_doc, diag
+                                    ORDER BY pos_a) AS grp
+  FROM m
+),
+spans AS (
+  SELECT test_doc, train_doc,
+         CAST(MAX(pos_a) - MIN(pos_a) + {_SUBSTR_K} AS BIGINT) AS span_tokens
+  FROM isl
+  GROUP BY test_doc, train_doc, diag, grp
+)
+SELECT test_doc,
+       COUNT(*) AS n_spans,
+       CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens,
+       CAST(COUNT(DISTINCT train_doc) AS BIGINT) AS n_train_partners,
+       MAX(span_tokens) >= {_CONTAM_MIN_SPAN} AS contaminated
+FROM spans
+GROUP BY test_doc
+ORDER BY test_doc
+""",
+)
+def contamination_span_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL test-set contamination — the production eval-hygiene
+    check (GPT-3's 13-gram rule): exact shared token spans between the
+    held-out half (odd doc_id) and the train half (even doc_id), via
+    the same positioned-diagonal islands as ``dedup_exact_substring``
+    but with FIXED sides (test×train only — no within-split pairs).
+    Per test doc: span count, longest span, distinct train partners,
+    and the ≥13-token ``contaminated`` verdict.  Where
+    ``text_contamination_overlap`` scores bag-of-ngrams overlap, this
+    LOCATES verbatim leakage.  Oracle-exact; same df-capped seed join
+    (one shuffle), islands over the match table ≪ corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    ps = positioned_shingle_table(d, "text", _SUBSTR_K, max_df="auto")
+    a = ps.filter(F.col("doc_id") % 2 == 1).alias("a")
+    b = ps.filter(F.col("doc_id") % 2 == 0).alias("b")
+    m = a.join(b, on="shingle").select(
+        F.col("a.doc_id").alias("test_doc"),
+        F.col("b.doc_id").alias("train_doc"),
+        F.col("a.pos").alias("pos_a"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("test_doc", "train_doc", "diag").orderBy("pos_a")
+    spans = (
+        m.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("test_doc", "train_doc", "diag", "grp")
+        .agg(
+            (F.max("pos_a") - F.min("pos_a") + _SUBSTR_K)
+            .cast("long")
+            .alias("span_tokens")
+        )
+    )
+    return (
+        spans.groupBy("test_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.max("span_tokens").cast("long").alias("max_span_tokens"),
+            F.countDistinct("train_doc").cast("long").alias("n_train_partners"),
+            (F.max("span_tokens") >= _CONTAM_MIN_SPAN).alias("contaminated"),
+        )
+        .orderBy("test_doc")
+    )

@@ -318,3 +318,49 @@ def test_queries_md_in_sync_with_registry():
     assert int(m.group(2)) == sum(
         1 for s in QUERIES.values() if s.oracle is not None
     )
+
+
+def _py_union_intervals(ivs):
+    """Sweep-line reference: merge inclusive integer intervals that
+    overlap or touch (share an endpoint)."""
+    out = []
+    for s, e in sorted(ivs):
+        if out and s <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], e)
+        else:
+            out.append([s, e])
+    return [tuple(x) for x in out]
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_union_intervals_matches_sweep_line(spark, ivs):
+    """The relational gaps-and-islands interval union must equal the
+    classic sweep-line merge on arbitrary (possibly nested, duplicate,
+    touching) interval sets — pins the subtle running-MAX-end
+    condition (a swallowed interval must not split an island)."""
+    from stock_data_warehouse_analytics_spark.operators.dedup import (
+        union_intervals,
+    )
+
+    rows = [(1, s, s + ln) for s, ln in ivs]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    got = sorted(
+        (r.ms, r.me)
+        for r in union_intervals(df, key_cols=["k"]).collect()
+    )
+    want = _py_union_intervals([(s, s + ln) for s, ln in ivs])
+    assert got == want, (ivs, got, want)
