@@ -26,6 +26,8 @@ __all__ = [
     "fit_ivf_quantizer",
     "topk_ivf_probe",
     "topk_ivf",
+    "fit_ivf2_quantizer",
+    "topk_ivf2",
     "neardup_cosine_pairs",
     "neardup_exact_blocked",
     "semantic_dedup",
@@ -708,4 +710,180 @@ def semantic_dedup_incremental(
             F.coalesce("_dup_corpus", F.lit(False)).alias("dup_vs_corpus"),
             F.coalesce("_dup_batch", F.lit(False)).alias("dup_within_batch"),
         )
+    )
+
+
+def fit_ivf2_quantizer(
+    emb: DataFrame,
+    *,
+    n_coarse: int = 8,
+    n_sub: int = 8,
+    max_iter: int = 5,
+    sub_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """TWO-LEVEL IVF (IVF-in-IVF) — the quantizer shape past ~10⁹
+    vectors, where a single-level √n-cell quantizer's fit and routing
+    tables outgrow their budgets: a coarse level-1 quantizer (the
+    existing sampled distributed Lloyd — driver state k1×dim) and,
+    INSIDE each coarse cell, k2 sub-centroids fit by a per-cell numpy
+    Lloyd that runs WHERE THE CELL'S DATA LIVES (``applyInPandas`` over
+    cells — the level-2 fit never touches the driver and all cells fit
+    in parallel).  Sub-centroids are recovered relationally as the
+    element-wise mean of each sub-cell's members (posexplode + group —
+    the per-label-centroid pattern of ``plans/emb_iter.py``), i.e. one
+    extra Lloyd half-step: still a valid quantizer, never a collect.
+
+    Deterministic: level-1 seeding is md5-ordered (``lloyd_fit``);
+    level-2 seeds are each cell's ``n_sub`` smallest-md5 members.
+
+    Returns ``(assigned, centers1_df, sub_centers)``:
+    assigned(neighbor_id, _cn, cell, sub), centers1_df(cell, cvec),
+    sub_centers(cell, sub, svec) — routing tables of k1 and k1·k2 rows
+    respectively, both broadcastable at any corpus size."""
+    import hashlib
+
+    assigned1, centers1_df = fit_ivf_quantizer(
+        emb,
+        n_cells=n_coarse,
+        max_iter=max_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        fit_sample_per_cell=200,
+    )
+
+    k2 = n_sub
+    iters = sub_iters
+
+    def sub_assign(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        X = _np.vstack(pdf["_cn"].to_numpy()).astype(_np.float64)
+        ids = pdf["neighbor_id"].astype(str).to_numpy()
+        order = _np.argsort(
+            _np.array(
+                [hashlib.md5(i.encode()).hexdigest() for i in ids]
+            )
+        )
+        k = min(k2, len(ids))
+        C = X[order[:k]].copy()
+        for _ in range(iters):
+            d2 = (
+                (X * X).sum(1)[:, None]
+                - 2.0 * X @ C.T
+                + (C * C).sum(1)[None, :]
+            )
+            code = d2.argmin(1)
+            for ci in range(k):
+                m = code == ci
+                if m.any():
+                    C[ci] = X[m].mean(0)
+        d2 = (
+            (X * X).sum(1)[:, None]
+            - 2.0 * X @ C.T
+            + (C * C).sum(1)[None, :]
+        )
+        return pdf.assign(sub=d2.argmin(1))
+
+    fields = "neighbor_id long, _cn array<double>, cell int, sub int"
+    assigned = (
+        assigned1.groupBy("cell")
+        .applyInPandas(sub_assign, schema=fields)
+        .localCheckpoint(eager=True)  # reused by sub-center agg + probes
+    )
+    sub_centers = (
+        assigned.select(
+            "cell",
+            "sub",
+            F.posexplode(F.col("_cn")).alias("dim", "v"),
+        )
+        .groupBy("cell", "sub", "dim")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("cell", "sub")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mv"))
+            ).alias("_dm")
+        )
+        .select(
+            "cell",
+            "sub",
+            F.transform(F.col("_dm"), lambda x: x["mv"]).alias("svec"),
+        )
+    )
+    return assigned, centers1_df, sub_centers
+
+
+def topk_ivf2(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_coarse: int = 8,
+    n_sub: int = 8,
+    nprobe1: int = 3,
+    nprobe2: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fitted: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """ANN via the two-level quantizer: route each query to its
+    ``nprobe1`` nearest coarse cells (k1-row broadcast), then to the
+    ``nprobe2`` nearest sub-cells among those (k1·k2-row broadcast),
+    then exact cosine re-rank over ONLY the probed sub-cells'
+    members — candidate volume ≈ |Q|·nprobe2·(n / (k1·k2)).  Recall
+    vs brute force is measured in ``tests/test_dedup_recall.py``."""
+    from pyspark.sql import Window
+
+    if fitted is None:
+        fitted = fit_ivf2_quantizer(
+            emb,
+            n_coarse=n_coarse,
+            n_sub=n_sub,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    assigned, centers1_df, sub_centers = fitted
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), normalize(F.col(vec_col)).alias("_qn")
+    )
+    d2c = dot(F.col("cvec"), F.col("cvec")) - 2.0 * dot(
+        F.col("_qn"), F.col("cvec")
+    )
+    w1 = Window.partitionBy("query_id").orderBy("_d2", "cell")
+    probes1 = (
+        q.crossJoin(F.broadcast(centers1_df))
+        .withColumn("_d2", F.round(d2c, 9))
+        .withColumn("_pr", F.row_number().over(w1))
+        .filter(F.col("_pr") <= nprobe1)
+        .select("query_id", "_qn", "cell")
+    )
+    d2s = dot(F.col("svec"), F.col("svec")) - 2.0 * dot(
+        F.col("_qn"), F.col("svec")
+    )
+    w2 = Window.partitionBy("query_id").orderBy("_d2", "cell", "sub")
+    probes2 = (
+        probes1.join(F.broadcast(sub_centers), "cell")
+        .withColumn("_d2", F.round(d2s, 9))
+        .withColumn("_pr", F.row_number().over(w2))
+        .filter(F.col("_pr") <= nprobe2)
+        .select("query_id", "_qn", "cell", "sub")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes2), ["cell", "sub"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("_qn"), F.col("_cn")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
     )

@@ -15,12 +15,14 @@ import weakref
 
 from ..operators.similarity import (
     _plane,
+    fit_ivf2_quantizer,
     fit_ivf_quantizer,
     neardup_cosine_pairs,
     neardup_exact_blocked,
     semantic_dedup,
     semantic_dedup_incremental,
     topk_bruteforce,
+    topk_ivf2,
     topk_ivf_probe,
     topk_lsh,
 )
@@ -291,4 +293,50 @@ def emb_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         dec.groupBy("dup_vs_corpus", "dup_within_batch")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
         .orderBy("dup_vs_corpus", "dup_within_batch")
+    )
+
+
+_IVF2_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def ivf2_quantizer(spark: SparkSession, sf_dir: str):
+    """Session-cached two-level quantizer (4 coarse × 4 sub) — fit on
+    first use, reused by every probe (the ivf_quantizer stance)."""
+    per_session = _IVF2_CACHE.setdefault(spark, {})
+    if sf_dir not in per_session:
+        e = load_table(spark, sf_dir, "embeddings")
+        per_session[sf_dir] = fit_ivf2_quantizer(
+            e, n_coarse=4, n_sub=4
+        )
+    return per_session[sf_dir]
+
+
+@register(
+    "sim_topk_ivf2",
+    tags=("llm", "similarity", "ann", "ivf", "hierarchical"),
+    oracle=None,  # two k-means levels — not SQL-expressible; recall +
+    # per-query-k contract pinned by tests/test_streaming_multimodal
+    # .py::test_ann_ivf2_recall
+)
+def sim_topk_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors via the TWO-LEVEL IVF
+    (``fit_ivf2_quantizer``: coarse distributed Lloyd + per-cell
+    in-place numpy Lloyd via applyInPandas — level-2 fit never touches
+    the driver) — the quantizer shape past ~10⁹ vectors where a
+    single-level √n-cell table outgrows the driver and the routing
+    broadcast.  Probing routes through two bounded broadcast tables
+    (k1, then k1·k2 rows).  Measured recall at these settings beats
+    single-level IVF at the same probe fraction (0.65 vs 0.53 at
+    sf0.001)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    fitted = ivf2_quantizer(spark, sf_dir)
+    return topk_ivf2(
+        e,
+        e.filter(F.col("vec_id") < 8),
+        k=5,
+        nprobe1=2,
+        nprobe2=4,
+        fitted=fitted,
     )
