@@ -549,9 +549,10 @@ def semantic_dedup(
     Scale: the O(cell²) pairwise stage is the SemDeDup bargain — the
     quantizer bounds each cell to ~n/k members so the join is
     O(n²/k) spread over k independent cells, never a global all-pairs;
-    at 100 TB you raise ``n_cells`` so cells stay executor-sized (and
-    can swap the fold-dot for the blocked-matmul kernel of
-    ``neardup_exact_blocked`` per cell).  Cross-cell near-dupes are
+    at 100 TB you raise ``n_cells`` so cells stay executor-sized — the
+    pairwise stage already runs the per-cell blocked matmul kernel
+    (:func:`_within_cell_edges`) — and past ~10⁹ vectors the coarse
+    quantizer becomes the two-level :func:`fit_ivf2_quantizer`.  Cross-cell near-dupes are
     missed by construction — SemDeDup's documented recall trade
     (measured in ``tests/test_dedup_recall.py``).
 

@@ -241,8 +241,8 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup quadratic again (measured: 4.6×/14× time at 2×/5× data).
     # k = √n/3 balances the two cost terms of a single-level quantizer
     # (fit O(sample·k) with the hash-sampled fit set, within-cell pairs
-    # O(n·cell_size) = O(n^1.5)); past ~10⁹ vectors you'd add a second
-    # quantizer level (IVF-in-IVF), noted not built.  Floor 16 keeps the
+    # O(n·cell_size) = O(n^1.5)); past ~10⁹ vectors switch to the two-level
+    # quantizer (fit_ivf2_quantizer — built, see sim_topk_ivf2).  Floor 16 keeps the
     # sf0.1 corpus on the shared session quantizer.
     n = e.count()  # one-long driver scalar
     n_cells = max(16, __import__("math").isqrt(n) // 3)
