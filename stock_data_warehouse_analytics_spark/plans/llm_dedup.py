@@ -18,7 +18,6 @@ from ..operators.dedup import (
     minhash_candidate_pairs,
     minhash_params,
     ngram_jaccard_pairs,
-    positioned_shingle_table,
     repeated_spans_within_doc,
     simhash_near_pairs,
     span_coverage,
@@ -578,26 +577,28 @@ def contamination_span_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``text_contamination_overlap`` scores bag-of-ngrams overlap, this
     LOCATES verbatim leakage.  Oracle-exact; same df-capped seed join
     (one shuffle), islands over the match table ≪ corpus."""
-    d = load_table(spark, sf_dir, "documents")
-    ps = positioned_shingle_table(d, "text", _SUBSTR_K, max_df="auto")
-    a = ps.filter(F.col("doc_id") % 2 == 1).alias("a")
-    b = ps.filter(F.col("doc_id") % 2 == 0).alias("b")
-    m = a.join(b, on="shingle").select(
-        F.col("a.doc_id").alias("test_doc"),
-        F.col("b.doc_id").alias("train_doc"),
-        F.col("a.pos").alias("pos_a"),
-        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    # Derived from the session-cached all-pairs span table: a
+    # test×train span is exactly an all-pairs span whose endpoints have
+    # opposite doc_id parity (relabel so the odd side is test_doc) —
+    # no second positioned-index pass.  Island structure is identical:
+    # side-filtering the seed matches and side-filtering the resulting
+    # spans commute, because islands never merge across doc pairs.
+    all_spans = _substring_spans(spark, sf_dir)
+    a_test = all_spans.filter(
+        (F.col("doc_a") % 2 == 1) & (F.col("doc_b") % 2 == 0)
+    ).select(
+        F.col("doc_a").alias("test_doc"),
+        F.col("doc_b").alias("train_doc"),
+        "span_tokens",
     )
-    w = Window.partitionBy("test_doc", "train_doc", "diag").orderBy("pos_a")
-    spans = (
-        m.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
-        .groupBy("test_doc", "train_doc", "diag", "grp")
-        .agg(
-            (F.max("pos_a") - F.min("pos_a") + _SUBSTR_K)
-            .cast("long")
-            .alias("span_tokens")
-        )
+    b_test = all_spans.filter(
+        (F.col("doc_a") % 2 == 0) & (F.col("doc_b") % 2 == 1)
+    ).select(
+        F.col("doc_b").alias("test_doc"),
+        F.col("doc_a").alias("train_doc"),
+        "span_tokens",
     )
+    spans = a_test.unionByName(b_test)
     return (
         spans.groupBy("test_doc")
         .agg(
