@@ -37,6 +37,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "banded_signatures",
+    "rowwise_minhash_bands",
     "minhash_candidate_pairs",
     "simhash",
     "simhash_near_pairs",
@@ -677,4 +678,59 @@ def simhash_near_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def rowwise_minhash_bands(
+    text: Column,
+    *,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> Column:
+    """MinHash LSH bands computed PER ROW — pure array expressions, no
+    explode/groupBy — as ``array<struct<band int, band_hash string>>``.
+
+    This is the ADMISSION-TIME signature: a streaming row cannot see
+    corpus-wide document frequencies, so the representation is UNCAPPED
+    by construction, and the static index it probes must be built
+    uncapped too (both sides of an admission join must agree on the
+    representation).  Values are identical to
+    ``banded_signatures(..., max_df=None)``: ``shingles()`` is
+    distinct, and the per-permutation min over the same shingle set is
+    the same number whether computed by ``array_min`` here or by a
+    grouped ``MIN`` there.
+
+    Being a single map-side expression, it runs in Structured Streaming
+    with NO state — the signature stage of a streaming dedup admission
+    pipeline (``streaming/admission.py``)."""
+    sh = shingles(text, k)
+    hm = F.transform(sh, lambda c: hash_int60(c) % MINHASH_PRIME)
+    rows = n_hashes // bands
+    def _perm(a: int, b: int):
+        # closure factory: pyspark derives higher-order-function arity
+        # from the lambda's parameter count, so default-arg binding
+        # (lambda h, a=a, b=b) would read as a 3-arg lambda and fail
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
+
+    sigs = [
+        F.array_min(F.transform(hm, _perm(a, b)))
+        for a, b in minhash_params(n_hashes)
+    ]
+    return F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            sigs[bi * rows + r].cast("string")
+                            for r in range(rows)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for bi in range(bands)
+        ]
     )

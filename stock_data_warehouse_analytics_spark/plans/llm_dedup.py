@@ -19,6 +19,7 @@ from ..operators.dedup import (
     minhash_params,
     ngram_jaccard_pairs,
     repeated_spans_within_doc,
+    rowwise_minhash_bands,
     simhash_near_pairs,
     span_coverage,
 )
@@ -608,4 +609,81 @@ def contamination_span_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("span_tokens") >= _CONTAM_MIN_SPAN).alias("contaminated"),
         )
         .orderBy("test_doc")
+    )
+
+
+@register(
+    "stream_dedup_admission",
+    tags=("streaming", "llm", "dedup", "admission", "minhash"),
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+sh_all AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= 3 THEN list_distinct(
+           list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         ELSE [array_to_string(t, ' ')] END) AS shingle
+  FROM toks
+),
+hm AS (SELECT doc_id, ({_SQL_H60} % {MINHASH_PRIME}) AS hm FROM sh_all),
+sig AS (SELECT doc_id, {", ".join(f"MIN(({a} * hm + {b}) % {MINHASH_PRIME}) AS mh{i}" for i, (a, b) in enumerate(minhash_params(16)))} FROM hm GROUP BY doc_id),
+banded AS (
+{chr(10).join("  SELECT doc_id, %d AS band, md5(%s) AS band_hash FROM sig UNION ALL" % (b, " || ',' || ".join(f"mh{b * 4 + r}::VARCHAR" for r in range(4))) for b in range(3))}
+  SELECT doc_id, 3 AS band, md5({" || ',' || ".join(f"mh{12 + r}::VARCHAR" for r in range(4))}) AS band_hash FROM sig
+),
+hits AS (
+  SELECT n.doc_id, CAST(COUNT(DISTINCT o.doc_id) AS BIGINT) AS n_dup_partners
+  FROM banded n JOIN banded o USING (band, band_hash)
+  WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+  GROUP BY n.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_dup_partners, 0) AS n_dup_partners,
+       h.doc_id IS NOT NULL AS is_dup
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAMING dedup admission pipeline
+    (``streaming/admission.py``): odd-doc_id documents play the
+    arriving stream, even-doc_id the existing corpus.  Signatures are
+    the PER-ROW map-side MinHash bands (``rowwise_minhash_bands`` —
+    bit-identical to the grouped path, UNCAPPED on both sides because
+    an arriving row can't see corpus df), probed against the broadcast
+    static band index; the decision layer flags any-hit docs with their
+    distinct-partner count.  Stream ≡ batch asserted in
+    tests/test_streaming_multimodal.py::
+    test_stream_dedup_admission_equals_batch.  The streaming hot path
+    is STATELESS — no watermark, no state store — which is what makes
+    this shape run at ingest rates."""
+    from ..streaming.admission import admission_matches
+
+    d = load_table(spark, sf_dir, "documents")
+    sigb = d.select(
+        "doc_id", F.explode(rowwise_minhash_bands(F.col("text"))).alias("bb")
+    ).select("doc_id", "bb.band", "bb.band_hash")
+    static = sigb.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("corpus_doc_id"), "band", "band_hash"
+    )
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    hits = (
+        admission_matches(new, static)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("corpus_doc_id").cast("long").alias("n_dup_partners")
+        )
+    )
+    return (
+        new.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_partners", F.lit(0)).cast("long").alias(
+                "n_dup_partners"
+            ),
+            F.col("n_dup_partners").isNotNull().alias("is_dup"),
+        )
+        .orderBy("doc_id")
     )

@@ -579,3 +579,62 @@ def test_ann_ivf2_recall(spark):
         per_query[r.query_id] = per_query.get(r.query_id, 0) + 1
         assert exact_cos[(r.query_id, r.neighbor_id)] == r.cosine
     assert all(v == 5 for v in per_query.values())
+
+
+def test_stream_dedup_admission_equals_batch(spark, tmp_path):
+    """The stateless readStream admission pipeline (per-row signature →
+    broadcast static probe, append mode) must produce match events
+    whose per-doc aggregation equals the registered batch twin's
+    (n_dup_partners, is_dup) for every arriving doc — and docs the
+    batch twin calls clean must produce NO events."""
+    import json as _json
+
+    from stock_data_warehouse_analytics_spark.operators.dedup import (
+        rowwise_minhash_bands,
+    )
+    from stock_data_warehouse_analytics_spark.plans import get_queries
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+    from stock_data_warehouse_analytics_spark.streaming.admission import (
+        streaming_dedup_admission,
+    )
+
+    d = load_table(spark, SF_SMALL, "documents")
+    src = str(tmp_path / "docs")
+    d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text").coalesce(
+        2
+    ).write.mode("overwrite").json(src)
+    static = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select(
+            "doc_id",
+            F.explode(rowwise_minhash_bands(F.col("text"))).alias("bb"),
+        )
+        .select(
+            F.col("doc_id").alias("corpus_doc_id"),
+            "bb.band",
+            "bb.band_hash",
+        )
+    )
+    q = streaming_dedup_admission(
+        spark, src, static, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = {}
+    for r in (
+        spark.table("stream_admission")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("corpus_doc_id").alias("n"))
+        .collect()
+    ):
+        got[r.doc_id] = r.n
+    want = {
+        r.doc_id: (r.n_dup_partners, r.is_dup)
+        for r in get_queries()["stream_dedup_admission"](spark, SF_SMALL).collect()
+    }
+    assert len(want) > 0
+    for doc_id, (n, is_dup) in want.items():
+        if is_dup:
+            assert got.get(doc_id) == n, (doc_id, got.get(doc_id), n)
+        else:
+            assert doc_id not in got
+    assert set(got) <= set(want)
