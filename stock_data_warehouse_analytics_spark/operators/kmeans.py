@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from .dedup import hash_int60
 
-__all__ = ["lloyd_fit", "assign_codes"]
+__all__ = ["lloyd_fit", "assign_codes", "pq_train", "pq_reconstruct"]
 
 
 def lloyd_fit(
@@ -135,3 +135,137 @@ def assign_codes(
             yield pdf.assign(**{code_col: d2.argmin(1)})
 
     return df.mapInPandas(assign, schema=out_schema)
+
+
+def pq_train(
+    df: DataFrame,
+    *,
+    vec_col: str,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "neighbor_id",
+) -> list[np.ndarray]:
+    """Train product-quantization codebooks — ``m`` subspaces of
+    ``dim/m`` dims, ``k`` centroids each — with ONE Arrow scan per
+    Lloyd iteration training ALL subspaces (the
+    ``emb_product_quantization`` loop shape, packaged for reuse by the
+    IVF-PQ index).  Driver state: the m·k·(dim/m) codebook only.
+    Deterministic seeding: the ``k`` rows with smallest md5(id)."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim_total = int(first.d)
+    assert dim_total % m == 0, (dim_total, m)
+    sub = dim_total // m
+
+    seed_rows = (
+        df.withColumn("_h", hash_int60(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    seeds = np.array([r[0] for r in seed_rows], dtype=np.float64)
+    k_eff = min(k, seeds.shape[0])
+    codebooks = [
+        seeds[:k_eff, s * sub : (s + 1) * sub].copy() for s in range(m)
+    ]
+    part_schema = "subspace int, code int, cnt long, sums array<double>"
+
+    def make_pass(cbs):
+        cb_arr = [c.copy() for c in cbs]
+
+        def partial(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            acc_cnt = _np.zeros((m, k_eff), dtype=_np.int64)
+            acc_sum = _np.zeros((m, k_eff, sub), dtype=_np.float64)
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                seen = True
+                X = _np.vstack(pdf[vec_col].to_numpy()).astype(_np.float64)
+                for s in range(m):
+                    Xs = X[:, s * sub : (s + 1) * sub]
+                    C = cb_arr[s]
+                    d2 = (
+                        (Xs * Xs).sum(1)[:, None]
+                        - 2.0 * Xs @ C.T
+                        + (C * C).sum(1)[None, :]
+                    )
+                    code = d2.argmin(1)
+                    for ci in range(k_eff):
+                        mask = code == ci
+                        n = int(mask.sum())
+                        if n:
+                            acc_cnt[s, ci] += n
+                            acc_sum[s, ci] += Xs[mask].sum(0)
+            if not seen:
+                return
+            rows = [
+                (s, ci, int(acc_cnt[s, ci]), acc_sum[s, ci].tolist())
+                for s in range(m)
+                for ci in range(k_eff)
+                if acc_cnt[s, ci] > 0
+            ]
+            yield _pd.DataFrame(
+                rows, columns=["subspace", "code", "cnt", "sums"]
+            )
+
+        return partial
+
+    for _ in range(iters):
+        parts = df.mapInPandas(make_pass(codebooks), part_schema).collect()
+        cnt = np.zeros((m, k_eff), dtype=np.int64)
+        tot = np.zeros((m, k_eff, sub), dtype=np.float64)
+        for r in parts:
+            cnt[r.subspace, r.code] += r.cnt
+            tot[r.subspace, r.code] += np.array(r.sums)
+        for s in range(m):
+            nz = cnt[s] > 0
+            codebooks[s][nz] = tot[s][nz] / cnt[s][nz, None]
+    return codebooks
+
+
+def pq_reconstruct(
+    df: DataFrame,
+    codebooks: list[np.ndarray],
+    *,
+    vec_col: str,
+    rec_col: str = "_rec",
+) -> DataFrame:
+    """Map-only PQ encode-then-reconstruct: per subspace argmin code,
+    output the concatenated codebook entries as ``rec_col`` (the
+    vector ADC actually scores against — numerically identical to the
+    per-query LUT formulation, which is the production trick: this
+    form keeps the demo relational and exact).  All input columns pass
+    through."""
+    cbs = [c.copy() for c in codebooks]
+    m = len(cbs)
+    sub = cbs[0].shape[1]
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{fields}, {rec_col} array<double>"
+
+    def rec(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _np.vstack(pdf[vec_col].to_numpy()).astype(_np.float64)
+            out = _np.empty_like(X[:, : m * sub])
+            for s in range(m):
+                Xs = X[:, s * sub : (s + 1) * sub]
+                C = cbs[s]
+                d2 = (
+                    (Xs * Xs).sum(1)[:, None]
+                    - 2.0 * Xs @ C.T
+                    + (C * C).sum(1)[None, :]
+                )
+                out[:, s * sub : (s + 1) * sub] = C[d2.argmin(1)]
+            yield pdf.assign(**{rec_col: list(out)})
+
+    return df.mapInPandas(rec, schema=out_schema)

@@ -638,3 +638,38 @@ def test_stream_dedup_admission_equals_batch(spark, tmp_path):
         else:
             assert doc_id not in got
     assert set(got) <= set(want)
+
+
+def test_ann_ivfpq_recall(spark):
+    """IVF-PQ: measured recall floor vs brute force (0.475 at
+    rerank=64 on sf0.001; quantization-noise slack to 0.35), recall
+    must approach the plain-IVF routing ceiling as rerank grows, every
+    emitted cosine must equal the brute-force value (re-rank is
+    exact), and exactly k rows per query."""
+    from stock_data_warehouse_analytics_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_ivfpq,
+    )
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact_rows = topk_bruteforce(emb, q, k=1000).collect()
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact_rows}
+    top5 = {(r.query_id, r.neighbor_id) for r in exact_rows if r.rnk <= 5}
+
+    rows = topk_ivfpq(emb, q, k=5, rerank=64).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(top5 & approx) / len(top5)
+    assert recall >= 0.35, f"ivfpq recall too low: {recall}"
+    per_query: dict[int, int] = {}
+    for r in rows:
+        per_query[r.query_id] = per_query.get(r.query_id, 0) + 1
+        assert exact_cos[(r.query_id, r.neighbor_id)] == r.cosine
+    assert all(v == 5 for v in per_query.values())
+
+    deep = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_ivfpq(emb, q, k=5, rerank=128).collect()
+    }
+    assert len(top5 & deep) >= len(top5 & approx)
