@@ -687,3 +687,60 @@ def stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_detector_ensemble",
+    tags=("llm", "dedup", "ensemble", "provenance"),
+    oracle=f"""
+WITH mh AS (
+  SELECT doc_a, doc_b FROM (
+    {_sql_minhash_pairs().replace("ORDER BY doc_a, doc_b", "")}
+  )
+),
+sh2 AS (
+  SELECT doc_a, doc_b FROM (
+    {_sql_simhash_pairs().replace("ORDER BY doc_a, doc_b", "")}
+  )
+),
+joined AS (
+  SELECT COALESCE(m.doc_a, s.doc_a) AS doc_a,
+         COALESCE(m.doc_b, s.doc_b) AS doc_b,
+         m.doc_a IS NOT NULL AS in_minhash,
+         s.doc_a IS NOT NULL AS in_simhash
+  FROM mh m FULL OUTER JOIN sh2 s
+    ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b
+)
+SELECT in_minhash, in_simhash, COUNT(*) AS n_pairs
+FROM joined
+GROUP BY in_minhash, in_simhash
+ORDER BY in_minhash, in_simhash
+""",
+)
+def dedup_detector_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector ENSEMBLE agreement — the report that decides which
+    near-dup detectors a pipeline actually runs: the MinHash-LSH and
+    SimHash candidate-pair sets full-outer-joined into an agreement
+    matrix (both / minhash-only / simhash-only).  Production dedup
+    unions several weak detectors before clustering; this quantifies
+    each one's marginal contribution (a detector finding nothing
+    unique is pure cost).  Both pair generators are the registered,
+    oracle-mirrored ones — the ensemble adds one co-partitioned outer
+    join on the pair key, tiny next to either generator.
+    Oracle-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    mh = minhash_candidate_pairs(d, n_hashes=16, bands=4).withColumn(
+        "_mh", F.lit(True)
+    )
+    sh = simhash_near_pairs(d, max_hamming=8, bands=4).select(
+        "doc_a", "doc_b"
+    ).withColumn("_sh", F.lit(True))
+    joined = mh.join(sh, ["doc_a", "doc_b"], "full_outer")
+    return (
+        joined.groupBy(
+            F.col("_mh").isNotNull().alias("in_minhash"),
+            F.col("_sh").isNotNull().alias("in_simhash"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("in_minhash", "in_simhash")
+    )
