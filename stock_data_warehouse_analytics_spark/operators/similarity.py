@@ -29,6 +29,7 @@ __all__ = [
     "fit_ivf2_quantizer",
     "topk_ivf2",
     "topk_ivfpq",
+    "kcenter_select",
     "neardup_cosine_pairs",
     "neardup_exact_blocked",
     "semantic_dedup",
@@ -903,6 +904,7 @@ def topk_ivfpq(
     rerank: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fitted: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-PQ — the FAISS-style memory-bounded ANN index completed:
     coarse IVF routing + product-quantized approximate scoring + exact
@@ -933,19 +935,25 @@ def topk_ivfpq(
 
     from .kmeans import pq_reconstruct, pq_train
 
-    assigned, centers_df = fit_ivf_quantizer(
-        emb,
-        n_cells=n_cells,
-        max_iter=5,
-        id_col=id_col,
-        vec_col=vec_col,
-        fit_sample_per_cell=200,
-    )
+    if fitted is not None:
+        assigned, centers_df = fitted  # reuse a session-cached coarse fit
+    else:
+        assigned, centers_df = fit_ivf_quantizer(
+            emb,
+            n_cells=n_cells,
+            max_iter=5,
+            id_col=id_col,
+            vec_col=vec_col,
+            fit_sample_per_cell=200,
+        )
     with_res = assigned.join(F.broadcast(centers_df), "cell").withColumn(
         "_res", F.zip_with(F.col("_cn"), F.col("cvec"), lambda a, b: a - b)
     )
+    # 3 Lloyd iterations: recall is bounded by the IVF routing, not
+    # codebook polish (measured identical recall at 3 vs 5 iters) —
+    # each iteration is a full Arrow scan, so fewer is real time
     codebooks = pq_train(
-        with_res, vec_col="_res", m=pq_m, k=pq_k, iters=5
+        with_res, vec_col="_res", m=pq_m, k=pq_k, iters=3
     )
     recon = (
         pq_reconstruct(with_res, codebooks, vec_col="_res", rec_col="_qres")
@@ -998,4 +1006,54 @@ def topk_ivfpq(
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
+    )
+
+
+def kcenter_select(
+    emb: DataFrame,
+    *,
+    n_select: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-CENTER (Gonzalez) diversity selection — the coreset /
+    diversity-subset op of a training-data pipeline: pick ``n_select``
+    vectors such that the maximum distance from any corpus vector to
+    its nearest pick is (2-approximately) minimized.  Each round
+    selects the vector FARTHEST from the current picks — the classic
+    farthest-first traversal.
+
+    Relational loop (the BPE/CC shape): the corpus carries a running
+    ``_mind`` column (min squared distance to the picked set); each
+    round is ONE ``limit(1)`` argmax collect (a single row of driver
+    state) + a map-only ``least(_mind, dist²(·, new_pick))`` update,
+    ``localCheckpoint`` per round.  Deterministic: ties break on id;
+    the first pick is the min-id vector.  Output: (sel_rank, id,
+    dist_to_set) — ``dist_to_set`` is the max-min distance at
+    selection time, a non-increasing sequence whose last value bounds
+    the covering radius."""
+    base = emb.select(
+        F.col(id_col).alias("_id"), normalize(F.col(vec_col)).alias("_v")
+    ).localCheckpoint(eager=True)
+    cur = base.withColumn("_mind", F.lit(float("inf")))
+    picks: list[tuple[int, object, float]] = []
+    for rank in range(1, n_select + 1):
+        top = cur.orderBy(F.desc("_mind"), "_id").limit(1).collect()
+        if not top:
+            break
+        pid, pvec, pmind = top[0]._id, top[0]._v, float(top[0]._mind)
+        picks.append((rank, pid, 0.0 if pmind == float("inf") else pmind))
+        pv = F.array(*[F.lit(float(x)) for x in pvec])
+        d2 = F.aggregate(
+            F.zip_with(F.col("_v"), pv, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cur = cur.withColumn(
+            "_mind", F.least(F.col("_mind"), d2)
+        ).localCheckpoint(eager=True)
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(r, i, round(d, 6)) for r, i, d in picks],
+        f"sel_rank int, {id_col} long, dist_to_set double",
     )

@@ -15,6 +15,7 @@ import weakref
 
 from ..operators.similarity import (
     _plane,
+    kcenter_select,
     fit_ivf2_quantizer,
     fit_ivf_quantizer,
     neardup_cosine_pairs,
@@ -361,5 +362,29 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     residuals."""
     e = load_table(spark, sf_dir, "embeddings")
     return topk_ivfpq(
-        e, e.filter(F.col("vec_id") < 8), k=5, rerank=64
+        e,
+        e.filter(F.col("vec_id") < 8),
+        k=5,
+        rerank=64,
+        fitted=ivf_quantizer(spark, sf_dir),  # shared session coarse fit
     )
+
+
+@register(
+    "emb_kcenter_coreset",
+    tags=("llm", "embedding", "coreset", "diversity", "iterative"),
+    oracle=None,  # farthest-first traversal — iterative argmax; the
+    # one-pick-per-planted-cluster guarantee + determinism pinned by
+    # tests/test_iterative_ops.py::test_kcenter_covers_planted_clusters
+)
+def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center DIVERSITY coreset (8 picks) over the embedding
+    corpus (``operators/similarity.kcenter_select``) — the
+    subset-selection op behind diverse eval sets and
+    annotation-budget sampling: farthest-first traversal with the
+    classic 2-approximation covering guarantee.  Each round costs one
+    map-only distance update + a single-row argmax; driver state is
+    the picked vector only.  ``dist_to_set`` is non-increasing; the
+    last value bounds the covering radius."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return kcenter_select(e, n_select=8)

@@ -285,3 +285,33 @@ def test_irls_logreg_matches_numpy(spark):
 
     assert np.allclose(got, beta, rtol=1e-6, atol=1e-8), (got, beta)
     assert np.sign(got[1]) == 1 and np.sign(got[2]) == -1
+
+
+def test_kcenter_covers_planted_clusters(spark):
+    """Farthest-first k-center must pick exactly one representative
+    per well-separated planted cluster (the 2-approx covering
+    guarantee made concrete), produce a non-increasing dist_to_set
+    sequence, and be run-to-run deterministic."""
+    from stock_data_warehouse_analytics_spark.operators.similarity import (
+        kcenter_select,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(8, 16)) * 10
+    rows = []
+    for ci, c in enumerate(centers):
+        for j in range(10):
+            v = c + 0.01 * rng.normal(size=16)
+            rows.append((ci * 100 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out1 = kcenter_select(df, n_select=8).collect()
+    sel1 = [(r.sel_rank, r.vec_id, r.dist_to_set) for r in out1]
+    assert sorted({i // 100 for _, i, _ in sel1}) == list(range(8))
+    dists = [d for _, _, d in sel1][1:]  # first pick has no prior set
+    assert dists == sorted(dists, reverse=True) or all(
+        a >= b - 1e-9 for a, b in zip(dists, dists[1:])
+    )
+
+    out2 = kcenter_select(df, n_select=8).collect()
+    assert sel1 == [(r.sel_rank, r.vec_id, r.dist_to_set) for r in out2]
