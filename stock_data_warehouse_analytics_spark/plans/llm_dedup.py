@@ -749,3 +749,103 @@ def dedup_detector_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("in_minhash", "in_simhash")
     )
+
+
+@register(
+    "dedup_rewrite_yield",
+    tags=("llm", "dedup", "substring", "yield"),
+    oracle=f"""
+WITH {_SQL_SPANS},
+iv AS (
+  SELECT doc_a AS doc_id, start_a AS s,
+         start_a + span_tokens - 1 AS e FROM spans
+  UNION ALL
+  SELECT doc_b, start_b, start_b + span_tokens - 1 FROM spans
+),
+marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+                ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_isl
+  FROM iv
+),
+isl2 AS (
+  SELECT doc_id, s, e,
+         SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM marked
+),
+merged AS (
+  SELECT doc_id, isl, MIN(s) AS ms, MAX(e) AS me
+  FROM isl2 GROUP BY doc_id, isl
+),
+cov AS (
+  SELECT doc_id, CAST(SUM(me - ms + 1) AS BIGINT) AS covered
+  FROM merged GROUP BY doc_id
+),
+decided AS (
+  SELECT d.source,
+         CAST(len(t.t) AS BIGINT) AS n_tokens,
+         COALESCE(c.covered, 0) AS covered,
+         COALESCE(c.covered, 0) * 100 >= CAST(len(t.t) AS BIGINT) * 20
+           AS dropped
+  FROM documents d
+  JOIN toks t USING (doc_id)
+  LEFT JOIN cov c USING (doc_id)
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE dropped) AS n_dropped,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+       CAST(SUM(CASE WHEN dropped THEN 0 ELSE n_tokens - covered END)
+            AS BIGINT) AS tokens_after,
+       ROUND(SUM(CASE WHEN dropped THEN 0 ELSE n_tokens - covered END)::DOUBLE
+             / SUM(n_tokens), 6) AS yield_ratio
+FROM decided
+GROUP BY source
+ORDER BY source
+""",
+)
+def dedup_rewrite_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup REWRITE yield — what the corpus looks like
+    AFTER applying the policy (Lee et al. 2022 semantics: covered
+    spans are removed from every member; docs over the 20%-coverage
+    gate are dropped whole): per source, docs dropped, token volume
+    before/after, and the surviving-token yield ratio.  The number a
+    data lead actually asks for before approving a dedup run.  Pure
+    composition: cached span table → interval union → one grouped
+    report; integer arithmetic to the final ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    cov = span_coverage(
+        d,
+        k=_SUBSTR_K,
+        drop_threshold_pct=20,
+        spans=_substring_spans(spark, sf_dir),
+    ).select("doc_id", "covered_tokens", "would_drop")
+    from ..functions.text import token_count
+
+    base = d.select(
+        "doc_id", "source", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    decided = base.join(cov, "doc_id", "left").select(
+        "source",
+        "n_tokens",
+        F.coalesce("covered_tokens", F.lit(0)).alias("covered"),
+        F.coalesce("would_drop", F.lit(False)).alias("dropped"),
+    )
+    after = F.when(F.col("dropped"), 0).otherwise(
+        F.col("n_tokens") - F.col("covered")
+    )
+    return (
+        decided.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("dropped"), 1)).alias("n_dropped"),
+            F.sum("n_tokens").cast("long").alias("tokens_before"),
+            F.sum(after).cast("long").alias("tokens_after"),
+            F.round(
+                F.sum(after).cast("double") / F.sum("n_tokens"), 6
+            ).alias("yield_ratio"),
+        )
+        .orderBy("source")
+    )
