@@ -388,3 +388,105 @@ def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     last value bounds the covering radius."""
     e = load_table(spark, sf_dir, "embeddings")
     return kcenter_select(e, n_select=8)
+
+
+def _sql_banded32(side_filter: str) -> str:
+    """8-band split of the 32-plane signature for one parity side."""
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {b} AS band, (sig >> {b * 4}) & 15 AS band_val FROM sigs WHERE {side_filter}"
+        for b in range(8)
+    )
+    return rows
+
+
+@register(
+    "stream_semantic_admission",
+    tags=("streaming", "llm", "dedup", "embedding", "admission"),
+    oracle=f"""
+WITH base AS (SELECT vec_id, v, {_SQL_NORM} AS vn
+              FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+sigs AS (SELECT vec_id, vn, {_sql_signature('v', 32)} AS sig FROM base),
+newb AS (
+{_sql_banded32('vec_id % 2 = 1')}
+),
+oldb AS (
+{_sql_banded32('vec_id % 2 = 0')}
+),
+cand AS (
+  SELECT DISTINCT n.vec_id, o.vec_id AS corpus_vec_id
+  FROM newb n JOIN oldb o USING (band, band_val)
+),
+scored AS (
+  SELECT c.vec_id,
+         ROUND(list_dot_product(bn.vn, bo.vn), 6) AS cosine
+  FROM cand c
+  JOIN base bn ON bn.vec_id = c.vec_id
+  JOIN base bo ON bo.vec_id = c.corpus_vec_id
+),
+summ AS (
+  SELECT vec_id,
+         CAST(COUNT(*) FILTER (WHERE cosine >= 0.35) AS BIGINT) AS n_matches,
+         MAX(CASE WHEN cosine >= 0.35 THEN cosine END) AS max_cosine
+  FROM scored GROUP BY vec_id
+)
+SELECT d.vec_id,
+       COALESCE(s.n_matches, 0) AS n_matches,
+       s.max_cosine,
+       COALESCE(s.n_matches, 0) > 0 AS is_semantic_dup
+FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1) d
+LEFT JOIN summ s USING (vec_id)
+ORDER BY d.vec_id
+""",
+)
+def stream_semantic_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAMING SEMANTIC admission
+    (``streaming/admission.py``): odd vec_ids play the arriving
+    embedding stream, even the corpus; per-row 32-plane hyperplane
+    signatures split into 8 bands (pure map expressions — stateless in
+    a stream), bucket join, EXACT cosine verify at 0.35, per-vector
+    decision.  The embedding twin of ``stream_dedup_admission``;
+    stream ≡ batch asserted in tests/test_streaming_multimodal.py::
+    test_stream_semantic_admission_equals_batch.  Oracle-exact: the
+    hyperplane constants are shared literals and both engines fold the
+    dot products in the same order."""
+    from ..streaming.admission import semantic_banded
+
+    e = load_table(spark, sf_dir, "embeddings")
+    banded = semantic_banded(e)
+    newb = banded.filter(F.col("vec_id") % 2 == 1)
+    oldb = banded.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("corpus_vec_id"),
+        F.col("vn").alias("_cvn"),
+        "band",
+        "band_val",
+    )
+    cand = (
+        newb.join(oldb, ["band", "band_val"])
+        .select("vec_id", "vn", "corpus_vec_id", "_cvn")
+        .distinct()
+    )
+    from ..operators.similarity import dot as _dot
+
+    scored = cand.select(
+        "vec_id", F.round(_dot(F.col("vn"), F.col("_cvn")), 6).alias("cosine")
+    )
+    summ = scored.groupBy("vec_id").agg(
+        F.count(F.when(F.col("cosine") >= 0.35, 1))
+        .cast("long")
+        .alias("n_matches"),
+        F.max(F.when(F.col("cosine") >= 0.35, F.col("cosine"))).alias(
+            "max_cosine"
+        ),
+    )
+    return (
+        e.filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id")
+        .join(summ, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            "max_cosine",
+            (F.coalesce("n_matches", F.lit(0)) > 0).alias("is_semantic_dup"),
+        )
+        .orderBy("vec_id")
+    )

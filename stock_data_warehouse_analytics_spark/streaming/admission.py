@@ -23,7 +23,13 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import rowwise_minhash_bands
 
-__all__ = ["admission_matches", "streaming_dedup_admission"]
+__all__ = [
+    "admission_matches",
+    "streaming_dedup_admission",
+    "semantic_banded",
+    "semantic_admission_matches",
+    "streaming_semantic_admission",
+]
 
 
 def admission_matches(new_docs: DataFrame, static_banded: DataFrame) -> DataFrame:
@@ -53,6 +59,94 @@ def streaming_dedup_admission(
         source_dir
     )
     out = admission_matches(stream, static_banded)
+    return (
+        out.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def semantic_banded(vecs: DataFrame, *, n_planes: int = 32, bands: int = 8, dim: int = 64) -> DataFrame:
+    """(vec_id, vn, band, band_val) — per-row hyperplane signature
+    split into ``bands`` equal bit-bands.  Pure map-side expressions
+    (``hyperplane_signature`` is a per-row fold), so it runs in a
+    stream with no state — the semantic twin of the minhash band
+    stage."""
+    from ..operators.similarity import hyperplane_signature, normalize
+
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    sig = hyperplane_signature(F.col("embedding"), dim=dim, n_planes=n_planes)
+    base = vecs.select(
+        "vec_id",
+        normalize(F.col("embedding")).alias("vn"),
+        sig.alias("_sig"),
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("_sig"), b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_val"),
+        )
+        for b in range(bands)
+    ]
+    return base.select(
+        "vec_id", "vn", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vec_id", "vn", "bb.band", "bb.band_val")
+
+
+def semantic_admission_matches(
+    new_vecs: DataFrame,
+    static_banded: DataFrame,
+    *,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """(vec_id, corpus_vec_id, cosine) match events at cosine ≥
+    ``threshold``: per-row banded hyperplane signature of the arriving
+    vectors, bucket-joined against the static banded corpus index, then
+    the EXACT cosine verified map-side (both sides carry their
+    normalized vectors) — still fully stateless, so a pair colliding in
+    two bands is emitted twice; the downstream decision aggregation
+    dedups.  At scale the static index is bucketed by (band, band_val)
+    so each micro-batch joins bucket-locally."""
+    from ..operators.similarity import dot
+
+    newb = semantic_banded(new_vecs)
+    joined = newb.join(
+        static_banded.select(
+            F.col("vec_id").alias("corpus_vec_id"),
+            F.col("vn").alias("_cvn"),
+            "band",
+            "band_val",
+        ),
+        ["band", "band_val"],
+    )
+    return joined.select(
+        "vec_id",
+        "corpus_vec_id",
+        F.round(dot(F.col("vn"), F.col("_cvn")), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
+def streaming_semantic_admission(
+    spark: SparkSession,
+    source_dir: str,
+    static_banded: DataFrame,
+    *,
+    checkpoint_dir: str,
+    out_table: str = "stream_sem_admission",
+):
+    """True readStream version: json embedding stream → per-row
+    signature bands → static bucket join → exact cosine → memory sink
+    (append, availableNow)."""
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).json(source_dir)
+    out = semantic_admission_matches(stream, static_banded)
     return (
         out.writeStream.format("memory")
         .queryName(out_table)
