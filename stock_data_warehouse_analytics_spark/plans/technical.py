@@ -309,3 +309,90 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.when(cnt == _EWMA_L, weighted).alias("ewma"),
     ).orderBy("user_id", "event_id")
+
+
+# ------------------------------------------------------------------ MACD
+
+# Truncated-EMA MACD with FLATTENED coefficients: macd = EMA12 − EMA26
+# (truncated weighted lag-sums, the win_ewma stance), signal = EMA9 of
+# macd.  The signal is a weighted sum of lagged macd values, and macd
+# is itself a weighted sum of lagged values — so the signal flattens to
+# ONE weighted lag-sum with convolved coefficients c_m = Σ_{j+k=m}
+# w9_j·(w12_k − w26_k).  Every coefficient is a Python-precomputed
+# double literal; both engines evaluate the identical left-associated
+# chain, so the result is bit-exact with no decimal machinery.
+def _trunc_ewm_weights(alpha: float, L: int) -> list[float]:
+    ws = [(1.0 - alpha) ** j for j in range(L)]
+    norm = sum(ws)
+    return [w / norm for w in ws]
+
+
+_MACD_W12 = _trunc_ewm_weights(2.0 / 13.0, 12)
+_MACD_W26 = _trunc_ewm_weights(2.0 / 27.0, 20)
+_MACD_DIFF = [
+    (_MACD_W12[k] if k < len(_MACD_W12) else 0.0)
+    - (_MACD_W26[k] if k < len(_MACD_W26) else 0.0)
+    for k in range(max(len(_MACD_W12), len(_MACD_W26)))
+]
+_MACD_W9 = _trunc_ewm_weights(0.2, 10)
+_MACD_SIG = [0.0] * (len(_MACD_DIFF) + len(_MACD_W9) - 1)
+for _j, _wj in enumerate(_MACD_W9):
+    for _k, _wk in enumerate(_MACD_DIFF):
+        _MACD_SIG[_j + _k] += _wj * _wk
+_MACD_LOOKBACK = len(_MACD_SIG)  # 29 rows needed for a full signal
+
+
+def _sql_lagsum(weights: list[float]) -> str:
+    return " + ".join(
+        f"{_dlit(w)} * LAG(value, {j}) OVER {_W}" if j else f"{_dlit(w)} * value"
+        for j, w in enumerate(weights)
+    )
+
+
+@register(
+    "win_macd",
+    tags=("window", "technical", "macd", "ewma"),
+    oracle=f"""
+SELECT event_id, user_id,
+  CASE WHEN COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN {_MACD_LOOKBACK - 1} PRECEDING AND CURRENT ROW)
+       = {_MACD_LOOKBACK}
+       THEN ({_sql_lagsum(_MACD_DIFF)}) END AS macd_line,
+  CASE WHEN COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN {_MACD_LOOKBACK - 1} PRECEDING AND CURRENT ROW)
+       = {_MACD_LOOKBACK}
+       THEN ({_sql_lagsum(_MACD_DIFF)}) - ({_sql_lagsum(_MACD_SIG)})
+  END AS histogram
+FROM events
+ORDER BY user_id, event_id
+""",
+)
+def win_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD (12/26 EMA spread + 9-EMA signal histogram) with bounded
+    truncated-EMA lookbacks — and the signal line FLATTENED through
+    the convolution of its coefficient chains into one weighted
+    lag-sum (windows-over-windows collapsed to a single window pass;
+    see the module comment).  Null until the 29-row lookback fills.
+    One shuffle, every lag in one codegen stage — the same 100 TB
+    profile as win_ewma."""
+    e = load_table(spark, sf_dir, "events")
+    w = _w()
+    cnt = F.count("value").over(w.rowsBetween(-(_MACD_LOOKBACK - 1), 0))
+
+    def lagsum(weights: list[float]):
+        terms = [
+            F.lit(wt)
+            * (F.col("value") if j == 0 else F.lag("value", j).over(w))
+            for j, wt in enumerate(weights)
+        ]
+        return reduce(lambda a, b: a + b, terms)
+
+    macd = lagsum(_MACD_DIFF)
+    sig = lagsum(_MACD_SIG)
+    full = cnt == _MACD_LOOKBACK
+    return e.select(
+        "event_id",
+        "user_id",
+        F.when(full, macd).alias("macd_line"),
+        F.when(full, macd - sig).alias("histogram"),
+    ).orderBy("user_id", "event_id")
