@@ -396,3 +396,58 @@ def win_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(full, macd).alias("macd_line"),
         F.when(full, macd - sig).alias("histogram"),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "win_stochastic_oscillator",
+    tags=("window", "technical", "stochastic"),
+    oracle=f"""
+WITH k AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN COUNT(value) OVER {_W_ROLL14} = 14
+          AND MAX(value) OVER {_W_ROLL14} > MIN(value) OVER {_W_ROLL14}
+         THEN 100.0e0 * (value - MIN(value) OVER {_W_ROLL14})
+              / (MAX(value) OVER {_W_ROLL14} - MIN(value) OVER {_W_ROLL14})
+    END AS pct_k
+  FROM events
+)
+SELECT event_id, user_id, pct_k,
+  CASE WHEN COUNT(pct_k) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 3
+       THEN (pct_k + LAG(pct_k, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             + LAG(pct_k, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 3.0e0
+  END AS pct_d
+FROM k
+ORDER BY user_id, event_id
+""",
+)
+def win_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator — %K (position of the current value inside
+    the rolling 14-row min..max range, 0–100) and %D (3-row simple
+    moving average of %K): the bounded-range momentum indicator next to
+    RSI/Bollinger/MACD.  Degenerate flat windows (max == min) yield
+    null rather than a 0/0.  %D is a 3-term lag sum over the %K
+    expression — both levels stay in ONE window partitioning, one
+    shuffle, all codegen."""
+    e = load_table(spark, sf_dir, "events")
+    w = _w()
+    w14 = w.rowsBetween(-13, 0)
+    mn, mx = F.min("value").over(w14), F.max("value").over(w14)
+    full14 = F.count("value").over(w14) == 14
+    pct_k = F.when(
+        full14 & (mx > mn), 100.0 * (F.col("value") - mn) / (mx - mn)
+    )
+    k = e.select("event_id", "user_id", "ts", pct_k.alias("pct_k"))
+    full3 = F.count("pct_k").over(w.rowsBetween(-2, 0)) == 3
+    pct_d = F.when(
+        full3,
+        (
+            F.col("pct_k")
+            + F.lag("pct_k", 1).over(w)
+            + F.lag("pct_k", 2).over(w)
+        )
+        / 3.0,
+    )
+    return k.select(
+        "event_id", "user_id", "pct_k", pct_d.alias("pct_d")
+    ).orderBy("user_id", "event_id")
