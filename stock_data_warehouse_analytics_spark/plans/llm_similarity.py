@@ -391,10 +391,10 @@ def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_banded32(side_filter: str) -> str:
-    """8-band split of the 32-plane signature for one parity side."""
+    """4-band (8-bit) split of the 32-plane signature for one side."""
     rows = "\n  UNION ALL\n".join(
-        f"  SELECT vec_id, {b} AS band, (sig >> {b * 4}) & 15 AS band_val FROM sigs WHERE {side_filter}"
-        for b in range(8)
+        f"  SELECT vec_id, {b} AS band, (sig >> {b * 8}) & 255 AS band_val FROM sigs WHERE {side_filter}"
+        for b in range(4)
     )
     return rows
 
@@ -452,7 +452,10 @@ def stream_semantic_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.admission import semantic_banded
 
     e = load_table(spark, sf_dir, "embeddings")
-    banded = semantic_banded(e)
+    # one materialization: both join sides filter the SAME banded
+    # table, and the 32-plane per-row signature is the expensive part —
+    # without the checkpoint Catalyst recomputes it per side (~2×)
+    banded = semantic_banded(e).localCheckpoint(eager=True)
     newb = banded.filter(F.col("vec_id") % 2 == 1)
     oldb = banded.filter(F.col("vec_id") % 2 == 0).select(
         F.col("vec_id").alias("corpus_vec_id"),
@@ -460,15 +463,31 @@ def stream_semantic_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         "band_val",
     )
-    cand = (
-        newb.join(oldb, ["band", "band_val"])
-        .select("vec_id", "vn", "corpus_vec_id", "_cvn")
+    # distinct over the INT pair only (band collisions), then the
+    # vectors are fetched back by id — never shuffle 64-dim arrays
+    # through a distinct
+    cand_ids = (
+        newb.join(
+            oldb.select("corpus_vec_id", "band", "band_val"),
+            ["band", "band_val"],
+        )
+        .select("vec_id", "corpus_vec_id")
         .distinct()
     )
     from ..operators.similarity import dot as _dot
 
-    scored = cand.select(
-        "vec_id", F.round(_dot(F.col("vn"), F.col("_cvn")), 6).alias("cosine")
+    one = banded.filter(F.col("band") == 0)  # exactly one row per vec
+    vn_new = one.select("vec_id", "vn")
+    vn_old = one.select(
+        F.col("vec_id").alias("corpus_vec_id"), F.col("vn").alias("_cvn")
+    )
+    scored = (
+        cand_ids.join(vn_new, "vec_id")
+        .join(vn_old, "corpus_vec_id")
+        .select(
+            "vec_id",
+            F.round(_dot(F.col("vn"), F.col("_cvn")), 6).alias("cosine"),
+        )
     )
     summ = scored.groupBy("vec_id").agg(
         F.count(F.when(F.col("cosine") >= 0.35, 1))
