@@ -264,3 +264,39 @@ def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "shard")
     )
+
+
+@register(
+    "multimodal_audio_wav_stats",
+    tags=("llm", "multimodal", "audio", "wav"),
+    oracle=None,  # binary codec round-trip — not SQL-expressible; the
+    # decode is verified analytically (sine RMS = peak/√2, duration =
+    # n/sr) in tests/test_streaming_multimodal.py::
+    # test_wav_synth_decode_roundtrip
+)
+def multimodal_audio_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-codec plumbing: every document synthesized into a
+    genuine RIFF/WAVE PCM16 container (deterministic doc_id-derived
+    tone), then decoded back by the pure-numpy WAV parser — per-source
+    audio stats (clips, total duration, mean RMS, decode failures).
+    The audio twin of the PPM/BMP image decode: the container walk,
+    Arrow batch shape and quarantine-don't-crash error handling are
+    production-real; only exotic codecs (mp3/ogg) remain stubbed."""
+    from ..operators.multimodal import decode_wav, synth_wav_blobs
+
+    d = load_table(spark, sf_dir, "documents")
+    wav = synth_wav_blobs(d)
+    stats = decode_wav(wav)
+    src = d.select("doc_id", "source")
+    return (
+        stats.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.count(F.when(~F.col("ok"), 1)).alias("n_failed"),
+            F.round(F.sum("duration_ms") / 1000.0, 3).alias("total_sec"),
+            F.round(F.avg("rms"), 3).alias("mean_rms"),
+            F.max("peak").alias("max_peak"),
+        )
+        .orderBy("source")
+    )
