@@ -435,3 +435,72 @@ def decode_wav(blobs: DataFrame, *, wav_col: str = "wav") -> DataFrame:
             yield pd.DataFrame(out)
 
     return blobs.mapInPandas(decode, schema=out_schema)
+
+
+def wav_spectral_features(
+    blobs: DataFrame, *, wav_col: str = "wav"
+) -> DataFrame:
+    """Spectral feature extraction over decoded WAV clips — numpy rFFT
+    per clip: dominant frequency (Hz), its share of total spectral
+    energy, and spectral centroid.  The feature-extraction stage of an
+    audio corpus pipeline, with the same Arrow-batch/quarantine
+    contract as :func:`decode_wav`.  Deterministic (FFT of fixed
+    input)."""
+    import struct
+
+    out_schema = (
+        "doc_id long, dominant_hz double, dominant_share double, "
+        "spectral_centroid_hz double, ok boolean"
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "dominant_hz", "dominant_share",
+                    "spectral_centroid_hz", "ok",
+                )
+            }
+            for doc_id, raw in zip(pdf["doc_id"], pdf[wav_col]):
+                out["doc_id"].append(int(doc_id))
+                try:
+                    b = bytes(raw)
+                    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+                    pos, sr, data = 12, None, None
+                    while pos + 8 <= len(b):
+                        cid = b[pos : pos + 4]
+                        (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+                        body = b[pos + 8 : pos + 8 + clen]
+                        if cid == b"fmt ":
+                            sr = struct.unpack("<I", body[4:8])[0]
+                        elif cid == b"data":
+                            data = body
+                        pos += 8 + clen + (clen & 1)
+                    assert sr and data
+                    x = np.frombuffer(data, dtype="<i2").astype(np.float64)
+                    spec = np.abs(np.fft.rfft(x)) ** 2
+                    spec[0] = 0.0  # ignore DC
+                    freqs = np.fft.rfftfreq(len(x), d=1.0 / sr)
+                    tot = spec.sum()
+                    k = int(spec.argmax())
+                    out["dominant_hz"].append(round(float(freqs[k]), 3))
+                    out["dominant_share"].append(
+                        round(float(spec[k] / tot), 6) if tot > 0 else 0.0
+                    )
+                    out["spectral_centroid_hz"].append(
+                        round(float((freqs * spec).sum() / tot), 3)
+                        if tot > 0
+                        else 0.0
+                    )
+                    out["ok"].append(True)
+                except Exception:
+                    out["dominant_hz"].append(None)
+                    out["dominant_share"].append(None)
+                    out["spectral_centroid_hz"].append(None)
+                    out["ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(feats, schema=out_schema)

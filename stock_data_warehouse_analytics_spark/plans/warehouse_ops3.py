@@ -300,3 +300,38 @@ def multimodal_audio_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "multimodal_audio_spectrum",
+    tags=("llm", "multimodal", "audio", "fft"),
+    oracle=None,  # FFT feature extraction — not SQL-expressible; the
+    # closed loop (dominant frequency == synthesized tone within one
+    # FFT bin) is pinned by tests/test_streaming_multimodal.py::
+    # test_wav_spectral_features_recover_tone
+)
+def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION: per-clip rFFT over the synthesized
+    WAV corpus → per-source spectral report (mean dominant frequency,
+    mean dominant-bin energy share, mean spectral centroid).  The
+    feature stage that follows ``multimodal_audio_wav_stats``'s decode;
+    the synth→decode→FFT loop is closed analytically in tests (the
+    dominant bin recovers the generated tone)."""
+    from ..operators.multimodal import synth_wav_blobs, wav_spectral_features
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = wav_spectral_features(synth_wav_blobs(d))
+    src = d.select("doc_id", "source")
+    return (
+        feats.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.round(F.avg("dominant_hz"), 3).alias("mean_dominant_hz"),
+            F.round(F.avg("dominant_share"), 6).alias("mean_dominant_share"),
+            F.round(F.avg("spectral_centroid_hz"), 3).alias(
+                "mean_centroid_hz"
+            ),
+        )
+        .orderBy("source")
+    )

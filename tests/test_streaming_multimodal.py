@@ -765,3 +765,26 @@ def test_wav_synth_decode_roundtrip(spark):
     )
     out = decode_wav(bad).collect()
     assert len(out) == 1 and out[0].ok is False and out[0].rms is None
+
+
+def test_wav_spectral_features_recover_tone(spark):
+    """FFT feature extraction closes the loop on the synthesizer: the
+    dominant frequency of each decoded clip must equal the synthesized
+    tone (within one FFT bin), with the dominant bin carrying most of
+    the energy."""
+    from stock_data_warehouse_analytics_spark.operators.multimodal import (
+        synth_wav_blobs,
+        wav_spectral_features,
+    )
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMALL, "documents").limit(25)
+    feats = {r.doc_id: r for r in wav_spectral_features(synth_wav_blobs(d)).collect()}
+    assert feats and all(r.ok for r in feats.values())
+    for doc_id, r in feats.items():
+        want_hz = 200.0 + (doc_id % 20) * 40.0
+        # clip length ≥ 256 samples at 8 kHz → bin width ≤ 31.25 Hz
+        assert abs(r.dominant_hz - want_hz) <= 8000.0 / 256 + 1e-9, (
+            doc_id, r.dominant_hz, want_hz,
+        )
+        assert r.dominant_share > 0.25
