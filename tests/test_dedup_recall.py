@@ -313,3 +313,76 @@ def test_semantic_dedup_incremental_planted(spark):
     assert got[104] == (False, False)
     assert got[105] == (False, False)
     assert len(got) == 6
+
+
+def test_rowwise_minhash_bands_parity_with_grouped(spark):
+    """The per-row (stream-safe) minhash band expression must be
+    bit-identical to the grouped banded_signatures(max_df=None) path
+    on the real corpus — the equality the streaming admission
+    pipeline's correctness rests on (was verified ad hoc when the
+    operator landed; this pins it against refactors)."""
+    from stock_data_warehouse_analytics_spark.operators.dedup import (
+        banded_signatures,
+        rowwise_minhash_bands,
+    )
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMALL, "documents")
+    a = d.select(
+        "doc_id", F.explode(rowwise_minhash_bands(F.col("text"))).alias("bb")
+    ).select("doc_id", "bb.band", "bb.band_hash")
+    b = banded_signatures(d, max_df=None)
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_positioned_shingle_cap_splits_spans(spark):
+    """The positioned table's occurrence cap: a k-gram planted in more
+    docs than the cap disappears from the representation, so a span
+    crossing it SPLITS into two shorter spans (the documented recall
+    trade) — while an identical corpus under the cap reports the one
+    full-length span."""
+    from stock_data_warehouse_analytics_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    import random
+
+    rng = random.Random(9)
+    vocab = [f"v{i}" for i in range(4000)]
+    left = " ".join(rng.choice(vocab) for _ in range(20))
+    hot = " ".join(f"h{j}" for j in range(8))  # the k=8 seed to cap away
+    right = " ".join(rng.choice(vocab) for _ in range(20))
+    span = f"{left} {hot} {right}"  # 48 tokens, hot seed in the middle
+
+    def noise(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    docs = [(0, span + " " + noise(30)), (1, noise(10) + " " + span)]
+    # many unrelated docs all containing the hot 8-gram → its df blows
+    # past an explicit cap of 5
+    docs += [(100 + i, noise(6) + " " + hot + " " + noise(6)) for i in range(12)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uncapped = [
+        (r.start_a, r.start_b, r.span_tokens)
+        for r in exact_substring_spans(df, k=8, max_df=None)
+        .filter((F.col("doc_a") == 0) & (F.col("doc_b") == 1))
+        .collect()
+    ]
+    assert uncapped == [(1, 11, 48)], uncapped
+
+    capped = sorted(
+        (r.start_a, r.start_b, r.span_tokens)
+        for r in exact_substring_spans(df, k=8, max_df=5)
+        .filter((F.col("doc_a") == 0) & (F.col("doc_b") == 1))
+        .collect()
+    )
+    # the hot middle seed is gone: the 48-token span splits into two
+    # spans that each still cover their flank plus the adjacent hot
+    # tokens reachable by uncapped seeds
+    assert len(capped) == 2, capped
+    assert capped[0][0] == 1 and capped[1][2] < 48 and capped[0][2] < 48
+    # the two fragments together still cover most of the span
+    assert capped[0][2] + capped[1][2] >= 40, capped
