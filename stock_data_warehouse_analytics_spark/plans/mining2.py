@@ -306,7 +306,7 @@ SELECT bin,
        COUNT(*) AS n,
        CAST(SUM(y) AS BIGINT) AS n_pos,
        ROUND(SUM(y)::DOUBLE / COUNT(*), 6) AS observed_rate,
-       ROUND(CAST(SUM(CAST(score * 1000000 AS BIGINT)) AS BIGINT)::DOUBLE
+       ROUND(CAST(SUM(CAST(ROUND(score * 1000000, 0) AS BIGINT)) AS BIGINT)::DOUBLE
              / (1000000 * COUNT(*)), 6) AS mean_score
 FROM binned
 GROUP BY bin
@@ -343,8 +343,11 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum("y").cast("double") / F.count(F.lit(1)), 6
             ).alias("observed_rate"),
+            # explicit ROUND before the long cast: Spark's cast
+            # TRUNCATES while DuckDB's rounds, and round-6 scores ×10⁶
+            # land epsilon off the integer (0.123456e6 = 123455.999…)
             F.round(
-                F.sum((F.col("score") * 1_000_000).cast("long"))
+                F.sum(F.round(F.col("score") * 1_000_000, 0).cast("long"))
                 .cast("double")
                 / (F.lit(1_000_000) * F.count(F.lit(1))),
                 6,

@@ -189,3 +189,81 @@ def win_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "dq_approx_vs_exact_quantiles",
+    tags=("warehouse", "dq", "percentile", "sketch", "audit"),
+    oracle=None,  # approx_percentile's KLL-style sketch is
+    # engine-specific; the accuracy bound itself is asserted in
+    # tests/test_fast_aggregates.py::test_approx_quantile_audit_bounds
+)
+def dq_approx_vs_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-accuracy AUDIT a team runs before trusting
+    ``approx_percentile`` at 100 TB: per return flag, the approximate
+    p50/p95 (accuracy 1000) against the exact bounded-memory quantiles
+    (``operators/ranking.grouped_exact_quantiles``), with absolute and
+    RANK error.  Rank error is the meaningful metric — the KLL-style
+    sketch guarantees rank ε, not value ε, so a fat-tailed column can
+    show large value gaps at tiny rank error (exactly what this report
+    makes visible).  Rows-only: the sketch is engine-specific by
+    nature; the bound is pinned in pytest instead."""
+    from ..operators.ranking import grouped_exact_quantiles
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .localCheckpoint(eager=True)  # feeds exact passes + approx agg
+    )
+    exact = grouped_exact_quantiles(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        [("p50_exact", 0.5), ("p95_exact", 0.95)],
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            F.col("l_extendedprice").cast("double"),
+            F.array(F.lit(0.5), F.lit(0.95)),
+            1000,
+        ).alias("ap"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    # rank of the approx value = fraction of rows below it — one extra
+    # conditional-count pass via a broadcast join of the 3-row report
+    ap = approx.select(
+        "l_returnflag",
+        "n_rows",
+        F.col("ap")[0].alias("p50_approx"),
+        F.col("ap")[1].alias("p95_approx"),
+    )
+    joined = li.join(F.broadcast(ap), "l_returnflag")
+    ranks = joined.groupBy("l_returnflag").agg(
+        (
+            F.count(F.when(F.col("l_extendedprice") <= F.col("p50_approx"), 1))
+            / F.count(F.lit(1))
+        ).alias("p50_approx_rank"),
+        (
+            F.count(F.when(F.col("l_extendedprice") <= F.col("p95_approx"), 1))
+            / F.count(F.lit(1))
+        ).alias("p95_approx_rank"),
+    )
+    return (
+        exact.join(ap, "l_returnflag")
+        .join(ranks, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.round("p50_exact", 6).alias("p50_exact"),
+            F.round("p50_approx", 6).alias("p50_approx"),
+            F.round(F.abs(F.col("p50_approx_rank") - 0.5), 6).alias(
+                "p50_rank_err"
+            ),
+            F.round("p95_exact", 6).alias("p95_exact"),
+            F.round("p95_approx", 6).alias("p95_approx"),
+            F.round(F.abs(F.col("p95_approx_rank") - 0.95), 6).alias(
+                "p95_rank_err"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

