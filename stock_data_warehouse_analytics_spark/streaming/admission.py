@@ -34,14 +34,18 @@ __all__ = [
 
 def admission_matches(new_docs: DataFrame, static_banded: DataFrame) -> DataFrame:
     """(doc_id, corpus_doc_id, band) match events: per-row bands of the
-    incoming docs, exploded, probed against the broadcast static index.
-    Works identically on a batch OR streaming ``new_docs`` frame —
-    every operator here is stateless."""
+    incoming docs, exploded, probed against the static index.  Works
+    identically on a batch OR streaming ``new_docs`` frame — every
+    operator here is stateless.  Join strategy is left to the
+    optimizer: a CORPUS-sized band index must NOT be forced broadcast —
+    at scale it is persisted bucketed by (band, band_hash) so each
+    micro-batch joins bucket-locally, and only genuinely small indexes
+    get auto-broadcast."""
     newb = new_docs.select(
         "doc_id", F.explode(rowwise_minhash_bands(F.col("text"))).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
     return newb.join(
-        F.broadcast(static_banded), ["band", "band_hash"]
+        static_banded, ["band", "band_hash"]
     ).select("doc_id", "corpus_doc_id", "band")
 
 
