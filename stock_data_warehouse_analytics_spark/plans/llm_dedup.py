@@ -674,7 +674,9 @@ def stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     newb = sigb.filter(F.col("doc_id") % 2 == 1)
     new = d.filter(F.col("doc_id") % 2 == 1)
     hits = (
-        newb.join(F.broadcast(static), ["band", "band_hash"])
+        # no forced broadcast: the static band index is corpus-sized
+        # (bucketed by (band, band_hash) at scale — admission_matches)
+        newb.join(static, ["band", "band_hash"])
         .groupBy("doc_id")
         .agg(
             F.countDistinct("corpus_doc_id").cast("long").alias("n_dup_partners")
