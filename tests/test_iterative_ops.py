@@ -315,3 +315,49 @@ def test_kcenter_covers_planted_clusters(spark):
 
     out2 = kcenter_select(df, n_select=8).collect()
     assert sel1 == [(r.sel_rank, r.vec_id, r.dist_to_set) for r in out2]
+
+
+def test_bpe_fold_merge_adversarial_overlaps(spark):
+    """The array-fold BPE merge must equal greedy leftmost
+    non-overlapping on adversarial inputs — self-overlapping pairs
+    ('aaaa' under (a,a)), interleavings, and pair-at-both-ends — for
+    several merge pairs evaluated in ONE Spark job."""
+    from pyspark.sql import functions as F
+
+    words = ["aaaa", "aaab", "abab", "baaa", "aabbaabb", "bbbb", "abba", "a", "ba"]
+    merges = [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]
+
+    def greedy(word, l, r):
+        syms, out, i = list(word), [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    def fold_expr(l, r):
+        lc, rc, mc = F.lit(l), F.lit(r), F.lit(l + r)
+        return F.aggregate(
+            F.split(F.col("w"), ""),
+            F.array().cast("array<string>"),
+            lambda acc, s2: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == lc)
+                & (s2 == rc),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(mc)
+                ),
+            ).otherwise(F.concat(acc, F.array(s2))),
+        )
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    cols = [fold_expr(l, r).alias(f"m{i}") for i, (l, r) in enumerate(merges)]
+    got = df.select("w", *cols).collect()
+    for row in got:
+        for i, (l, r) in enumerate(merges):
+            assert list(row[f"m{i}"]) == greedy(row.w, l, r), (
+                row.w, (l, r), list(row[f"m{i}"]),
+            )
