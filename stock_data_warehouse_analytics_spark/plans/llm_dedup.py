@@ -17,6 +17,7 @@ from ..operators.dedup import (
     exact_substring_spans,
     minhash_candidate_pairs,
     minhash_params,
+    minhash_signatures,
     ngram_jaccard_pairs,
     repeated_spans_within_doc,
     rowwise_minhash_bands,
@@ -850,4 +851,97 @@ def dedup_rewrite_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("yield_ratio"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "dedup_minhash_estimate_accuracy",
+    tags=("llm", "dedup", "minhash", "sketch", "accuracy"),
+    oracle=f"""
+WITH {_sql_minhash_ctes()},
+sig_pairs AS (
+  SELECT p.doc_a, p.doc_b,
+         ({' + '.join(f'CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END' for i in range(16))})
+           AS n_agree
+  FROM pairs p
+  JOIN sig a ON a.doc_id = p.doc_a
+  JOIN sig b ON b.doc_id = p.doc_b
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.doc_a, s.doc_b,
+       CAST(s.n_agree AS BIGINT) AS n_agree,
+       ROUND(s.n_agree / 16.0, 6) AS jaccard_est,
+       ROUND(COALESCE(c.c, 0) / (sa.n + sb.n - COALESCE(c.c, 0)), 6)
+         AS jaccard_exact,
+       ROUND(ABS(s.n_agree / 16.0
+                 - COALESCE(c.c, 0)
+                   / (sa.n + sb.n - COALESCE(c.c, 0))), 6) AS abs_err
+FROM sig_pairs s
+LEFT JOIN common c ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
+JOIN sizes sa ON sa.doc_id = s.doc_a
+JOIN sizes sb ON sb.doc_id = s.doc_b
+ORDER BY s.doc_a, s.doc_b
+""",
+)
+def dedup_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH-ESTIMATOR accuracy for MinHash: on every LSH candidate
+    pair, the Jaccard ESTIMATE (signature agreement / 16 — the number
+    a 100 TB pipeline scores with, because it needs only the 16-long
+    signatures) against the EXACT shingle Jaccard, with absolute
+    error — the report that justifies replacing the exact inverted-
+    index score with the sketch at scale.  All three inputs (pairs,
+    signatures, shingle sizes) come from the same capped representation
+    so the comparison is apples-to-apples.  Oracle-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, n_hashes=16)
+    pairs = minhash_candidate_pairs(d, n_hashes=16, bands=4)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)],
+    )
+    n_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(16)
+    )
+    est = pairs.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", n_agree.cast("long").alias("n_agree")
+    )
+    from ..operators.dedup import shingle_table
+
+    sh = shingle_table(d, "text", 3, max_df="auto")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a2, b2 = sh.alias("a"), sh.alias("b")
+    common = (
+        a2.join(b2, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jx = F.coalesce(F.col("c"), F.lit(0)) / (
+        F.col("na") + F.col("nb") - F.coalesce(F.col("c"), F.lit(0))
+    )
+    je = F.col("n_agree") / 16.0
+    return (
+        est.join(common, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            F.round(je, 6).alias("jaccard_est"),
+            F.round(jx, 6).alias("jaccard_exact"),
+            F.round(F.abs(je - jx), 6).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
     )

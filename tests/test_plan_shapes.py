@@ -177,6 +177,7 @@ _BOUNDED_SINGLE_PARTITION = {
     "contamination_span_level",  # same one-row corpus-size cap scalar
     "dedup_detector_ensemble",  # same cap scalar (minhash side)
     "dedup_rewrite_yield",  # same cap scalar (cached spans plan)
+    "dedup_minhash_estimate_accuracy",  # same cap scalar (sig + shingle plans)
     # distinct-score running count: the unpartitioned window runs over
     # per-SCORE groups — score is rounded to 6 decimals in [0,1], so
     # ≤ 10^6+1 rows at ANY corpus size — plus the final one-row agg
