@@ -945,3 +945,74 @@ def dedup_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "text_ngram_novelty",
+    tags=("llm", "text", "novelty", "incremental"),
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+sh_all AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= 3 THEN list_distinct(
+           list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         ELSE [array_to_string(t, ' ')] END) AS shingle
+  FROM toks
+),
+corpus_vocab AS (
+  SELECT DISTINCT shingle FROM sh_all WHERE doc_id % 5 != 0
+),
+batch AS (SELECT doc_id, shingle FROM sh_all WHERE doc_id % 5 = 0),
+flagged AS (
+  SELECT b.doc_id,
+         CASE WHEN v.shingle IS NULL THEN 1 ELSE 0 END AS novel
+  FROM batch b LEFT JOIN corpus_vocab v USING (shingle)
+)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(novel) AS BIGINT) AS n_novel,
+       ROUND(SUM(novel)::DOUBLE / COUNT(*), 6) AS novelty
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM NOVELTY of an incoming batch (every 5th doc) against the
+    corpus: per batch doc, the fraction of its distinct 3-gram
+    shingles NEVER seen in the corpus — the freshness metric a
+    curation pipeline tracks per source/day (near-zero novelty =
+    re-crawl; near-one = new domain or garbage).  Complements the
+    admission DUPLICATE checks: novelty measures the other tail.
+    One distinct pass for the corpus vocabulary + one anti-flagging
+    hash join on the shingle key — both shuffle once.  Uncapped
+    shingles on both sides (novelty needs the full vocabulary — a
+    df-cap would delete exactly the common shingles that prove
+    non-novelty).  Oracle-exact."""
+    from ..operators.dedup import shingle_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(d, "text", 3, max_df=None)
+    vocab = (
+        sh.filter(F.col("doc_id") % 5 != 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    batch = sh.filter(F.col("doc_id") % 5 == 0)
+    flagged = batch.join(vocab, "shingle", "left").select(
+        "doc_id",
+        F.when(F.col("_seen").isNull(), 1).otherwise(0).alias("novel"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("novel").cast("long").alias("n_novel"),
+            F.round(
+                F.sum("novel").cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
