@@ -151,7 +151,9 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     init, seed 42), queries probe their 4 nearest of 16 cells, exact
     cosine re-rank inside probed cells only.  The second scale path the
     north star names alongside LSH — corpus never shuffles, only the
-    k×dim centroid matrix reaches the driver.  Fits (and caches) the
+    k×dim centroid matrix reaches the driver.  Rows-only (recall vs
+    brute force pinned by tests/test_streaming_multimodal.py::
+    test_ann_ivf_recall).  Fits (and caches) the
     session quantizer; ``sim_topk_ivf_probe`` is the reuse path."""
     e = load_table(spark, sf_dir, "embeddings")
     assigned, centers = ivf_quantizer(spark, sf_dir)
@@ -168,7 +170,9 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_topk_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe-only IVF batch against the session's pre-fitted quantizer
-    (a different query set, vec_id in [8, 24)): the steady-state cost of
+    (a different query set, vec_id in [8, 24) — rows-only, recall
+    pinned by tests/test_streaming_multimodal.py::test_ann_ivf_recall
+    like the fit-per-call form): the steady-state cost of
     IVF search once the one-time fit is amortized — bench this entry
     against ``sim_topk_ivf`` to read the fit overhead directly."""
     e = load_table(spark, sf_dir, "embeddings")
@@ -234,7 +238,9 @@ def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC dedup end-to-end (SemDeDup, Abbas et al. 2023): IVF
     cells (the session's cached quantizer) → within-cell cosine ε-graph
-    (threshold 0.97) → connected components → min-id survivor.  One row
+    (threshold 0.97) → connected components → min-id survivor
+    (rows-only; planted-dupe recall + determinism pinned by
+    tests/test_dedup_recall.py::test_semantic_dedup_planted_groups).  One row
     per vector: (vec_id, cell, cluster_id, keep) — the embedding-space
     twin of ``dedup_keep_representative``.  Pairwise work is O(n²/k)
     spread over k independent cells, never global all-pairs."""
@@ -271,7 +277,8 @@ def emb_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     existing corpus; quantizer fit on the corpus side only, new
     vectors assigned map-side and compared bucket-locally (old→
     ``dup_vs_corpus``, new→``dup_within_batch``), summarized per flag
-    pair.  The embedding-space twin of
+    pair (rows-only; planted cross-/within-batch dupes pinned by
+    tests/test_dedup_recall.py::test_semantic_dedup_incremental_planted).  The embedding-space twin of
     ``dedup_incremental_new_batch``."""
     e = load_table(spark, sf_dir, "embeddings")
     bounds = e.agg(
@@ -384,7 +391,9 @@ def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (``operators/similarity.kcenter_select``) — the
     subset-selection op behind diverse eval sets and
     annotation-budget sampling: farthest-first traversal with the
-    classic 2-approximation covering guarantee.  Each round costs one
+    classic 2-approximation covering guarantee (rows-only; planted-
+    cluster coverage + determinism pinned by tests/test_iterative_ops
+    .py::test_kcenter_covers_planted_clusters).  Each round costs one
     map-only distance update + a single-row argmax; driver state is
     the picked vector only.  ``dist_to_set`` is non-increasing; the
     last value bounds the covering radius."""

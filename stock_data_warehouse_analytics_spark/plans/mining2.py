@@ -267,7 +267,9 @@ def mining_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     + intercept.  Each Newton step is ONE map-side-combined aggregate
     producing the d(d+1)/2+d weighted moments (O(#tasks) rows cross the
     exchange — never data); the driver solves a 4×4 system.  The GLM
-    twin of the Lloyd trainer.  Output: one row per coefficient,
+    twin of the Lloyd trainer.  Rows-only; differential-tested against
+    a numpy IRLS (tests/test_iterative_ops.py::
+    test_irls_logreg_matches_numpy).  Output: one row per coefficient,
     rounded to 6 (floating partial-sum order is the only
     nondeterminism; at 6 decimals the result is stable)."""
     from ..functions.text import punct_ratio, stopword_ratio, token_count

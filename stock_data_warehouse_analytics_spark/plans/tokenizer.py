@@ -31,7 +31,10 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationally: corpus collapses once into the Heaps-bounded
     word-frequency table, each round is one vocab-sized shuffle plus a
     single-row argmax collect, the merge itself a map-only array fold,
-    checkpointed per round (``operators/text_ml.py``).  Complements
+    checkpointed per round (``operators/text_ml.py``).  Rows-only;
+    differential-tested word-for-word against a pure-Python reference
+    (tests/test_iterative_ops.py::
+    test_bpe_train_merges_matches_python_reference).  Complements
     ``text_bpe_token_cost``, which only APPLIES a pre-tokenizer.
     Deterministic: tie-break (count desc, left asc, right asc), no
     RNG — the same corpus always yields the same merge table."""
@@ -192,7 +195,9 @@ def text_bpe_encode_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     (whitespace tokens vs post-merge BPE symbols vs characters).  The
     trained vocab is Heaps-bounded, so the word→symbol-count lookup is
     a BROADCAST join against the exploded token stream — one scan of
-    the corpus, no data-sized shuffle.  Unknown words (impossible here
+    the corpus, no data-sized shuffle.  Rows-only; invariants and
+    corpus-total conservation pinned by tests/test_iterative_ops.py::
+    test_bpe_encode_cost_invariants.  Unknown words (impossible here
     — vocab is trained on the same corpus — but real in incremental
     encoding) fall back to character count."""
     d = load_table(spark, sf_dir, "documents")

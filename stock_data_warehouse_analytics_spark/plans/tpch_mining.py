@@ -123,7 +123,9 @@ def mining_kmeans_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 scale path — per-user activity features (avg value, event
     count, distinct types) → standardize → KMeans(k=4, seed=42).
     Output is (cluster, n_users, avg feature centroid) — stable shape
-    even though label ids aren't portable."""
+    even though label ids aren't portable (rows-only; co-membership
+    parity with the reference clustering is pinned by
+    tests/test_stock_mining_golden.py)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.feature import StandardScaler, VectorAssembler
 

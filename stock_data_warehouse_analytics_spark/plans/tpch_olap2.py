@@ -145,7 +145,11 @@ def olap_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def olap_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-pass bounded-memory percentile for 100 TB inputs:
-    ``approx_percentile`` (Greenwald-Khanna/t-digest style)."""
+    ``approx_percentile`` (Greenwald-Khanna/t-digest style).
+    Rows-only (sketch values are engine-specific); the rank-error
+    bound is measured in tests/test_fast_aggregates.py::
+    test_approx_quantile_audit_bounds and the exact counterpart is
+    oracle-checked (olap_exact_percentiles)."""
     l = load_table(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_returnflag")

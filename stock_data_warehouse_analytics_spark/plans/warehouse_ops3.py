@@ -281,7 +281,9 @@ def multimodal_audio_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio stats (clips, total duration, mean RMS, decode failures).
     The audio twin of the PPM/BMP image decode: the container walk,
     Arrow batch shape and quarantine-don't-crash error handling are
-    production-real; only exotic codecs (mp3/ogg) remain stubbed."""
+    production-real; only exotic codecs (mp3/ogg) remain stubbed.
+    Rows-only; the codec round-trip is verified analytically in
+    tests/test_streaming_multimodal.py::test_wav_synth_decode_roundtrip."""
     from ..operators.multimodal import decode_wav, synth_wav_blobs
 
     d = load_table(spark, sf_dir, "documents")
