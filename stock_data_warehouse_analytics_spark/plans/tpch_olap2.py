@@ -149,7 +149,7 @@ def olap_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only (sketch values are engine-specific); the rank-error
     bound is measured in tests/test_fast_aggregates.py::
     test_approx_quantile_audit_bounds and the exact counterpart is
-    oracle-checked (olap_exact_percentiles)."""
+    oracle-checked (olap_percentiles)."""
     l = load_table(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_returnflag")
