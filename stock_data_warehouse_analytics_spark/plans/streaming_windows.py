@@ -165,7 +165,7 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     unmatched clicks younger than that stay in state and never emit in
     a bounded run.  The batch plan mirrors exactly that (left join +
     eviction cutoff filter); the real readStream run is asserted equal
-    in tests/test_streaming_multimodal.py::test_stream_stream_left_outer.
+    in tests/test_streaming_multimodal.py::test_stream_stream_left_outer_equals_batch.
     """
     from ..streaming.event_windows import left_outer_final_output
 
