@@ -296,10 +296,15 @@ def union_intervals(
         .orderBy(s_col, e_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # NULL-safe long comparison: the first row per key has no prior max
+    # (NULL) — `s > NULL` is NULL, so `NOT (s <= prior)` with a
+    # coalesce-to-true keeps the arithmetic entirely in LONG.  (A
+    # float('-inf') sentinel would coerce the comparison to double and
+    # lose exactness past 2^53; the SQL mirrors coalesce to -1, which
+    # assumes non-negative starts — this form assumes nothing.)
+    prior_max = F.max(e_col).over(w_prev)
     new_isl = F.when(
-        F.col(s_col)
-        > F.coalesce(F.max(e_col).over(w_prev), F.lit(float("-inf"))),
-        1,
+        F.coalesce(F.col(s_col) > prior_max, F.lit(True)), 1
     ).otherwise(0)
     return (
         iv.withColumn("_isl", F.sum(new_isl).over(w_cum))

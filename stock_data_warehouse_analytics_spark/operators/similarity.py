@@ -259,8 +259,13 @@ def fit_ivf_quantizer(
         target = n_cells * fit_sample_per_cell
         if n > target:
             bucket = hash_int60(F.col("neighbor_id").cast("string")) % 1_000_000
-            keep = int(target * 1_000_000 // n)
-            fit_input = c.filter(bucket < keep).localCheckpoint(eager=True)
+            # clamp: the floor can reach 0 when n > target·1e6 (an empty
+            # fit sample would crash lloyd_fit); and a hash sample can
+            # come up short of n_cells seed rows — fall back to the full
+            # input in that case (fit cost is then the caller's choice)
+            keep = max(1, int(target * 1_000_000 // n))
+            sampled = c.filter(bucket < keep).localCheckpoint(eager=True)
+            fit_input = sampled if sampled.count() >= n_cells else c
     centers = lloyd_fit(
         fit_input, id_col="neighbor_id", vec_col="_cn", k=n_cells, iters=max_iter
     )

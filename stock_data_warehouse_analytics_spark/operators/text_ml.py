@@ -57,6 +57,7 @@ def bpe_train_merges(
     *,
     rounds: int = 10,
     text_col: str = "text",
+    eow: str | None = "</w>",
 ) -> tuple[DataFrame, DataFrame]:
     """TRAIN a BPE merge table — the tokenizer-prep job (Sennrich et
     al. 2016), as a relational loop like PageRank/CC: ``rounds``
@@ -80,10 +81,17 @@ def bpe_train_merges(
       construction), ``localCheckpoint`` per round to keep lineage flat
       (the CC/PageRank pattern, ``operators/graph.py:17``).
 
-    Character-level symbols, no end-of-word marker (documented
-    simplification — the marker adds a column, not a new operator
-    shape).  Differential-tested against a driver-side pure-Python
-    reference in ``tests/test_iterative_ops.py``."""
+    End-of-word marker: with ``eow`` set (default ``"</w>"``) the
+    LAST character of each word is fused with the marker before
+    training — ``"low" → [l, o, w</w>]`` — the subword-nmt
+    (Sennrich reference implementation) formulation, so trained merges
+    distinguish word-final from word-internal contexts and match
+    production tokenizers.  The symbol COUNT per word is unchanged
+    (marker fused, not appended), so every downstream token-cost
+    invariant (1 ≤ n_syms ≤ len(word)) still holds.  ``eow=None``
+    trains plain character-level merges.  Both modes are
+    differential-tested against a driver-side pure-Python reference in
+    ``tests/test_iterative_ops.py``."""
     from ..functions.text import tokens
 
     word_freq = (
@@ -92,8 +100,19 @@ def bpe_train_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    chars = F.split(F.col("w"), "")
+    if eow is not None:
+        n_ch = F.size(chars)
+        syms0 = F.transform(
+            chars,
+            lambda c, i: F.when(
+                i == n_ch - 1, F.concat(c, F.lit(eow))
+            ).otherwise(c),
+        )
+    else:
+        syms0 = chars
     vocab = word_freq.select(
-        "w", "freq", F.split(F.col("w"), "").alias("syms")
+        "w", "freq", syms0.alias("syms")
     ).localCheckpoint(eager=True)
 
     spark = docs.sparkSession

@@ -1,0 +1,281 @@
+"""Chunk-grained RAG-prep queries over ``documents`` — the composition
+layer on top of ``operators/chunking.py``: the provenance chunk table
+itself, chunk-level exact dedup across documents, and a chunk-grained
+sparse-cosine top-k (the retrieval shape, inverted-index formulation).
+
+Reference scope: no counterpart in the reference engine (whole-row
+corpus units only); mandated LLM-pipeline extension surface —
+complements the span family in ``plans/llm_dedup.py`` and the
+sentence UDTF in ``plans/llm_text.py``.
+
+All three queries are ORACLE-EXACT: chunk boundaries are integer
+arithmetic, term counts are BIGINT, dot products are sums of BIGINT
+products (order-free), and the only doubles (cosine) are computed from
+those exact integers the same way on both engines, then rounded to
+6 dp before ranking with full integer tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.chunking import chunk_documents
+from ..sources.tables import load_table
+from .registry import register
+
+CHUNK_TOKENS = 16
+OVERLAP = 4
+STRIDE = CHUNK_TOKENS - OVERLAP
+
+# shared whitespace tokenization spec (functions/text.py::tokens)
+_SQL_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+# chunk table CTE shared by all three oracles: starts at 0, STRIDE,
+# 2·STRIDE, … < n_tokens; half-open [start_tok, end_tok) windows
+_SQL_CHUNKS = f"""
+toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+starts AS (
+  SELECT doc_id, tk, len(tk) AS n, unnest(generate_series(0, len(tk) - 1, {STRIDE})) AS s
+  FROM toks WHERE len(tk) >= 1
+),
+chunks AS (
+  SELECT doc_id,
+         s // {STRIDE} AS chunk_id,
+         s AS start_tok,
+         LEAST(s + {CHUNK_TOKENS}, n) AS end_tok,
+         LEAST(s + {CHUNK_TOKENS}, n) - s AS n_tokens,
+         array_to_string(tk[s + 1 : LEAST(s + {CHUNK_TOKENS}, n)], ' ') AS chunk_text
+  FROM starts
+)"""
+
+
+@register(
+    "text_chunk_table",
+    tags=("llm", "text", "chunking", "rag"),
+    oracle=f"""
+WITH {_SQL_CHUNKS}
+SELECT doc_id, chunk_id, start_tok, end_tok, n_tokens,
+       md5(chunk_text) AS chunk_md5
+FROM chunks
+ORDER BY doc_id, chunk_id
+""",
+)
+def text_chunk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CHUNK PROVENANCE TABLE — ``documents`` split into
+    {CHUNK_TOKENS}-token windows overlapping by {OVERLAP}
+    (``operators/chunking.py::chunk_documents``): (doc_id, chunk_id,
+    start_tok, end_tok, n_tokens, md5 of the chunk text).  Map-only
+    (tokenize → sequence → posexplode → slice), no shuffle except the
+    presentation sort; boundaries are pure integer arithmetic, so the
+    table is oracle-exact including the text digest.  This is the
+    ingest step every chunk-grained query below builds on — at scale
+    it is written once, partitioned like the source corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(
+        d, chunk_tokens=CHUNK_TOKENS, overlap=OVERLAP, keep_text=True
+    )
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        "start_tok",
+        "end_tok",
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "chunk_crossdoc_duplicates",
+    tags=("llm", "chunking", "dedup", "rag"),
+    oracle=f"""
+WITH {_SQL_CHUNKS}
+SELECT md5(chunk_text) AS chunk_md5,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS first_doc,
+       MIN(n_tokens) AS n_tokens
+FROM chunks
+WHERE n_tokens = {CHUNK_TOKENS}
+GROUP BY md5(chunk_text)
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_occurrences DESC, chunk_md5
+""",
+)
+def chunk_crossdoc_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-LEVEL EXACT DEDUP across documents — the pre-embedding
+    gate of a RAG ingest pipeline: full-width chunks whose text is
+    byte-identical in ≥ 2 distinct documents (one md5 hash-groupBy over
+    the chunk table — the chunk-grained analog of
+    ``dedup_exact_groups``; partial tail chunks are excluded so the
+    report never flags sub-window coincidences).  One shuffle on a
+    32-char key, linear at any corpus size; duplicate chunks are
+    exactly what a production pipeline drops before paying for
+    embeddings."""
+    d = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(
+        d, chunk_tokens=CHUNK_TOKENS, overlap=OVERLAP, keep_text=True
+    ).filter(F.col("n_tokens") == CHUNK_TOKENS)
+    return (
+        ch.select("doc_id", F.md5("chunk_text").alias("chunk_md5"), "n_tokens")
+        .groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_occurrences"), "chunk_md5")
+    )
+
+
+# hot-shingle df cap for the sparse cosine join: shingles present in
+# more than MAX_DF chunks are dropped from BOTH sides (mirrored
+# exactly in the oracle).  At scale this is the same inverted-index
+# discipline as the whole-doc shingle joins — ubiquitous shingles
+# create quadratic candidate blow-up and carry no ranking signal.
+MAX_DF = 100
+TOPK = 3
+N_QUERY_DOCS = 2
+SHINGLE_K = 3
+
+
+@register(
+    "chunk_sparse_cosine_topk",
+    tags=("llm", "chunking", "similarity", "rag", "topk"),
+    oracle=f"""
+WITH {_SQL_CHUNKS},
+ctoks AS (
+  SELECT doc_id, chunk_id,
+         {_SQL_TOKS.replace('text', 'chunk_text')} AS t
+  FROM chunks
+),
+sh_all AS (
+  SELECT doc_id, chunk_id, unnest(
+    CASE WHEN len(t) >= {SHINGLE_K} THEN list_distinct(
+           list_transform(generate_series(1, len(t) - {SHINGLE_K - 1}),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         ELSE [array_to_string(t, ' ')] END) AS term
+  FROM ctoks
+),
+tf AS (
+  SELECT doc_id, chunk_id, term FROM sh_all WHERE len(term) > 0
+),
+df AS (
+  SELECT term FROM tf GROUP BY term HAVING COUNT(*) <= {MAX_DF}
+),
+tf2 AS (SELECT tf.* FROM tf JOIN df USING (term)),
+nrm AS (
+  SELECT doc_id, chunk_id, SQRT(CAST(COUNT(*) AS DOUBLE)) AS nn
+  FROM tf2 GROUP BY doc_id, chunk_id
+),
+dots AS (
+  SELECT q.doc_id AS q_doc, q.chunk_id AS q_chunk,
+         c.doc_id AS c_doc, c.chunk_id AS c_chunk,
+         CAST(COUNT(*) AS BIGINT) AS dp
+  FROM tf2 q JOIN tf2 c USING (term)
+  WHERE q.doc_id < {N_QUERY_DOCS} AND c.doc_id >= {N_QUERY_DOCS}
+  GROUP BY 1, 2, 3, 4
+),
+scored AS (
+  SELECT d.q_doc, d.q_chunk, d.c_doc, d.c_chunk,
+         ROUND(CAST(d.dp AS DOUBLE) / (nq.nn * nc.nn), 6) AS cosine
+  FROM dots d
+  JOIN nrm nq ON nq.doc_id = d.q_doc AND nq.chunk_id = d.q_chunk
+  JOIN nrm nc ON nc.doc_id = d.c_doc AND nc.chunk_id = d.c_chunk
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY q_doc, q_chunk
+           ORDER BY cosine DESC, c_doc, c_chunk) AS rnk
+  FROM scored
+)
+SELECT q_doc, q_chunk, c_doc, c_chunk, cosine, rnk
+FROM ranked WHERE rnk <= {TOPK}
+ORDER BY q_doc, q_chunk, rnk
+""",
+)
+def chunk_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-GRAINED RETRIEVAL top-k — for every chunk of the query
+    documents (doc_id < {N_QUERY_DOCS}), the {TOPK} most similar
+    corpus chunks by word-{SHINGLE_K}-gram shingle-SET cosine
+    (|shared shingles| / √|A|·√|B|), computed SPARSE: an
+    inverted-index join on shared shingles (df-capped at {MAX_DF},
+    the whole-doc shingle-join discipline), exact BIGINT intersection
+    counts, norms from integer set sizes — oracle-exact with no dense
+    vector ever materialized.  Shingles, not unigrams, on purpose:
+    word ORDER is the lexical signal at chunk granularity (and on
+    this corpus the unigram vocabulary is ~31 terms — every chunk
+    would share every term).  This is the scale formulation: the
+    corpus side shuffles once on the shingle key, candidates are only
+    chunk pairs sharing ≥1 surviving shingle, and the final top-k is
+    a bounded per-query-chunk window.  (The embedding-space analog —
+    same chunk table feeding hyperplane/IVF ANN — is the
+    ``sim_topk_*`` family; this query is the lexical twin used for
+    hybrid retrieval.)"""
+    from ..functions.text import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(
+        d, chunk_tokens=CHUNK_TOKENS, overlap=OVERLAP, keep_text=True
+    )
+    tf = ch.select(
+        "doc_id",
+        "chunk_id",
+        F.explode(shingles(F.col("chunk_text"), SHINGLE_K)).alias("term"),
+    ).filter(F.length("term") > 0)
+    surviving = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("_df")
+    ).filter(F.col("_df") <= MAX_DF).select("term")
+    tf2 = tf.join(surviving, "term")
+    nrm = tf2.groupBy("doc_id", "chunk_id").agg(
+        F.sqrt(F.count(F.lit(1)).cast("double")).alias("nn")
+    )
+    q = tf2.filter(F.col("doc_id") < N_QUERY_DOCS).select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("chunk_id").alias("q_chunk"),
+        "term",
+    )
+    c = tf2.filter(F.col("doc_id") >= N_QUERY_DOCS).select(
+        F.col("doc_id").alias("c_doc"),
+        F.col("chunk_id").alias("c_chunk"),
+        "term",
+    )
+    dots = (
+        q.join(c, "term")
+        .groupBy("q_doc", "q_chunk", "c_doc", "c_chunk")
+        .agg(F.count(F.lit(1)).cast("long").alias("dp"))
+    )
+    nq = nrm.select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("chunk_id").alias("q_chunk"),
+        F.col("nn").alias("_qn"),
+    )
+    nc = nrm.select(
+        F.col("doc_id").alias("c_doc"),
+        F.col("chunk_id").alias("c_chunk"),
+        F.col("nn").alias("_cn"),
+    )
+    scored = (
+        dots.join(F.broadcast(nq), ["q_doc", "q_chunk"])
+        .join(nc, ["c_doc", "c_chunk"])
+        .select(
+            "q_doc",
+            "q_chunk",
+            "c_doc",
+            "c_chunk",
+            F.round(
+                F.col("dp").cast("double") / (F.col("_qn") * F.col("_cn")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_doc", "q_chunk").orderBy(
+        F.desc("cosine"), "c_doc", "c_chunk"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select("q_doc", "q_chunk", "c_doc", "c_chunk", "cosine", "rnk")
+        .orderBy("q_doc", "q_chunk", "rnk")
+    )

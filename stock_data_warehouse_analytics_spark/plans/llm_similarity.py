@@ -366,9 +366,10 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks (8 one-byte codes per vector ≈ 64× compression),
     PQ-approximate scoring inside probed cells, exact re-rank of the
     top-64 candidates.  Recall is bounded above by the IVF routing
-    (measured: PQ@rerank-128 reaches the plain-IVF ceiling); the
-    documented simplification is codebooks on vectors, not cell
-    residuals."""
+    (measured: PQ@rerank-128 reaches the plain-IVF ceiling).
+    Codebooks are trained on cell RESIDUALS (vector − assigned
+    centroid), the standard IVF-PQ formulation — see
+    ``operators/similarity.topk_ivfpq``."""
     e = load_table(spark, sf_dir, "embeddings")
     return topk_ivfpq(
         e,
@@ -459,14 +460,18 @@ def stream_semantic_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream ≡ batch asserted in tests/test_streaming_multimodal.py::
     test_stream_semantic_admission_equals_batch.  Oracle-exact: the
     hyperplane constants are shared literals and both engines fold the
-    dot products in the same order."""
-    from ..streaming.admission import semantic_banded
+    dot products in the same order.  The signature stage here uses the
+    numpy Arrow-batch kernel (``semantic_banded_fast`` — bit-parity
+    with the streaming fold form pinned by
+    test_semantic_banded_fast_parity); the exact cosines below still
+    use the fold ``dot``, so output values are unchanged."""
+    from ..streaming.admission import semantic_banded_fast
 
     e = load_table(spark, sf_dir, "embeddings")
     # one materialization: both join sides filter the SAME banded
-    # table, and the 32-plane per-row signature is the expensive part —
+    # table, and the per-row signature is the expensive part —
     # without the checkpoint Catalyst recomputes it per side (~2×)
-    banded = semantic_banded(e).localCheckpoint(eager=True)
+    banded = semantic_banded_fast(e).localCheckpoint(eager=True)
     newb = banded.filter(F.col("vec_id") % 2 == 1)
     oldb = banded.filter(F.col("vec_id") % 2 == 0).select(
         F.col("vec_id").alias("corpus_vec_id"),

@@ -37,7 +37,10 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_bpe_train_merges_matches_python_reference).  Complements
     ``text_bpe_token_cost``, which only APPLIES a pre-tokenizer.
     Deterministic: tie-break (count desc, left asc, right asc), no
-    RNG — the same corpus always yields the same merge table."""
+    RNG — the same corpus always yields the same merge table.
+    Trains with the subword-nmt end-of-word marker (last character
+    fused with ``</w>``), so merges distinguish word-final contexts
+    — the production-tokenizer formulation."""
     merges, _ = trained_bpe(spark, sf_dir)
     return merges.orderBy("round")
 
@@ -122,10 +125,11 @@ def mix_token_budget_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).cast("long").alias("n_tokens"),
     )
     tot = tagged.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
-    w_pct = (
-        F.when(F.col("corpus") == "web", _BUDGET_W_PCT["web"])
-        .when(F.col("corpus") == "books", _BUDGET_W_PCT["books"])
-        .otherwise(_BUDGET_W_PCT["code"])
+    # weight as a SQL CASE so the budget can use BIGINT `div` below
+    w_pct_sql = (
+        f"CASE WHEN corpus = 'web' THEN {_BUDGET_W_PCT['web']} "
+        f"WHEN corpus = 'books' THEN {_BUDGET_W_PCT['books']} "
+        f"ELSE {_BUDGET_W_PCT['code']} END"
     )
     win = (
         Window.partitionBy("corpus")
@@ -139,9 +143,12 @@ def mix_token_budget_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_tokens").over(win) - F.col("n_tokens")).cast("long"),
         )
         .withColumn(
+            # pure BIGINT arithmetic (SQL `div`, not `/`): Spark's `/`
+            # is double division, which diverges from DuckDB's exact
+            # integer `//` once total_tokens·w_pct exceeds 2^53
             "budget_tokens",
-            F.floor(
-                F.col("total_tokens") * w_pct / F.lit(_BUDGET_DEN)
+            F.expr(
+                f"(total_tokens * {w_pct_sql}) div {_BUDGET_DEN}"
             ).cast("long"),
         )
     )

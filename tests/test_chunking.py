@@ -1,0 +1,111 @@
+"""Chunking operator contracts: boundary arithmetic, coverage,
+overlap, text reconstruction, and edge cases (empty / NULL / short
+documents).  The three registered chunk queries are additionally
+oracle-checked in test_queries_oracle.py like every other query."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_data_warehouse_analytics_spark.operators.chunking import (
+    chunk_documents,
+    chunk_term_counts,
+)
+from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+from .conftest import SF_SMALL
+
+
+def test_chunk_boundaries_and_reconstruction(spark):
+    """Per document: starts are exactly 0, stride, 2·stride, … < n;
+    half-open windows cover [0, n) with the configured overlap; each
+    chunk_text equals the joined token slice (driver-side recompute)."""
+    chunk_tokens, overlap = 16, 4
+    stride = chunk_tokens - overlap
+    d = load_table(spark, SF_SMALL, "documents")
+    rows = chunk_documents(
+        d, chunk_tokens=chunk_tokens, overlap=overlap
+    ).collect()
+    texts = {r.doc_id: r.text for r in d.select("doc_id", "text").collect()}
+
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    assert set(by_doc) == set(texts)  # every doc chunked (none empty)
+    for doc_id, chs in by_doc.items():
+        toks = (texts[doc_id] or "").strip().lower().split()
+        if not toks:
+            toks = [""]  # split('') → [''] on both engines
+        n = len(toks)
+        chs.sort(key=lambda r: r.chunk_id)
+        assert [r.chunk_id for r in chs] == list(range(len(chs)))
+        assert [r.start_tok for r in chs] == [
+            i * stride for i in range(len(chs))
+        ]
+        assert all(r.start_tok < n for r in chs)
+        # next start would be >= n: no missing tail chunk
+        assert len(chs) * stride >= n or len(chs) == (n - 1) // stride + 1
+        for r in chs:
+            assert r.end_tok == min(r.start_tok + chunk_tokens, n)
+            assert r.n_tokens == r.end_tok - r.start_tok
+            assert r.chunk_text == " ".join(toks[r.start_tok : r.end_tok])
+        assert chs[-1].end_tok == n  # full coverage
+        for a, b in zip(chs, chs[1:]):
+            got_overlap = a.end_tok - b.start_tok
+            if a.end_tok == a.start_tok + chunk_tokens:  # full-width chunk
+                assert got_overlap == overlap
+            else:  # truncated non-final chunk: still a positive overlap
+                assert 1 <= got_overlap < overlap
+
+
+def test_chunk_edge_cases(spark):
+    """Empty string (tokenizes to ['']) yields exactly one 1-token
+    chunk; NULL text yields no chunks; a doc shorter than one window
+    yields one short chunk; overlap ≥ chunk_tokens raises."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "alpha beta"), (4, "   ")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in chunk_documents(df, chunk_tokens=16, overlap=4).collect()
+    }
+    assert set(got) == {1, 3, 4}  # NULL dropped
+    assert (got[1].start_tok, got[1].end_tok, got[1].chunk_text) == (0, 1, "")
+    assert (got[3].n_tokens, got[3].chunk_text) == (2, "alpha beta")
+    assert got[4].chunk_text == ""  # whitespace-only trims to ''
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_chunk_term_counts_conserve_tokens(spark):
+    """The sparse TF table conserves the token stream: summed counts
+    per chunk equal the chunk's non-empty token count."""
+    d = load_table(spark, SF_SMALL, "documents").limit(50)
+    ch = chunk_documents(d, chunk_tokens=16, overlap=4)
+    tf = chunk_term_counts(ch)
+    got = {
+        (r.doc_id, r.chunk_id): r.s
+        for r in tf.groupBy("doc_id", "chunk_id")
+        .agg(F.sum("cnt").alias("s"))
+        .collect()
+    }
+    want = {
+        (r.doc_id, r.chunk_id): r.n
+        for r in ch.select(
+            "doc_id",
+            "chunk_id",
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col("chunk_text"))), r"\s+"),
+                    lambda t: F.length(t) > 0,
+                )
+            ).alias("n"),
+        ).collect()
+        if r.n > 0
+    }
+    assert got == want

@@ -6,6 +6,7 @@ tolerance limit behavior."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from stock_data_warehouse_analytics_spark.plans.registry import QUERIES, get_queries
@@ -160,12 +161,15 @@ def test_product_quantization_contract(spark):
     assert again == {s: r.distortion for s, r in rows.items()}
 
 
-def test_bpe_train_merges_matches_python_reference(spark):
+@pytest.mark.parametrize("eow", [None, "</w>"])
+def test_bpe_train_merges_matches_python_reference(spark, eow):
     """Differential check of the relational BPE trainer against a
     driver-side pure-Python reference (same tokenization, same greedy
     leftmost-non-overlapping merge, same (count desc, left, right)
     tie-break) on the sf0.001 corpus — pins the pair counting, the
-    argmax selection AND the fold-merge rewrite round by round."""
+    argmax selection AND the fold-merge rewrite round by round, in
+    BOTH modes: plain character symbols and the subword-nmt
+    end-of-word marker (last character fused with ``</w>``)."""
     from collections import Counter
 
     from stock_data_warehouse_analytics_spark.operators.text_ml import (
@@ -180,7 +184,10 @@ def test_bpe_train_merges_matches_python_reference(spark):
         for w in (r.text or "").strip().lower().split():
             if w:
                 freq[w] += 1
-    vocab = {w: list(w) for w in freq}
+    if eow is None:
+        vocab = {w: list(w) for w in freq}
+    else:
+        vocab = {w: list(w[:-1]) + [w[-1] + eow] for w in freq}
 
     def ref_rounds(n):
         out = []
@@ -209,7 +216,7 @@ def test_bpe_train_merges_matches_python_reference(spark):
         return out
 
     expected = ref_rounds(8)
-    merges, final_vocab = bpe_train_merges(docs, rounds=8)
+    merges, final_vocab = bpe_train_merges(docs, rounds=8, eow=eow)
     got = [
         (r.round, r.left, r.right, r.merged, r.pair_count)
         for r in merges.orderBy("round").collect()

@@ -731,6 +731,33 @@ def test_stream_semantic_admission_equals_batch(spark, tmp_path):
     assert set(got) <= set(want)
 
 
+def test_semantic_banded_fast_parity(spark):
+    """The numpy Arrow-batch signature kernel used by the batch
+    admission twin must be BIT-IDENTICAL to the interpreted fold form
+    used on the streaming hot path — same (vec_id, band, band_val)
+    rows and the same normalized vectors — otherwise the batch twin's
+    oracle exactness (which assumes fold-order dots) is void.  A
+    divergence is only possible when some |plane·v| ≲ 1e-14 (matmul
+    partial-sum order); this pins that no such knife edge exists on
+    the test corpus and guards future kernel edits."""
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+    from stock_data_warehouse_analytics_spark.streaming.admission import (
+        semantic_banded,
+        semantic_banded_fast,
+    )
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    slow = {
+        (r.vec_id, r.band): (r.band_val, tuple(round(x, 12) for x in r.vn))
+        for r in semantic_banded(e).collect()
+    }
+    fast = {
+        (r.vec_id, r.band): (r.band_val, tuple(round(x, 12) for x in r.vn))
+        for r in semantic_banded_fast(e).collect()
+    }
+    assert len(slow) > 0 and slow == fast
+
+
 def test_wav_synth_decode_roundtrip(spark):
     """The WAV codec is REAL: synthesized PCM16 sine clips decode back
     with analytically-predicted stats — RMS ≈ amplitude·32767/√2
