@@ -249,9 +249,34 @@ def grouped_exact_quantiles(
         f"{group_col} {g_type}, _q_label string, _lo long, _hi long, _frac double",
     )
 
+    # Prune to the buckets that CONTAIN a target rank before the sort:
+    # the driver already knows each bucket's [offset, offset+count]
+    # rank span, so only ≤ groups·quantiles·2 buckets (each ~1/n_buckets
+    # of one group) ever get ranked — the other 97% of rows are
+    # eliminated by a literal predicate ahead of the window, cutting
+    # the per-call sort from O(rows) to O(rows/n_buckets · hits).
+    needed_buckets: dict[object, set[int]] = {}
+    for g, _label, lo_r, hi_r, _frac in target_rows:
+        acc2 = 0
+        spans = []
+        for b in sorted(per_group[g]):
+            spans.append((b, acc2, acc2 + per_group[g][b]))
+            acc2 += per_group[g][b]
+        for rank in (lo_r, hi_r):
+            for b, s0, s1 in spans:
+                if s0 < rank <= s1:
+                    needed_buckets.setdefault(g, set()).add(b)
+                    break
+    bpred = F.lit(False)
+    for g, bs in needed_buckets.items():
+        bpred = bpred | (
+            (F.col(group_col) == F.lit(g)) & F.col(_BUCKET).isin(*sorted(bs))
+        )
+
     w = Window.partitionBy(group_col, _BUCKET).orderBy(value_col)
     ranked = (
-        bucketed.withColumn("_rk_local", F.row_number().over(w))
+        bucketed.filter(bpred)
+        .withColumn("_rk_local", F.row_number().over(w))
         .join(F.broadcast(offsets), [group_col, _BUCKET])
         .withColumn("_rk_rank", F.col("_rk_offset") + F.col("_rk_local"))
     )
