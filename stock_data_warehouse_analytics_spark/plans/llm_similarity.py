@@ -22,6 +22,7 @@ from ..operators.similarity import (
     neardup_exact_blocked,
     semantic_dedup,
     semantic_dedup_incremental,
+    semantic_dedup_ivf2,
     topk_bruteforce,
     topk_ivf2,
     topk_ivfpq,
@@ -261,6 +262,32 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         e, threshold=0.97, n_cells=n_cells, max_iter=5, assigned=assigned,
         fit_sample_per_cell=200,
+    ).orderBy("vec_id")
+
+
+@register(
+    "emb_semantic_dedup_ivf2",
+    tags=("llm", "dedup", "embedding", "semdedup", "ivf2"),
+    oracle=None,  # two k-means levels — not SQL-expressible; planted-
+    # dupe parity with the single-level path + determinism pinned by
+    # tests/test_dedup_recall.py::test_semantic_dedup_ivf2_planted
+)
+def emb_semantic_dedup_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup over the TWO-LEVEL quantizer
+    (``operators/similarity.semantic_dedup_ivf2``) — the composition
+    past ~10⁹ vectors where ``emb_semantic_dedup``'s single-level
+    √n-cell table outgrows the driver and routing broadcast: the
+    SemDeDup ε-graph/CC/min-id decision rule unchanged, the pairwise
+    matmul stage bucketed by (cell, sub) so each bucket holds
+    ~n/(k1·k2) members and the level-2 fit runs where the data lives
+    (applyInPandas, never a driver collect).  Reuses the session's
+    cached two-level quantizer (the ``sim_topk_ivf2`` fit).
+    Rows-only; planted-dupe parity vs the single-level path pinned by
+    tests/test_dedup_recall.py::test_semantic_dedup_ivf2_planted,
+    growth curve in PERF.md."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_ivf2(
+        e, threshold=0.97, fitted=ivf2_quantizer(spark, sf_dir)
     ).orderBy("vec_id")
 
 

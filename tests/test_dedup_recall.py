@@ -271,6 +271,52 @@ def test_semantic_dedup_planted_groups(spark):
     assert got1 == got2
 
 
+def test_semantic_dedup_ivf2_planted(spark):
+    """Planted-dupe PARITY between two-level and single-level semantic
+    dedup (VERDICT r4 action #3): the same seeded corpus as
+    test_semantic_dedup_planted_groups — 40 near-orthogonal bases,
+    five groups with two 1e-4 perturbations each — must yield the
+    IDENTICAL (cluster_id, keep) decision table under
+    ``semantic_dedup_ivf2`` (perturbation groups co-locate in the same
+    (cell, sub) bucket, so the documented cross-SUB-cell recall trade
+    cannot bite here), and the run must be deterministic."""
+    import numpy as np
+
+    from stock_data_warehouse_analytics_spark.operators.similarity import (
+        semantic_dedup_ivf2,
+    )
+
+    rng = np.random.default_rng(7)  # same seed as the single-level test
+    dim = 32
+    base = rng.normal(size=(40, dim))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    for i in range(5):
+        for off in (100, 200):
+            pert = base[i] + 1e-4 * rng.normal(size=dim)
+            rows.append((off + i, [float(x) for x in pert]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out1 = semantic_dedup_ivf2(
+        df, threshold=0.97, n_coarse=4, n_sub=2
+    ).orderBy("vec_id")
+    got1 = {r.vec_id: (r.cluster_id, r.keep) for r in out1.collect()}
+
+    for i in range(5):
+        assert got1[i] == (i, True), f"group {i} representative wrong"
+        assert got1[100 + i] == (i, False)
+        assert got1[200 + i] == (i, False)
+    for i in range(5, 40):
+        assert got1[i] == (i, True), f"singleton {i} should survive"
+
+    out2 = semantic_dedup_ivf2(
+        df, threshold=0.97, n_coarse=4, n_sub=2
+    ).orderBy("vec_id")
+    got2 = {r.vec_id: (r.cluster_id, r.keep) for r in out2.collect()}
+    assert got1 == got2
+
+
 def test_semantic_dedup_incremental_planted(spark):
     """Planted cross-batch and within-batch semantic dupes for the
     incremental admission operator: an old corpus of 40 near-orthogonal
