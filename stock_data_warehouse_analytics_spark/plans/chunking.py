@@ -279,3 +279,163 @@ def chunk_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_doc", "q_chunk", "c_doc", "c_chunk", "cosine", "rnk")
         .orderBy("q_doc", "q_chunk", "rnk")
     )
+
+
+# chunk flagged as contaminated iff ≥ this many of its tokens sit
+# inside a verbatim test↔train shared span (the substring-dedup seed
+# width — anything shorter cannot even seed a span)
+CHUNK_BAD_TOKENS = 8
+
+# the two mirrored CTE chains both define `toks`; DuckDB scopes a WITH
+# inside derived-table parentheses (ROUND_NOTES gotcha), so the span
+# chain nests cleanly inside one derived table
+from .llm_dedup import _SQL_SPANS as _SQL_SPANS_CTE  # noqa: E402
+
+_CONTAM_CHUNK_ORACLE = f"""
+WITH {_SQL_CHUNKS},
+sp AS (
+  SELECT * FROM (WITH {_SQL_SPANS_CTE}
+                 SELECT doc_a, doc_b, start_a, start_b, span_tokens
+                 FROM spans)
+),
+tiv AS (
+  SELECT doc_a AS doc, start_a AS s, start_a + span_tokens - 1 AS e
+  FROM sp WHERE doc_a % 2 = 0 AND doc_b % 2 = 1
+  UNION ALL
+  SELECT doc_b, start_b, start_b + span_tokens - 1
+  FROM sp WHERE doc_b % 2 = 0 AND doc_a % 2 = 1
+),
+u AS (
+  SELECT doc, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                  PARTITION BY doc ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM tiv
+),
+u2 AS (
+  SELECT doc, s, e,
+         SUM(brk) OVER (PARTITION BY doc ORDER BY s, e
+                        ROWS UNBOUNDED PRECEDING) AS grp2
+  FROM u
+),
+ui AS (SELECT doc, MIN(s) AS ms, MAX(e) AS me FROM u2 GROUP BY doc, grp2),
+tchunks AS (
+  SELECT doc_id, chunk_id, start_tok, end_tok FROM chunks
+  WHERE doc_id % 2 = 0
+),
+ov AS (
+  SELECT c.doc_id, c.chunk_id,
+         CAST(SUM(GREATEST(0, LEAST(c.end_tok, ui.me)
+                              - GREATEST(c.start_tok + 1, ui.ms) + 1))
+              AS BIGINT) AS bad_tokens
+  FROM tchunks c JOIN ui ON ui.doc = c.doc_id
+  GROUP BY 1, 2
+),
+per_chunk AS (
+  SELECT t.doc_id, t.chunk_id, COALESCE(o.bad_tokens, 0) AS bad_tokens
+  FROM tchunks t LEFT JOIN ov o USING (doc_id, chunk_id)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) FILTER (WHERE bad_tokens >= {CHUNK_BAD_TOKENS})
+            AS BIGINT) AS n_bad_chunks,
+       CAST(SUM(bad_tokens) AS BIGINT) AS bad_token_total,
+       ROUND(CAST(COUNT(*) FILTER (WHERE bad_tokens >= {CHUNK_BAD_TOKENS})
+                  AS DOUBLE) / COUNT(*), 6) AS drop_fraction
+FROM per_chunk
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "contamination_chunk_level",
+    tags=("llm", "chunking", "contamination", "dedup", "rag"),
+    oracle=_CONTAM_CHUNK_ORACLE,
+)
+def contamination_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-LEVEL contamination — the ACTIONABLE grain of eval-hygiene
+    in a RAG/pretraining pipeline: ``contamination_span_level`` says a
+    train doc leaks benchmark text and WHERE; this query says which
+    CHUNKS to drop (the unit a chunked ingest actually deletes, keeping
+    the rest of the doc).  Composition of three existing primitives:
+    the session-cached maximal-span table (``_substring_spans``), the
+    generic interval UNION (``operators/dedup.union_intervals`` — a doc
+    contaminated by many partners must not double-count overlapping
+    spans), and the chunk table — intersected with pure integer
+    arithmetic, so the whole report is oracle-exact.  Per train doc
+    (even doc_id): chunk count, chunks with ≥ {CHUNK_BAD_TOKENS}
+    contaminated tokens, total contaminated tokens across chunks
+    (overlap double-counts tokens shared by two overlapping chunks —
+    it is a per-CHUNK decision metric, not a doc-coverage metric), and
+    the drop fraction.  Scale: spans ≪ corpus, islands ≪ spans; the
+    chunk×island join is co-partitioned on doc_id — one shuffle each
+    side, no quadratic stage."""
+    from ..operators.dedup import union_intervals
+    from .llm_dedup import _substring_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    spans = _substring_spans(spark, sf_dir)
+    t1 = spans.filter(
+        (F.col("doc_a") % 2 == 0) & (F.col("doc_b") % 2 == 1)
+    ).select(
+        F.col("doc_a").alias("doc"),
+        F.col("start_a").alias("s"),
+        (F.col("start_a") + F.col("span_tokens") - 1).alias("e"),
+    )
+    t2 = spans.filter(
+        (F.col("doc_b") % 2 == 0) & (F.col("doc_a") % 2 == 1)
+    ).select(
+        F.col("doc_b").alias("doc"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("span_tokens") - 1).alias("e"),
+    )
+    ui = union_intervals(t1.unionByName(t2), key_cols=["doc"])
+    ch = chunk_documents(
+        d, chunk_tokens=CHUNK_TOKENS, overlap=OVERLAP, keep_text=False
+    ).filter(F.col("doc_id") % 2 == 0)
+    # chunk [start_tok, end_tok) is 0-based half-open; spans/islands
+    # are 1-based inclusive — chunk tokens in 1-based terms are
+    # [start_tok+1, end_tok]
+    ov = (
+        ch.join(ui, ch["doc_id"] == ui["doc"])
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(F.col("end_tok"), F.col("me"))
+                - F.greatest(F.col("start_tok") + 1, F.col("ms"))
+                + 1,
+            ).alias("_ov"),
+        )
+        .groupBy("doc_id", "chunk_id")
+        .agg(F.sum("_ov").cast("long").alias("bad_tokens"))
+    )
+    per_chunk = ch.select("doc_id", "chunk_id").join(
+        ov, ["doc_id", "chunk_id"], "left"
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.coalesce("bad_tokens", F.lit(0)).alias("bad_tokens"),
+    )
+    return (
+        per_chunk.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.count(
+                F.when(F.col("bad_tokens") >= CHUNK_BAD_TOKENS, 1)
+            )
+            .cast("long")
+            .alias("n_bad_chunks"),
+            F.sum("bad_tokens").cast("long").alias("bad_token_total"),
+        )
+        .withColumn(
+            "drop_fraction",
+            F.round(F.col("n_bad_chunks") / F.col("n_chunks"), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
