@@ -141,6 +141,7 @@ def topk_lsh(
     max_hamming: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fast: bool = False,
 ) -> DataFrame:
     """ANN via hyperplane LSH: candidates are corpus vectors whose
     signature is within ``max_hamming`` sign-bits of the query's, then
@@ -149,20 +150,46 @@ def topk_lsh(
     At scale: signatures are computed once at ingest (a narrow column),
     candidate filtering happens before any vector math, and the corpus
     never shuffles — same shape as the brute-force path with an extra
-    cheap integer filter.  Recall is tunable via n_planes/max_hamming."""
+    cheap integer filter.  Recall is tunable via n_planes/max_hamming.
+
+    ``fast=True`` computes signatures with the numpy Arrow-batch
+    kernel (:func:`hyperplane_signatures_fast`) instead of the
+    interpreted fold — use on ROWS-ONLY paths only (a matmul
+    knife-edge sign flip would change the candidate set an oracle
+    hash-compares; survivors are exact-cosine re-ranked either way)."""
     from pyspark.sql import Window
 
-    sig = lambda c: hyperplane_signature(c, dim=dim, n_planes=n_planes)  # noqa: E731
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        normalize(F.col(vec_col)).alias("_qn"),
-        sig(F.col(vec_col)).alias("_qsig"),
-    )
-    c = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        normalize(F.col(vec_col)).alias("_cn"),
-        sig(F.col(vec_col)).alias("_csig"),
-    )
+    if fast:
+        qb = hyperplane_signatures_fast(
+            queries.select(id_col, vec_col),
+            vec_col=vec_col, sig_col="_qsig", dim=dim, n_planes=n_planes,
+        )
+        q = qb.select(
+            F.col(id_col).alias("query_id"),
+            normalize(F.col(vec_col)).alias("_qn"),
+            "_qsig",
+        )
+        cb = hyperplane_signatures_fast(
+            emb.select(id_col, vec_col),
+            vec_col=vec_col, sig_col="_csig", dim=dim, n_planes=n_planes,
+        )
+        c = cb.select(
+            F.col(id_col).alias("neighbor_id"),
+            normalize(F.col(vec_col)).alias("_cn"),
+            "_csig",
+        )
+    else:
+        sig = lambda c: hyperplane_signature(c, dim=dim, n_planes=n_planes)  # noqa: E731
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            normalize(F.col(vec_col)).alias("_qn"),
+            sig(F.col(vec_col)).alias("_qsig"),
+        )
+        c = emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            normalize(F.col(vec_col)).alias("_cn"),
+            sig(F.col(vec_col)).alias("_csig"),
+        )
     ham = F.bit_count(F.col("_qsig").bitwiseXOR(F.col("_csig")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))

@@ -26,6 +26,8 @@ from ..operators.dedup import rowwise_minhash_bands
 __all__ = [
     "admission_matches",
     "streaming_dedup_admission",
+    "chunk_admission_matches",
+    "streaming_chunk_admission",
     "semantic_banded",
     "semantic_banded_fast",
     "semantic_admission_matches",
@@ -92,6 +94,57 @@ def _split_bands(base: DataFrame, *, n_planes: int, bands: int) -> DataFrame:
     return base.select(
         "vec_id", "vn", F.explode(F.array(*band_structs)).alias("bb")
     ).select("vec_id", "vn", "bb.band", "bb.band_val")
+
+
+def chunk_admission_matches(
+    new_docs: DataFrame,
+    static_chunk_index: DataFrame,
+    *,
+    chunk_tokens: int = 16,
+    overlap: int = 4,
+) -> DataFrame:
+    """(doc_id, chunk_id, corpus_doc_id, corpus_chunk_id) CHUNK-grain
+    dedup match events — the chunking twin of :func:`admission_matches`:
+    arriving documents are chunked MAP-SIDE (``chunk_documents`` is
+    tokenize → sequence → posexplode → slice, fully stateless, so it
+    runs unchanged inside a stream), each chunk is md5-fingerprinted,
+    and probed against the static corpus chunk index
+    (chunk_md5 → (corpus_doc_id, corpus_chunk_id)).  Join strategy is
+    left to the optimizer — at scale the index is persisted bucketed
+    by chunk_md5 so each micro-batch joins bucket-locally.  Works
+    identically on a batch or streaming ``new_docs`` frame."""
+    from ..operators.chunking import chunk_documents
+
+    newc = chunk_documents(
+        new_docs, chunk_tokens=chunk_tokens, overlap=overlap, keep_text=True
+    ).select("doc_id", "chunk_id", F.md5("chunk_text").alias("chunk_md5"))
+    return newc.join(static_chunk_index, "chunk_md5").select(
+        "doc_id", "chunk_id", "corpus_doc_id", "corpus_chunk_id"
+    )
+
+
+def streaming_chunk_admission(
+    spark: SparkSession,
+    source_dir: str,
+    static_chunk_index: DataFrame,
+    *,
+    checkpoint_dir: str,
+    out_table: str = "stream_chunk_admission",
+):
+    """True readStream version: json doc stream → map-side chunk +
+    md5 → static index probe → memory sink (append, availableNow)."""
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        source_dir
+    )
+    out = chunk_admission_matches(stream, static_chunk_index)
+    return (
+        out.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def semantic_banded(vecs: DataFrame, *, n_planes: int = 32, bands: int = 4, dim: int = 64) -> DataFrame:

@@ -109,3 +109,50 @@ def test_chunk_term_counts_conserve_tokens(spark):
         if r.n > 0
     }
     assert got == want
+
+
+def test_chunk_ann_lsh_recall(spark):
+    """Substitute check for rows-only ``chunk_ann_lsh_topk``: on the
+    SAME hashed chunk vectors, the LSH top-k must recover a solid
+    fraction of the exact brute-force top-k (recall ≥ 0.5 at these
+    settings — LSH trades recall for the signature prefilter), every
+    returned cosine must equal the brute-force cosine for that pair,
+    and the query is deterministic across two runs."""
+    from stock_data_warehouse_analytics_spark.plans.chunking import (
+        chunk_hashed_vectors,
+        N_QUERY_DOCS,
+        CHUNK_KEY_MUL,
+        TOPK,
+    )
+    from stock_data_warehouse_analytics_spark.operators.similarity import (
+        topk_bruteforce,
+    )
+    from stock_data_warehouse_analytics_spark.plans.registry import QUERIES
+
+    vecs = chunk_hashed_vectors(spark, SF_SMALL).localCheckpoint(eager=True)
+    queries = vecs.filter(F.col("chunk_key") < N_QUERY_DOCS * CHUNK_KEY_MUL)
+    brute = topk_bruteforce(
+        vecs, queries, k=TOPK, id_col="chunk_key"
+    ).collect()
+    exact = {}
+    exact_cos = {}
+    for r in brute:
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+        exact_cos[(r.query_id, r.neighbor_id)] = r.cosine
+
+    got1 = QUERIES["chunk_ann_lsh_topk"].fn(spark, SF_SMALL).collect()
+    got2 = QUERIES["chunk_ann_lsh_topk"].fn(spark, SF_SMALL).collect()
+    assert [tuple(r) for r in got1] == [tuple(r) for r in got2]
+
+    hits = tot = 0
+    for r in got1:
+        if r.neighbor_id in exact.get(r.query_id, set()):
+            hits += 1
+        tot += 1
+        # any pair also present in the brute top-k must agree on cosine
+        if (r.query_id, r.neighbor_id) in exact_cos:
+            assert abs(exact_cos[(r.query_id, r.neighbor_id)] - r.cosine) < 2e-6
+    assert tot > 0
+    assert hits / max(
+        1, sum(len(v) for v in exact.values())
+    ) >= 0.5, (hits, exact)

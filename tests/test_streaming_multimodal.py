@@ -731,6 +731,72 @@ def test_stream_semantic_admission_equals_batch(spark, tmp_path):
     assert set(got) <= set(want)
 
 
+def test_stream_chunk_admission_equals_batch(spark, tmp_path):
+    """The stateless readStream CHUNK admission (map-side chunk + md5 →
+    static chunk-index probe, append mode) must produce match events
+    whose per-doc aggregation equals the registered batch twin's
+    (n_chunks is batch-side only; n_dup_chunks and n_match_events must
+    match exactly) — and docs the batch twin calls clean must produce
+    NO events."""
+    from stock_data_warehouse_analytics_spark.operators.chunking import (
+        chunk_documents,
+    )
+    from stock_data_warehouse_analytics_spark.plans import get_queries
+    from stock_data_warehouse_analytics_spark.plans.chunking import (
+        CHUNK_TOKENS,
+        OVERLAP,
+    )
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+    from stock_data_warehouse_analytics_spark.streaming.admission import (
+        streaming_chunk_admission,
+    )
+
+    d = load_table(spark, SF_SMALL, "documents")
+    src = str(tmp_path / "docs")
+    d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text").coalesce(
+        2
+    ).write.mode("overwrite").json(src)
+    static = chunk_documents(
+        d.filter(F.col("doc_id") % 2 == 0),
+        chunk_tokens=CHUNK_TOKENS,
+        overlap=OVERLAP,
+        keep_text=True,
+    ).select(
+        F.md5("chunk_text").alias("chunk_md5"),
+        F.col("doc_id").alias("corpus_doc_id"),
+        F.col("chunk_id").alias("corpus_chunk_id"),
+    )
+    q = streaming_chunk_admission(
+        spark, src, static, checkpoint_dir=str(tmp_path / "ckpt3")
+    )
+    q.awaitTermination()
+    ev = spark.table("stream_chunk_admission")
+    got = {
+        r.doc_id: (r.nd, r.nm)
+        for r in ev.groupBy("doc_id", "chunk_id")
+        .agg(F.countDistinct("corpus_doc_id").alias("np"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nd"), F.sum("np").alias("nm")
+        )
+        .collect()
+    }
+    want = {
+        r.doc_id: (r.n_dup_chunks, r.n_match_events, r.any_dup)
+        for r in get_queries()["stream_chunk_admission"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert len(want) > 0
+    assert any(v[2] for v in want.values())  # some dupes exist at sf0.001
+    for doc_id, (nd, nm, any_dup) in want.items():
+        if any_dup:
+            assert got.get(doc_id) == (nd, nm), (doc_id, got.get(doc_id))
+        else:
+            assert doc_id not in got
+    assert set(got) <= set(want)
+
+
 def test_semantic_banded_fast_parity(spark):
     """The numpy Arrow-batch signature kernel used by the batch
     admission twin must be BIT-IDENTICAL to the interpreted fold form
