@@ -562,8 +562,13 @@ def chunk_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import hash_int60
 
     d = load_table(spark, sf_dir, "documents")
+    # single-split local scan: fan the map-side chunk+shingle work out
+    # before the explode (at scale the corpus is already multi-split)
     ch = chunk_documents(
-        d, chunk_tokens=CHUNK_TOKENS, overlap=OVERLAP, keep_text=True
+        d.repartition(32, "doc_id"),
+        chunk_tokens=CHUNK_TOKENS,
+        overlap=OVERLAP,
+        keep_text=True,
     )
     sh = ch.select(
         (F.col("doc_id") * CHUNK_KEY_MUL + F.col("chunk_id")).alias(
@@ -615,7 +620,16 @@ def chunk_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     math — identical economics to the learned-embedding path."""
     from ..operators.similarity import topk_lsh
 
-    vecs = chunk_hashed_vectors(spark, sf_dir).localCheckpoint(eager=True)
+    # 8 partitions for the ~25k-row vector table: the two Arrow
+    # (mapInPandas) signature passes and the checkpoint write are
+    # task-overhead-bound at 32 partitions (measured 8.6 → 2.9 s build,
+    # 7.1 → 4.8 s probe); at scale this is a repartition sized to
+    # ~100 MB of vectors per partition, not a constant
+    vecs = (
+        chunk_hashed_vectors(spark, sf_dir)
+        .coalesce(8)
+        .localCheckpoint(eager=True)
+    )
     queries = vecs.filter(
         F.col("chunk_key") < N_QUERY_DOCS * CHUNK_KEY_MUL
     )

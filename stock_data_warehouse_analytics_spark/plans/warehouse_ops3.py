@@ -337,3 +337,47 @@ def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "multimodal_image_png_stats",
+    tags=("llm", "multimodal", "image", "png", "codec"),
+    oracle=None,  # zlib-compressed binary codec round-trip — not
+    # SQL-expressible; the decode is verified analytically (pixel sums
+    # recomputed from the generation rule, all five PNG filters
+    # exercised, corrupt payload quarantines) in
+    # tests/test_streaming_multimodal.py::test_png_synth_decode_roundtrip
+)
+def multimodal_image_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-image codec plumbing: every document synthesized
+    into a genuine zlib-compressed 8-bit truecolor PNG whose scanline
+    filters cycle through all five spec types (None/Sub/Up/Average/
+    Paeth), then decoded back by the pure-stdlib-zlib + numpy parser
+    with per-chunk CRC verification — per-source image stats (count,
+    decode failures, total pixels, mean channel sums).  This upgrades
+    the compressed-format story: PNG now decodes for REAL (it is the
+    format the chart sink writes); only formats needing external
+    codecs (JPEG/mp3/video) keep the strict stub.  Rows-only; the
+    codec loop is closed analytically in tests/
+    test_streaming_multimodal.py::test_png_synth_decode_roundtrip."""
+    from ..operators.multimodal import decode_png, synth_png_blobs
+
+    d = load_table(spark, sf_dir, "documents")
+    # the sf0.1 documents scan is ONE parquet split — repartition so
+    # the ~1.2 ms/image codec work fans out across cores (measured
+    # 6.2 → 1.3 s); at scale the corpus already arrives multi-split
+    stats = decode_png(synth_png_blobs(d.repartition(32, "doc_id")))
+    src = d.select("doc_id", "source")
+    return (
+        stats.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.count(F.when(~F.col("ok"), 1)).alias("n_failed"),
+            F.sum("n_pixels").cast("long").alias("total_pixels"),
+            F.round(F.avg("sum_r"), 2).alias("mean_sum_r"),
+            F.round(F.avg("sum_g"), 2).alias("mean_sum_g"),
+            F.round(F.avg("sum_b"), 2).alias("mean_sum_b"),
+        )
+        .orderBy("source")
+    )
