@@ -637,3 +637,123 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_bucket")
     )
+
+
+@register(
+    "er_part_entities",
+    tags=("join", "fuzzy", "entity-resolution", "graph", "survivorship"),
+    oracle=f"""
+WITH RECURSIVE names AS (
+  SELECT DISTINCT p_name AS name FROM part
+),
+blocked AS (
+  SELECT name, string_split(name, ' ')[-1] AS block FROM names
+),
+pairs AS (
+  SELECT a.name AS na, b.name AS nb
+  FROM blocked a JOIN blocked b
+    ON a.block = b.block AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 3
+),
+sym AS (
+  SELECT na AS a, nb AS b FROM pairs
+  UNION
+  SELECT nb, na FROM pairs
+),
+reach(node, comp) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.a, r.comp FROM sym s JOIN reach r ON r.node = s.b
+),
+assign AS (
+  SELECT node AS name, MIN(comp) AS entity_id FROM reach GROUP BY node
+),
+members AS (
+  SELECT COALESCE(a.entity_id, n.name) AS entity_id, n.name
+  FROM names n LEFT JOIN assign a ON a.name = n.name
+),
+ent AS (
+  SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_names
+  FROM members GROUP BY entity_id
+  HAVING COUNT(*) >= 2
+),
+stats AS (
+  SELECT m.entity_id,
+         CAST(COUNT(*) AS BIGINT) AS n_part_rows,
+         {sql_dsum('p.p_retailprice')} AS total_retail,
+         CAST(COUNT(DISTINCT p.p_brand) AS BIGINT) AS n_brands
+  FROM part p
+  JOIN members m ON m.name = p.p_name
+  JOIN ent ON ent.entity_id = m.entity_id
+  GROUP BY m.entity_id
+)
+SELECT e.entity_id, e.n_names, s.n_part_rows, s.total_retail, s.n_brands
+FROM ent e JOIN stats s ON s.entity_id = e.entity_id
+ORDER BY e.n_names DESC, e.entity_id
+""",
+)
+def er_part_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENTITY-RESOLUTION pipeline — the composition past
+    ``join_fuzzy_name_pairs``'s candidate stage: blocking equi-join →
+    edit-distance verify (1–3) → connected components over the match
+    graph (``operators/graph.py`` min-label propagation, type-agnostic
+    so the node ids are the NAME STRINGS — min = lexicographic
+    canonical) → SURVIVORSHIP: one golden entity per cluster
+    (entity_id = lexicographically-least member name) with member
+    count and the merged part-level stats (row count, exact-decimal
+    retail total, distinct brands).  Clusters of one are left out —
+    the report is the merge-review queue a warehouse steward works.
+    Oracle: the identical pair generation closed by a recursive CTE
+    (the ``dedup_clusters_cc`` pattern) — bit-exact including the
+    decimal totals.  Scale: pairs come only from blocks, CC shuffles
+    ∝ edges, stats are one hash join on the name key."""
+    from ..operators.graph import connected_components
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    blocked = names.withColumn(
+        "block", F.element_at(F.split(F.col("name"), " "), -1)
+    )
+    a = blocked.select(
+        F.col("name").alias("na"), F.col("block").alias("block_a")
+    )
+    b = blocked.select(
+        F.col("name").alias("nb"), F.col("block").alias("block_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("block_a") == F.col("block_b"))
+            & (F.col("na") < F.col("nb")),
+        )
+        .filter(F.levenshtein(F.col("na"), F.col("nb")).between(1, 3))
+        .select("na", "nb")
+    )
+    comp = connected_components(pairs, src="na", dst="nb").select(
+        F.col("node").alias("name"), F.col("comp").alias("entity_id")
+    )
+    members = names.join(comp, "name", "left").select(
+        F.coalesce("entity_id", F.col("name")).alias("entity_id"), "name"
+    )
+    ent = (
+        members.groupBy("entity_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_names"))
+        .filter(F.col("n_names") >= 2)
+    )
+    stats = (
+        part.join(
+            members.withColumnRenamed("name", "p_name"), "p_name"
+        )
+        .join(F.broadcast(ent.select("entity_id")), "entity_id")
+        .groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_part_rows"),
+            dsum("p_retailprice").alias("total_retail"),
+            F.count_distinct("p_brand").cast("long").alias("n_brands"),
+        )
+    )
+    return (
+        ent.join(stats, "entity_id")
+        .select("entity_id", "n_names", "n_part_rows", "total_retail", "n_brands")
+        .orderBy(F.desc("n_names"), "entity_id")
+    )
