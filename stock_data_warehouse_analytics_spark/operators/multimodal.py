@@ -334,146 +334,149 @@ def frame_sample(blobs: DataFrame, *, stride: int = 16, frame_len: int = 4) -> D
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def _paeth(a: int, b: int, c: int) -> int:
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    return b if pb <= pc else c
+def _png_codec():
+    """Build the (encode, decode) pair as NESTED closures so
+    cloudpickle ships them BY VALUE into mapInPandas workers — the
+    driver contract runs from an arbitrary cwd where this package is
+    not importable on Python workers (the ``decode_image`` convention).
+    Module-level ``_png_encode_filtered`` / ``_png_decode`` below are
+    bindings of these closures, used by driver-side tests."""
+    import struct as _struct
+    import zlib as _zlib
 
+    import numpy as _np
 
-def _paeth_vec(a: "np.ndarray", b: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
-    """Channel-vectorized Paeth predictor (spec tie-break order:
-    left, up, up-left) — one numpy op set per pixel instead of a
-    Python call per channel."""
-    p = a + b - c
-    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-    return np.where(
-        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
-    )
+    magic = _PNG_MAGIC
 
+    def paeth_vec(a, b, c):
+        # spec tie-break order: left, up, up-left
+        p = a + b - c
+        pa, pb, pc = _np.abs(p - a), _np.abs(p - b), _np.abs(p - c)
+        return _np.where((pa <= pb) & (pa <= pc), a, _np.where(pb <= pc, b, c))
 
-def _png_encode_filtered(rgb: "np.ndarray", *, filter_of_row) -> bytes:
-    """RGB uint8 (h, w, 3) → PNG with per-row filter
-    ``filter_of_row(y) ∈ {0..4}`` — the encoder half of the codec;
-    exercising every filter type is what makes the decode test real."""
-    import zlib
+    def encode(rgb, *, filter_of_row):
+        """RGB uint8 (h, w, 3) → PNG with per-row filter
+        filter_of_row(y) ∈ {0..4} — exercising every filter type is
+        what makes the decode test real."""
+        h, w, _ = rgb.shape
+        bpp = 3
+        px = rgb.astype(_np.int32)
+        rows = []
+        zero = _np.zeros((w, bpp), dtype=_np.int32)
+        for y in range(h):
+            line = px[y]
+            prev = px[y - 1] if y > 0 else zero
+            f = int(filter_of_row(y)) % 5
+            left = _np.vstack([_np.zeros((1, bpp), _np.int32), line[:-1]])
+            upleft = _np.vstack([_np.zeros((1, bpp), _np.int32), prev[:-1]])
+            if f == 0:
+                out = line
+            elif f == 1:  # Sub
+                out = line - left
+            elif f == 2:  # Up
+                out = line - prev
+            elif f == 3:  # Average
+                out = line - (left + prev) // 2
+            else:  # Paeth (channel-vectorized per pixel row)
+                out = line - paeth_vec(left, prev, upleft)
+            rows.append(bytes([f]) + (out % 256).astype(_np.uint8).tobytes())
+        raw = b"".join(rows)
 
-    h, w, _ = rgb.shape
-    bpp = 3
-    px = rgb.astype(np.int32)
-    rows = []
-    zero = np.zeros((w, bpp), dtype=np.int32)
-    for y in range(h):
-        line = px[y]
-        prev = px[y - 1] if y > 0 else zero
-        f = int(filter_of_row(y)) % 5
-        left = np.vstack([np.zeros((1, bpp), np.int32), line[:-1]])
-        upleft = np.vstack([np.zeros((1, bpp), np.int32), prev[:-1]])
-        if f == 0:
-            out = line
-        elif f == 1:  # Sub
-            out = line - left
-        elif f == 2:  # Up
-            out = line - prev
-        elif f == 3:  # Average
-            out = line - (left + prev) // 2
-        else:  # Paeth (channel-vectorized per pixel row)
-            out = line - _paeth_vec(left, prev, upleft)
-        rows.append(bytes([f]) + (out % 256).astype(np.uint8).tobytes())
-    raw = b"".join(rows)
+        def chunk(typ, data):
+            body = typ + data
+            return (
+                _struct.pack(">I", len(data))
+                + body
+                + _struct.pack(">I", _zlib.crc32(body) & 0xFFFFFFFF)
+            )
 
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        body = typ + data
+        ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
         return (
-            struct.pack(">I", len(data))
-            + body
-            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+            magic
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zlib.compress(raw, 6))
+            + chunk(b"IEND", b"")
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    return (
-        _PNG_MAGIC
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
-        + chunk(b"IEND", b"")
-    )
-
-
-def _png_decode(b: bytes) -> tuple[int, int, "np.ndarray"]:
-    """PNG bytes → (w, h, uint8 (h, w, 3)).  Supports 8-bit truecolor
-    (color type 2), non-interlaced, all five filters; verifies every
-    chunk CRC.  Raises ValueError on anything else — the caller
-    quarantines."""
-    import zlib
-
-    if b[:8] != _PNG_MAGIC:
-        raise ValueError("bad PNG magic")
-    pos, idat, dims = 8, b"", None
-    while pos + 8 <= len(b):
-        ln = int.from_bytes(b[pos : pos + 4], "big")
-        typ = b[pos + 4 : pos + 8]
-        data = b[pos + 8 : pos + 8 + ln]
-        crc = int.from_bytes(b[pos + 8 + ln : pos + 12 + ln], "big")
-        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"CRC mismatch in {typ!r}")
-        if typ == b"IHDR":
-            w, h, depth, ctype, comp, filt, inter = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
-                raise ValueError(
-                    f"unsupported PNG: depth={depth} color={ctype} "
-                    f"interlace={inter} (8-bit truecolor only)"
+    def decode(b):
+        """PNG bytes → (w, h, uint8 (h, w, 3)).  8-bit truecolor
+        (color type 2), non-interlaced, all five filters; verifies
+        every chunk CRC.  Raises ValueError otherwise."""
+        if b[:8] != magic:
+            raise ValueError("bad PNG magic")
+        pos, idat, dims = 8, b"", None
+        while pos + 8 <= len(b):
+            ln = int.from_bytes(b[pos : pos + 4], "big")
+            typ = b[pos + 4 : pos + 8]
+            data = b[pos + 8 : pos + 8 + ln]
+            crc = int.from_bytes(b[pos + 8 + ln : pos + 12 + ln], "big")
+            if _zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"CRC mismatch in {typ!r}")
+            if typ == b"IHDR":
+                w, h, depth, ctype, comp, filt, inter = _struct.unpack(
+                    ">IIBBBBB", data
                 )
-            dims = (w, h)
-        elif typ == b"IDAT":
-            idat += data
-        elif typ == b"IEND":
-            break
-        pos += 12 + ln
-    if dims is None:
-        raise ValueError("no IHDR")
-    w, h = dims
-    raw = zlib.decompress(idat)
-    stride = w * 3
-    if len(raw) != h * (stride + 1):
-        raise ValueError("IDAT size mismatch")
-    out = np.empty((h, w, 3), dtype=np.int32)
-    zero = np.zeros((w, 3), dtype=np.int32)
-    for y in range(h):
-        f = raw[y * (stride + 1)]
-        line = (
-            np.frombuffer(
-                raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)],
-                dtype=np.uint8,
+                if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                    raise ValueError(
+                        f"unsupported PNG: depth={depth} color={ctype} "
+                        f"interlace={inter} (8-bit truecolor only)"
+                    )
+                dims = (w, h)
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln
+        if dims is None:
+            raise ValueError("no IHDR")
+        w, h = dims
+        raw = _zlib.decompress(idat)
+        stride = w * 3
+        if len(raw) != h * (stride + 1):
+            raise ValueError("IDAT size mismatch")
+        out = _np.empty((h, w, 3), dtype=_np.int32)
+        zero = _np.zeros((w, 3), dtype=_np.int32)
+        for y in range(h):
+            f = raw[y * (stride + 1)]
+            line = (
+                _np.frombuffer(
+                    raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)],
+                    dtype=_np.uint8,
+                )
+                .astype(_np.int32)
+                .reshape(w, 3)
             )
-            .astype(np.int32)
-            .reshape(w, 3)
-        )
-        prev = out[y - 1] if y > 0 else zero
-        if f == 0:
-            rec = line
-        elif f == 1:  # Sub: per-channel cumulative sum mod 256
-            rec = np.cumsum(line, axis=0) % 256
-        elif f == 2:  # Up
-            rec = (line + prev) % 256
-        elif f == 3:  # Average: sequential in x
-            rec = np.empty_like(line)
-            for x in range(w):
-                left = rec[x - 1] if x > 0 else np.zeros(3, np.int32)
-                rec[x] = (line[x] + (left + prev[x]) // 2) % 256
-        elif f == 4:  # Paeth: sequential in x, channels vectorized
-            rec = np.empty_like(line)
-            z3 = np.zeros(3, np.int32)
-            for x in range(w):
-                left = rec[x - 1] if x > 0 else z3
-                ul = prev[x - 1] if x > 0 else z3
-                rec[x] = (line[x] + _paeth_vec(left, prev[x], ul)) % 256
-        else:
-            raise ValueError(f"bad filter byte {f}")
-        out[y] = rec
-    return w, h, out.astype(np.uint8)
+            prev = out[y - 1] if y > 0 else zero
+            if f == 0:
+                rec = line
+            elif f == 1:  # Sub: per-channel cumulative sum mod 256
+                rec = _np.cumsum(line, axis=0) % 256
+            elif f == 2:  # Up
+                rec = (line + prev) % 256
+            elif f == 3:  # Average: sequential in x
+                rec = _np.empty_like(line)
+                for x in range(w):
+                    left = rec[x - 1] if x > 0 else _np.zeros(3, _np.int32)
+                    rec[x] = (line[x] + (left + prev[x]) // 2) % 256
+            elif f == 4:  # Paeth: sequential in x, channels vectorized
+                rec = _np.empty_like(line)
+                z3 = _np.zeros(3, _np.int32)
+                for x in range(w):
+                    left = rec[x - 1] if x > 0 else z3
+                    ul = prev[x - 1] if x > 0 else z3
+                    rec[x] = (line[x] + paeth_vec(left, prev[x], ul)) % 256
+            else:
+                raise ValueError(f"bad filter byte {f}")
+            out[y] = rec
+        return w, h, out.astype(_np.uint8)
+
+    return encode, decode
+
+
+# driver-side convenience bindings (tests); the operators below call
+# the factory themselves so worker closures capture the nested
+# functions by value
+_png_encode_filtered, _png_decode = _png_codec()
 
 
 def synth_png_blobs(docs: DataFrame) -> DataFrame:
@@ -485,27 +488,29 @@ def synth_png_blobs(docs: DataFrame) -> DataFrame:
     (16 + doc%9) × (12 + doc%7) — analytically recomputable, which is
     what the closed-loop test pins."""
     out_schema = "doc_id long, png binary"
+    enc, _ = _png_codec()  # nested closure -> cloudpickled by value
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np2
+        import pandas as pd2
+
         for pdf in batches:
             blobs = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 w, h = 16 + d % 9, 12 + d % 7
-                xs = np.arange(w)[None, :, None]
-                ys = np.arange(h)[:, None, None]
-                rgb = np.concatenate(
+                xs = np2.arange(w)[None, :, None]
+                ys = np2.arange(h)[:, None, None]
+                rgb = np2.concatenate(
                     [
                         (7 * xs + d) % 256 + 0 * ys,
                         (5 * ys + 2 * d) % 256 + 0 * xs,
                         (xs + ys) % 256,
                     ],
                     axis=2,
-                ).astype(np.uint8)
-                blobs.append(
-                    _png_encode_filtered(rgb, filter_of_row=lambda y, d=d: y + d)
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "png": blobs})
+                ).astype(np2.uint8)
+                blobs.append(enc(rgb, filter_of_row=lambda y, d=d: y + d))
+            yield pd2.DataFrame({"doc_id": pdf["doc_id"], "png": blobs})
 
     return docs.select("doc_id").mapInPandas(synth, schema=out_schema)
 
@@ -519,7 +524,12 @@ def decode_png(blobs: DataFrame, *, png_col: str = "png") -> DataFrame:
         "sum_r long, sum_g long, sum_b long, err string"
     )
 
+    _, dec = _png_codec()  # nested closure -> cloudpickled by value
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np2
+        import pandas as pd2
+
         for pdf in batches:
             rows = {k: [] for k in (
                 "doc_id", "ok", "width", "height", "n_pixels",
@@ -528,8 +538,8 @@ def decode_png(blobs: DataFrame, *, png_col: str = "png") -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf[png_col]):
                 rows["doc_id"].append(doc_id)
                 try:
-                    w, h, px = _png_decode(bytes(payload))
-                    sums = px.astype(np.int64).sum(axis=(0, 1))
+                    w, h, px = dec(bytes(payload))
+                    sums = px.astype(np2.int64).sum(axis=(0, 1))
                     rows["ok"].append(True)
                     rows["width"].append(w)
                     rows["height"].append(h)
@@ -544,7 +554,7 @@ def decode_png(blobs: DataFrame, *, png_col: str = "png") -> DataFrame:
                               "sum_r", "sum_g", "sum_b"):
                         rows[k].append(None)
                     rows["err"].append(str(exc)[:200])
-            yield pd.DataFrame(rows)
+            yield pd2.DataFrame(rows)
 
     return blobs.mapInPandas(decode, schema=out_schema)
 
