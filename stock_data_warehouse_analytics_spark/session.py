@@ -47,7 +47,64 @@ def tune_for_engine(spark: SparkSession) -> SparkSession:
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    _ship_package(spark)
     return spark
+
+
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python WORKERS regardless of the
+    driver's cwd: worker-side closures are written to be cloudpickled
+    by value (nested functions), but one by-reference pickle slipping
+    through (a module-level helper captured in a closure) would fail
+    on an externally provided session whose workers don't have the
+    repo on PYTHONPATH.  Shipping a zip via ``addPyFile`` makes that
+    failure mode impossible.  Idempotent per session; best-effort (a
+    cluster with a read-only tmp just keeps the by-value discipline)."""
+    key = id(spark)
+    if key in _SHIPPED:
+        return
+    try:
+        import tempfile
+        import zipfile
+
+        import hashlib
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        pkg_name = os.path.basename(pkg_dir)
+        # content-addressed zip name: a stale zip from an older build
+        # must never shadow current sources on the workers
+        hasher = hashlib.md5()
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    st = os.stat(full)
+                    hasher.update(
+                        f"{os.path.relpath(full, pkg_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
+                    )
+        zpath = os.path.join(
+            tempfile.gettempdir(),
+            f"{pkg_name}_pyfiles_{hasher.hexdigest()[:12]}.zip",
+        )
+        if not os.path.exists(zpath):
+            tmp = zpath + ".tmp"
+            with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+                for root, _dirs, files in os.walk(pkg_dir):
+                    for fn in files:
+                        if fn.endswith(".py"):
+                            full = os.path.join(root, fn)
+                            rel = os.path.join(
+                                pkg_name, os.path.relpath(full, pkg_dir)
+                            )
+                            zf.write(full, rel)
+            os.replace(tmp, zpath)
+        spark.sparkContext.addPyFile(zpath)
+        _SHIPPED.add(key)
+    except Exception:  # noqa: BLE001 — defensive shipping only
+        pass
 
 
 def get_spark(
