@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import weakref
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -241,6 +241,91 @@ def text_bpe_encode_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum("n_chars") / F.sum("n_symbols"), 6
             ).alias("chars_per_symbol"),
+        )
+        .orderBy("source")
+    )
+
+
+def trained_bpe_half(spark: SparkSession, sf_dir: str):
+    """(merges_df, vocab) trained on the EVEN-doc_id half only — the
+    'existing tokenizer' of the incremental-encoding query.  Cached
+    per (session, sf_dir) under a distinct key."""
+    per_session = _BPE_CACHE.setdefault(spark, {})
+    key = sf_dir + "#even"
+    if key not in per_session:
+        d = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 2 == 0
+        )
+        per_session[key] = bpe_train_merges(d, rounds=10)
+    return per_session[key]
+
+
+VOCAB_KEEP = 16  # finite-vocab cutoff (the corpus vocabulary is ~31
+# words — 16 keeps roughly half, so the OOV path is genuinely hot)
+
+
+@register(
+    "text_bpe_encode_incremental",
+    tags=("llm", "text", "bpe", "tokenizer", "oov", "incremental"),
+    oracle=None,  # depends on the iteratively-trained merge table; the
+    # trainer is differential-tested word-for-word and this query's
+    # OOV accounting + conservation invariants are pinned by
+    # tests/test_iterative_ops.py::test_bpe_encode_incremental_oov
+)
+def text_bpe_encode_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL BPE encoding — the production path
+    ``text_bpe_encode_cost`` only gestures at: the vocabulary is
+    trained on the EVEN-doc_id half (the 'yesterday' corpus,
+    session-cached like the IVF quantizer), then the ODD half — text
+    the tokenizer never saw — is encoded against it.  Words absent
+    from the trained vocab are OOV: they fall back to character-level
+    encoding (len(word) symbols — exactly what a BPE tokenizer does
+    to a never-seen word before any merges apply).  Per-source
+    report: whitespace tokens, BPE symbols, OOV tokens and rate, and
+    compression (symbols per token) — the drift signal a production
+    pipeline watches to decide when to RETRAIN the tokenizer.
+    Rows-only; OOV accounting + conservation pinned by
+    tests/test_iterative_ops.py::test_bpe_encode_incremental_oov.
+    Scale: vocab is Heaps-bounded → broadcast join against the
+    exploded token stream, one corpus scan, no data-sized shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    _, vocab = trained_bpe_half(spark, sf_dir)
+    # FINITE tokenizer vocabulary: production tokenizers keep a fixed
+    # word list; model that with the top-VOCAB_KEEP words by training
+    # frequency (deterministic tie-break on the word) — everything
+    # rarer is OOV even if it appeared in training
+    w_rank = Window.orderBy(F.desc("freq"), "w")
+    costs = (
+        vocab.withColumn("_r", F.row_number().over(w_rank))
+        .filter(F.col("_r") <= VOCAB_KEEP)
+        .select("w", F.size("syms").alias("n_syms"))
+    )
+    toks = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") > 0)
+    )
+    enc = toks.join(F.broadcast(costs), "w", "left")
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ws_tokens"),
+            F.sum(F.coalesce(F.col("n_syms"), F.length("w")))
+            .cast("long")
+            .alias("bpe_symbols"),
+            F.count(F.when(F.col("n_syms").isNull(), 1))
+            .cast("long")
+            .alias("oov_tokens"),
+            F.round(
+                F.count(F.when(F.col("n_syms").isNull(), 1))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+            F.round(
+                F.sum(F.coalesce(F.col("n_syms"), F.length("w")))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("symbols_per_token"),
         )
         .orderBy("source")
     )

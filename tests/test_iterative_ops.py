@@ -368,3 +368,62 @@ def test_bpe_fold_merge_adversarial_overlaps(spark):
             assert list(row[f"m{i}"]) == greedy(row.w, l, r), (
                 row.w, (l, r), list(row[f"m{i}"]),
             )
+
+
+def test_bpe_encode_incremental_oov(spark):
+    """Substitute check for rows-only ``text_bpe_encode_incremental``:
+    (a) OOV accounting is exact — the reported oov_tokens per source
+    equals an independent count of odd-half token occurrences whose
+    word is absent from the even-half vocabulary; (b) conservation —
+    ws_tokens match an independent plain-expression count; (c) BPE
+    algebra — known words contribute 1 ≤ n_syms ≤ len(word) and OOV
+    words exactly len(word), so ws_tokens ≤ bpe_symbols ≤ chars."""
+    from pyspark.sql import functions as F
+
+    from stock_data_warehouse_analytics_spark.functions.text import tokens
+    from stock_data_warehouse_analytics_spark.plans.tokenizer import (
+        trained_bpe_half,
+    )
+
+    rows = {
+        r.source: r
+        for r in QUERIES["text_bpe_encode_incremental"].fn(spark, SF_SMALL).collect()
+    }
+    assert rows, "empty report"
+
+    from stock_data_warehouse_analytics_spark.plans.tokenizer import (
+        VOCAB_KEEP,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    _, vocab = trained_bpe_half(spark, SF_SMALL)
+    ranked = sorted(
+        ((r.freq, r.w) for r in vocab.select("w", "freq").collect()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    vocab_words = {w for _f, w in ranked[:VOCAB_KEEP]}
+    tok = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") > 0)
+        .collect()
+    )
+    import collections
+
+    want_tokens: collections.Counter = collections.Counter()
+    want_oov: collections.Counter = collections.Counter()
+    want_chars: collections.Counter = collections.Counter()
+    for r in tok:
+        want_tokens[r.source] += 1
+        want_chars[r.source] += len(r.w)
+        if r.w not in vocab_words:
+            want_oov[r.source] += 1
+
+    assert set(rows) == set(want_tokens)
+    for src, r in rows.items():
+        assert r.ws_tokens == want_tokens[src]
+        assert r.oov_tokens == want_oov[src], (src, r.oov_tokens, want_oov[src])
+        assert r.ws_tokens <= r.bpe_symbols <= want_chars[src]
+    # the odd half must actually contain unseen words, or the query
+    # proves nothing
+    assert sum(want_oov.values()) > 0

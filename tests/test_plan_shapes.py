@@ -213,6 +213,11 @@ _BOUNDED_SINGLE_PARTITION = {
     # dimension/report-sized inputs, partial aggregation upstream
     "dq_benford_audit",
     "olap_share_of_parent",
+    # top-K vocab cutoff: the unpartitioned row_number runs over the
+    # Heaps-bounded word-frequency table (≪ corpus; ~31 words here,
+    # ~10^6 at web scale — a tokenizer vocab fits one partition by
+    # definition), partial-agg word counts upstream
+    "text_bpe_encode_incremental",
 }
 
 

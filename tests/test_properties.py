@@ -364,3 +364,34 @@ def test_union_intervals_matches_sweep_line(spark, ivs):
     )
     want = _py_union_intervals([(s, s + ln) for s, ln in ivs])
     assert got == want, (ivs, got, want)
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_codec_roundtrip_property(w, h, seed):
+    """PNG codec property: ANY uint8 RGB image round-trips exactly
+    under ANY per-row filter assignment (driver-side — the codec is a
+    pure function; the Spark plumbing is covered by the closed-loop
+    test).  Filters are drawn per row from the same seed, so all five
+    filter types and their interactions with random content are
+    exercised across examples."""
+    import numpy as np
+
+    from stock_data_warehouse_analytics_spark.operators.multimodal import (
+        _png_decode,
+        _png_encode_filtered,
+    )
+
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    filters = rng.integers(0, 5, h)
+    blob = _png_encode_filtered(
+        rgb, filter_of_row=lambda y: int(filters[y])
+    )
+    w2, h2, out = _png_decode(blob)
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(out, rgb)
