@@ -59,9 +59,12 @@ def chunk_documents(
     Map-only: tokenize → ``posexplode(sequence(0, n−1, stride))`` →
     slice.  No shuffle, no Python; the chunk table inherits the input's
     partitioning."""
-    if overlap >= chunk_tokens:
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens ({chunk_tokens}) must be >= 1")
+    if not 0 <= overlap < chunk_tokens:
         raise ValueError(
-            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
+            f"overlap ({overlap}) must be in [0, chunk_tokens) — a "
+            f"negative overlap would leave tokens covered by no chunk"
         )
     stride = chunk_tokens - overlap
     base = docs.select(

@@ -268,9 +268,13 @@ def _hyperplane_sigs_norms(
         [_plane(dim, p) for p in range(n_planes)], dtype=_np.float64
     )
     weights = (1 << _np.arange(n_planes)).astype(_np.int64)
-    id_name = [f.name for f in df.schema.fields if f.name != vec_col][0]
+    id_field = [f for f in df.schema.fields if f.name != vec_col][0]
+    id_name = id_field.name
+    # carry the id column's REAL type (string/int/long keys all work,
+    # matching the fast=False path's behavior)
     out_schema = (
-        f"{id_name} long, {vn_col} array<double>, {sig_col} long"
+        f"{id_name} {id_field.dataType.simpleString()}, "
+        f"{vn_col} array<double>, {sig_col} long"
     )
 
     def kernel(batches):

@@ -507,16 +507,21 @@ def stream_chunk_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_id").alias("corpus_chunk_id"),
     )
     arriving = d.filter(F.col("doc_id") % 2 == 1)
-    events = chunk_admission_matches(
-        arriving, corpus_idx, chunk_tokens=CHUNK_TOKENS, overlap=OVERLAP
-    )
+    # chunk the arriving half ONCE; both the probe side and the
+    # denominator derive from this frame (the streaming path's
+    # chunk_admission_matches re-chunks internally because a stream
+    # has no second pass — here Catalyst would otherwise evaluate two
+    # independent chunk_documents subtrees; stream ≡ batch is pinned
+    # by the parity test either way)
+    newc = chunk_documents(
+        arriving, chunk_tokens=CHUNK_TOKENS, overlap=OVERLAP, keep_text=True
+    ).select("doc_id", "chunk_id", F.md5("chunk_text").alias("chunk_md5"))
     hits = (
-        events.groupBy("doc_id", "chunk_id")
+        newc.join(corpus_idx, "chunk_md5")
+        .groupBy("doc_id", "chunk_id")
         .agg(F.count_distinct("corpus_doc_id").cast("long").alias("n_partners"))
     )
-    all_chunks = chunk_documents(
-        arriving, chunk_tokens=CHUNK_TOKENS, overlap=OVERLAP, keep_text=False
-    ).select("doc_id", "chunk_id")
+    all_chunks = newc.select("doc_id", "chunk_id")
     return (
         all_chunks.join(hits, ["doc_id", "chunk_id"], "left")
         .groupBy("doc_id")

@@ -15,6 +15,7 @@ centralize the configs that matter at 100 TB:
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -51,7 +52,10 @@ def tune_for_engine(spark: SparkSession) -> SparkSession:
     return spark
 
 
-_SHIPPED: set[int] = set()
+# weak so (a) entries die with their session and (b) a NEW session
+# allocated at a garbage-collected session's address is never
+# mistaken for an already-shipped one (the id()-in-a-set bug)
+_SHIPPED: "weakref.WeakSet" = weakref.WeakSet()
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -63,14 +67,12 @@ def _ship_package(spark: SparkSession) -> None:
     repo on PYTHONPATH.  Shipping a zip via ``addPyFile`` makes that
     failure mode impossible.  Idempotent per session; best-effort (a
     cluster with a read-only tmp just keeps the by-value discipline)."""
-    key = id(spark)
-    if key in _SHIPPED:
+    if spark in _SHIPPED:
         return
     try:
+        import hashlib
         import tempfile
         import zipfile
-
-        import hashlib
 
         pkg_dir = os.path.dirname(os.path.abspath(__file__))
         pkg_name = os.path.basename(pkg_dir)
@@ -102,7 +104,7 @@ def _ship_package(spark: SparkSession) -> None:
                             zf.write(full, rel)
             os.replace(tmp, zpath)
         spark.sparkContext.addPyFile(zpath)
-        _SHIPPED.add(key)
+        _SHIPPED.add(spark)
     except Exception:  # noqa: BLE001 — defensive shipping only
         pass
 

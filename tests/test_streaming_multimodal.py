@@ -797,22 +797,33 @@ def test_stream_chunk_admission_equals_batch(spark, tmp_path):
     assert set(got) <= set(want)
 
 
-def test_semantic_banded_fast_parity(spark):
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_MEDIUM])
+def test_semantic_banded_fast_parity(spark, sf_dir):
     """The numpy Arrow-batch signature kernel used by the batch
     admission twin must be BIT-IDENTICAL to the interpreted fold form
     used on the streaming hot path — same (vec_id, band, band_val)
     rows and the same normalized vectors — otherwise the batch twin's
     oracle exactness (which assumes fold-order dots) is void.  A
     divergence is only possible when some |plane·v| ≲ 1e-14 (matmul
-    partial-sum order); this pins that no such knife edge exists on
-    the test corpus and guards future kernel edits."""
+    partial-sum order); checked at BOTH sf0.001 and the driver's
+    compare scale sf0.01, PLUS a direct margin audit: the smallest
+    |plane·v| over every (vector, plane) pair must sit orders of
+    magnitude above the knife edge, PROVING no sign bit can flip on
+    this corpus under any summation order."""
+    import hashlib
+
+    import numpy as np
+
+    from stock_data_warehouse_analytics_spark.operators.similarity import (
+        _plane,
+    )
     from stock_data_warehouse_analytics_spark.sources.tables import load_table
     from stock_data_warehouse_analytics_spark.streaming.admission import (
         semantic_banded,
         semantic_banded_fast,
     )
 
-    e = load_table(spark, SF_SMALL, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings")
     slow = {
         (r.vec_id, r.band): (r.band_val, tuple(round(x, 12) for x in r.vn))
         for r in semantic_banded(e).collect()
@@ -822,6 +833,18 @@ def test_semantic_banded_fast_parity(spark):
         for r in semantic_banded_fast(e).collect()
     }
     assert len(slow) > 0 and slow == fast
+
+    # knife-edge margin audit (driver-side numpy over the raw vectors)
+    X = np.array(
+        [r.embedding for r in e.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    P = np.array([_plane(64, p) for p in range(32)], dtype=np.float64)
+    min_abs = float(np.abs(X @ P.T).min())
+    assert min_abs > 1e-8, (
+        f"knife-edge margin {min_abs} too small — a summation-order "
+        "sign flip between fold and matmul becomes possible"
+    )
 
 
 def test_wav_synth_decode_roundtrip(spark):
