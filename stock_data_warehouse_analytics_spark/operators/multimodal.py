@@ -747,3 +747,133 @@ def wav_spectral_features(
             yield pd.DataFrame(out)
 
     return blobs.mapInPandas(feats, schema=out_schema)
+
+
+# ------------------------------------------- perceptual-hash image dedup
+
+def synth_png_group_blobs(docs: DataFrame, *, group: int = 4) -> DataFrame:
+    """Deterministic NEAR-DUPLICATE image families: docs in the same
+    ``doc_id // group`` quad render the same md5-derived 8×8 block
+    pattern (16×16 px, each 2×2 block solid 0 or 255 — small enough
+    that the ~4.6 ms/image pure-Python filter reversal stays off the
+    bench critical path), with the k-th
+    member (k = doc_id % group) flipping exactly k blocks — so
+    within-family aHash hamming is exactly k and cross-family hamming
+    is ~32 (independent md5 bits).  The analytic contract the planted
+    recall test pins (tests/test_streaming_multimodal.py::
+    test_image_phash_planted_neardups)."""
+    out_schema = "doc_id long, png binary"
+    enc, _ = _png_codec()  # nested closure -> cloudpickled by value
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import numpy as np2
+        import pandas as pd2
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = d // group
+                digest = hashlib.md5(f"imgfam:{base}".encode()).digest()
+                bits = np2.unpackbits(
+                    np2.frombuffer(digest, dtype=np2.uint8)
+                )[:64].copy()
+                for k in range(d % group):  # flip exactly k blocks
+                    bits[(7 * k + 3) % 64] ^= 1
+                blocks = bits.reshape(8, 8).astype(np2.uint8) * 255
+                gray = np2.kron(blocks, np2.ones((2, 2), np2.uint8))
+                rgb = np2.repeat(gray[:, :, None], 3, axis=2)
+                blobs.append(enc(rgb, filter_of_row=lambda y, d=d: y + d))
+            yield pd2.DataFrame({"doc_id": pdf["doc_id"], "png": blobs})
+
+    return docs.select("doc_id").mapInPandas(synth, schema=out_schema)
+
+
+def image_ahash(blobs: DataFrame, *, png_col: str = "png") -> DataFrame:
+    """PNG → 64-bit AVERAGE perceptual hash (aHash): decode, grayscale
+    ((r+g+b)//3), block-mean downsample to 8×8 (cropping to block
+    multiples), bit = cell mean > global mean of the 64 cells.  The
+    standard cheap near-dup image signature — brightness-shift
+    invariant, packable into one BIGINT so the downstream candidate
+    join is the same banded-hamming shape as SimHash text dedup.
+    Quarantine-don't-crash: corrupt payloads yield ok=False."""
+    out_schema = "doc_id long, ok boolean, ahash long, err string"
+    _, dec = _png_codec()  # nested closure -> cloudpickled by value
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np2
+        import pandas as pd2
+
+        for pdf in batches:
+            rows = {"doc_id": [], "ok": [], "ahash": [], "err": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[png_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    w, h, px = dec(bytes(payload))
+                    gray = px.astype(np2.int64).sum(axis=2) // 3
+                    bh, bw = h // 8, w // 8
+                    if bh == 0 or bw == 0:
+                        raise ValueError(f"image {w}x{h} below 8x8")
+                    cells = (
+                        gray[: bh * 8, : bw * 8]
+                        .reshape(8, bh, 8, bw)
+                        .mean(axis=(1, 3))
+                    )
+                    bits = (cells > cells.mean()).flatten()
+                    val = 0
+                    for i, b in enumerate(bits):
+                        if b:
+                            val |= 1 << i
+                    if val >= 1 << 63:  # two's-complement into BIGINT
+                        val -= 1 << 64
+                    rows["ok"].append(True)
+                    rows["ahash"].append(val)
+                    rows["err"].append(None)
+                except Exception as exc:  # noqa: BLE001 — quarantine
+                    rows["ok"].append(False)
+                    rows["ahash"].append(None)
+                    rows["err"].append(str(exc)[:200])
+            yield pd2.DataFrame(rows)
+
+    return blobs.mapInPandas(hash_batch, schema=out_schema)
+
+
+def ahash_near_pairs(
+    hashes: DataFrame, *, max_hamming: int = 8, bands: int = 4
+) -> DataFrame:
+    """Banded hamming candidate join over 64-bit perceptual hashes —
+    the ``simhash_near_pairs`` plan shape (explode into ``bands``
+    16-bit band keys, bucket equi-join, exact ``bit_count(xor)``
+    verify), with the same pigeonhole recall guarantee: hamming ≤
+    bands−1 pairs MUST share a band; beyond that recall is approximate
+    (measured in the planted test).  Never an all-pairs product."""
+    bits = 64
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = hashes.filter(F.col("ok")).select("doc_id", F.col("ahash").alias("sh"))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("sh"), b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_val"),
+        )
+        for b in range(bands)
+    ]
+    banded = sh.select(
+        "doc_id", "sh", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "sh", "bb.band", "bb.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(b, on=["band", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .exact import dcorr, sql_dcorr
 from .registry import register
 
 _GAP_US = 6 * 3600 * 1_000_000
@@ -179,3 +180,81 @@ def olap_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+_ACF_MAX_LAG = 5
+
+
+@register(
+    "events_autocorrelation",
+    tags=("behavioral", "timeseries", "acf", "corr"),
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, day
+),
+lags AS (SELECT unnest(generate_series(1, {_ACF_MAX_LAG}))::INT AS lag),
+paired AS (
+  SELECT a.event_type, l.lag, a.cnt AS x, b.cnt AS y
+  FROM daily a
+  CROSS JOIN lags l
+  JOIN daily b ON b.event_type = a.event_type AND b.day = a.day + l.lag
+)
+SELECT event_type, lag,
+       COUNT(*) AS n_pairs,
+       {sql_dcorr("x", "y")} AS acf
+FROM paired
+GROUP BY event_type, lag
+ORDER BY event_type, lag
+""",
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION function (lags 1-5) of the daily
+    event-count series per event type — the stationarity / seasonality
+    diagnostic behind every forecasting model choice (the reference's
+    time-series toolkit stops at rolling stats; ACF is its natural
+    completion).  Scale shape: the raw corpus collapses to the bounded
+    (type × day) daily table in ONE grouped pass; lagged pairs come
+    from a calendar-arithmetic self-equi-join on (type, day + lag) —
+    no unbounded window, no cross product (the 5-row lag spine is a
+    broadcast).  Gaps in the calendar simply produce no pair (pairwise-
+    complete semantics, like ``F.corr``).  Pearson r from exact decimal
+    moments (``plans/exact.dcorr``): integer counts → exact sums; the
+    final sqrt/divide is IEEE-correctly-rounded on both engines, so the
+    result hash-compares bit-for-bit, same contract as
+    ``win_rolling_corr_daily``."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (
+                F.col("b.day")
+                == F.date_add(F.col("a.day"), F.col("lag"))
+            ),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            "lag",
+            F.col("a.cnt").alias("x"),
+            F.col("b.cnt").alias("y"),
+        )
+    )
+    return (
+        paired.groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            dcorr("x", "y").alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
+

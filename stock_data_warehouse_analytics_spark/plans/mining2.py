@@ -357,3 +357,127 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "eval_pr_curve",
+    tags=("mining", "eval", "precision-recall", "threshold"),
+    oracle=f"""
+WITH scored AS (
+  SELECT {_SQL_QUALITY} AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+grp AS (
+  SELECT CAST(ROUND(score * 1000000, 0) AS BIGINT) AS score_micro,
+         CAST(SUM(y) AS BIGINT) AS n_pos_s,
+         COUNT(*) AS n_s
+  FROM scored GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_pos_s) AS BIGINT) AS n_pos,
+         CAST(SUM(n_s) AS BIGINT) AS n
+  FROM grp
+),
+thr AS (SELECT unnest(generate_series(0, 9)) AS t10),
+pred AS (
+  SELECT t.t10,
+         CAST(COALESCE(SUM(g.n_pos_s) FILTER (
+              WHERE g.score_micro >= t.t10 * 100000), 0) AS BIGINT) AS tp,
+         CAST(COALESCE(SUM(g.n_s - g.n_pos_s) FILTER (
+              WHERE g.score_micro >= t.t10 * 100000), 0) AS BIGINT) AS fp
+  FROM thr t CROSS JOIN grp g
+  GROUP BY t.t10
+)
+SELECT p.t10 AS threshold_decile, p.tp, p.fp,
+       (tot.n_pos - p.tp) AS fn,
+       (tot.n - tot.n_pos - p.fp) AS tn,
+       CASE WHEN p.tp + p.fp > 0
+            THEN ROUND(p.tp::DOUBLE / (p.tp + p.fp), 6) END AS precision,
+       ROUND(p.tp::DOUBLE / tot.n_pos, 6) AS recall,
+       CASE WHEN 2 * p.tp + p.fp + (tot.n_pos - p.tp) > 0
+            THEN ROUND(2 * p.tp::DOUBLE
+                       / (2 * p.tp + p.fp + (tot.n_pos - p.tp)), 6)
+       END AS f1
+FROM pred p CROSS JOIN tot
+ORDER BY threshold_decile
+""",
+)
+def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRECISION/RECALL/F1 at the ten decile thresholds of the
+    quality-score classifier (label: lang=='en') — the threshold-sweep
+    companion to ``eval_auc_rank_sum`` (ranking quality) and
+    ``eval_calibration_bins`` (probability faithfulness): the table a
+    team reads to PICK the operating threshold.  Scale-correct
+    formulation: the corpus collapses once to per-score groups in
+    integer micro-units (bounded by the round-6 score domain,
+    ≤ 10⁶+1 rows — the ``eval_auc_rank_sum`` bound), and the 10-row
+    threshold spine sweeps THAT table, never the corpus; confusion
+    cells stay INTEGER until the two final divisions.  The micro-unit
+    comparison (``score_micro >= t·100000``) avoids the float-boundary
+    hazard of comparing round-6 doubles against k/10 literals —
+    same ×10⁶ route as ``eval_calibration_bins``'s mean."""
+    from ..functions.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        F.round(quality_score(F.col("text")), 6).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    grp = scored.groupBy(
+        F.round(F.col("score") * 1_000_000, 0)
+        .cast("long")
+        .alias("score_micro")
+    ).agg(
+        F.sum("y").cast("long").alias("n_pos_s"),
+        F.count(F.lit(1)).alias("n_s"),
+    )
+    tot = grp.agg(
+        F.sum("n_pos_s").cast("long").alias("n_pos"),
+        F.sum("n_s").cast("long").alias("n"),
+    )
+    thr = spark.range(0, 10).select(F.col("id").alias("t10"))
+    hit = F.col("score_micro") >= F.col("t10") * 100_000
+    pred = (
+        grp.crossJoin(F.broadcast(thr))
+        .groupBy("t10")
+        .agg(
+            F.coalesce(F.sum(F.when(hit, F.col("n_pos_s"))), F.lit(0))
+            .cast("long")
+            .alias("tp"),
+            F.coalesce(
+                F.sum(F.when(hit, F.col("n_s") - F.col("n_pos_s"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("fp"),
+        )
+    )
+    fn = F.col("n_pos") - F.col("tp")
+    return (
+        pred.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("t10").alias("threshold_decile"),
+            "tp",
+            "fp",
+            fn.alias("fn"),
+            (F.col("n") - F.col("n_pos") - F.col("fp")).alias("tn"),
+            F.when(
+                F.col("tp") + F.col("fp") > 0,
+                F.round(
+                    F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6
+                ),
+            ).alias("precision"),
+            F.round(F.col("tp").cast("double") / F.col("n_pos"), 6).alias(
+                "recall"
+            ),
+            F.when(
+                2 * F.col("tp") + F.col("fp") + fn > 0,
+                F.round(
+                    2 * F.col("tp").cast("double")
+                    / (2 * F.col("tp") + F.col("fp") + fn),
+                    6,
+                ),
+            ).alias("f1"),
+        )
+        .orderBy("threshold_decile")
+    )

@@ -381,3 +381,46 @@ def multimodal_image_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "multimodal_image_phash_dedup",
+    tags=("llm", "multimodal", "image", "dedup", "phash", "ann"),
+    oracle=None,  # PNG decode + perceptual hashing — not SQL-
+    # expressible; planted near-dup families are verified exactly
+    # (within-family pairs found at their analytic hamming, zero
+    # cross-family pairs) in tests/test_streaming_multimodal.py::
+    # test_image_phash_planted_neardups
+)
+def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection — the multimodal face of the
+    dedup family: every document synthesized into a real PNG (families
+    of ``doc_id // 4`` share a block pattern, members differ by exactly
+    ``doc_id % 4`` flipped blocks — ``synth_png_group_blobs``), decoded
+    and reduced to a 64-bit AVERAGE perceptual hash (grayscale → 8×8
+    block means → above-mean bits, ``image_ahash``), then paired by the
+    SAME banded-hamming candidate join as SimHash text dedup (4×16-bit
+    bands, pigeonhole-complete to hamming 3, exact bit_count verify
+    ≤ 8).  Scale: codec + hash are Arrow-batched mapInPandas fanned out
+    by repartition (single-split local scan gotcha); the join is
+    bucket-local per band — never all-pairs.  Rows-only; the planted
+    families make recall ANALYTIC, pinned by tests/
+    test_streaming_multimodal.py::test_image_phash_planted_neardups."""
+    from ..operators.multimodal import (
+        ahash_near_pairs,
+        image_ahash,
+        synth_png_group_blobs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    blobs = synth_png_group_blobs(d.repartition(32, "doc_id"), group=4)
+    # materialize the signature table once: the banded candidate join
+    # is a SELF-join, and without the cut both sides would re-run the
+    # codec+hash Python stage (the signature table is one narrow row
+    # per image — a pipeline persists it; measured 6.3 → ~2 s).  The
+    # post-hash repartition(8) keeps the codec at full fan-out while
+    # shedding task overhead on the tiny table (round-5 gotcha).
+    hashes = image_ahash(blobs).repartition(8).localCheckpoint(eager=True)
+    return ahash_near_pairs(hashes, max_hamming=8, bands=4).orderBy(
+        "doc_a", "doc_b"
+    )

@@ -186,6 +186,16 @@ _BOUNDED_SINGLE_PARTITION = {
     # rows cross the final exchange) broadcast into per-domain budgets;
     # the running sum itself windows per corpus, never globally
     "mix_token_budget_per_domain",
+    # same one-row clean-pool token total broadcast into the budget
+    # stage, plus the minhash/span corpus-size cap scalars inherited
+    # from the composed upstream plans (each bounded as documented on
+    # its own allowlist entry); per-corpus running sums stay windowed
+    "mix_training_manifest",
+    # one-row (n_pos, n) grand total over the per-score group table —
+    # that table is bounded by the round-6 score domain (≤ 10^6+1 rows
+    # at ANY corpus size, the eval_auc_rank_sum bound), and the total
+    # itself is partial-agg upstream, O(#tasks) rows cross the exchange
+    "eval_pr_curve",
     # theta sketch: every global agg here is over k=256-row sketch
     # tables or one-row theta scalars — sketch-sized by construction
     "sketch_theta_set_difference",

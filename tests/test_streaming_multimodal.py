@@ -947,3 +947,41 @@ def test_png_synth_decode_roundtrip(spark):
     )
     bad = decode_png(corrupt).collect()
     assert bad and all((not r.ok) and r.err for r in bad)
+
+
+def test_image_phash_planted_neardups(spark):
+    """Analytic recall/precision for the perceptual-hash image dedup:
+    within a doc_id//4 family the synth flips exactly k blocks for
+    member k, so aHash hamming is exactly |flips(i) ^ flips(j)| and
+    every within-family pair must be found (hamming <= 3 <= bands-1
+    pigeonhole guarantee); cross-family patterns are independent md5
+    bits, so no cross pair should pass hamming <= 8."""
+    from stock_data_warehouse_analytics_spark.operators.multimodal import (
+        ahash_near_pairs,
+        image_ahash,
+        synth_png_group_blobs,
+    )
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMALL, "documents").filter("doc_id < 120")
+    hashes = image_ahash(synth_png_group_blobs(d, group=4))
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in ahash_near_pairs(hashes, max_hamming=8, bands=4).collect()
+    }
+    # flips(k) = {(7j+3) % 64 for j < k}; hamming(i,j) = |flips ^ flips|
+    def flips(k):
+        return {(7 * j + 3) % 64 for j in range(k)}
+
+    expected = {}
+    for base in range(0, 120, 4):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                a, b = base + i, base + j
+                expected[(a, b)] = len(flips(i) ^ flips(j))
+    # every within-family pair found at its analytic hamming
+    for pair, ham in expected.items():
+        assert got.get(pair) == ham, (pair, ham, got.get(pair))
+    # zero cross-family pairs
+    cross = set(got) - set(expected)
+    assert not cross, sorted(cross)[:5]
