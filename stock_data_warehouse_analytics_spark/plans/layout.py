@@ -1,0 +1,199 @@
+"""Storage-layout effectiveness queries: Z-ORDER clustering vs the
+ingest order, measured as min/max-zone data-skipping power.
+
+The 100 TB context: engines prune parquet files (or row groups) with
+per-file min/max column statistics.  A time-ordered ingest layout gives
+perfect pruning on the time column and NONE on anything else; a Z-order
+(Morton-curve) layout interleaves the bits of two clustering columns so
+BOTH get useful min/max zones — the trade Delta's ``OPTIMIZE ZORDER BY``
+and Iceberg's sort orders make.  This query computes the layout a
+rewrite job WOULD produce and scores it: it is the decision table
+("rewrite or not, on which columns") a table-maintenance service emits.
+
+Everything is integer arithmetic (bit interleaving, BIGINT ``div``
+bucketing, containment counts), so the whole audit is oracle-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.ranking import bucketed_global_rank
+from ..sources.tables import load_table
+from .registry import register
+
+_BITS = 10  # 10 bits per dimension → 20-bit z-value
+_DIM = 1 << _BITS
+_FILES = 64  # notional files a rewrite would emit
+_PROBE_STEP = 64  # probe grid: x/y = 0, 64, …, 960 (16 point probes each)
+
+
+def _z_col(x: Column, y: Column) -> Column:
+    """Morton interleave: bit i of x → bit 2i, bit i of y → bit 2i+1."""
+    z: Column = F.lit(0).cast("long")
+    for i in range(_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def _z_sql(x: str, y: str) -> str:
+    terms = [
+        f"((({x} >> {i}) & 1) << {2 * i}) + ((({y} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_BITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _layout_sql(order_by: str, label: str) -> str:
+    """One layout's summary row: rank → file → zone boxes → probe hits."""
+    return f"""
+  SELECT '{label}' AS layout,
+         COUNT(*) AS n_files,
+         CAST(SUM(max_x - min_x) AS BIGINT) AS sum_x_span,
+         CAST(SUM(max_y - min_y) AS BIGINT) AS sum_y_span,
+         CAST(SUM((SELECT COUNT(*) FROM probes p
+                   WHERE p.v BETWEEN min_x AND max_x)) AS BIGINT)
+           AS files_hit_x,
+         CAST(SUM((SELECT COUNT(*) FROM probes p
+                   WHERE p.v BETWEEN min_y AND max_y)) AS BIGINT)
+           AS files_hit_y
+  FROM (
+    SELECT ((rk - 1) * {_FILES}) // n AS f,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y
+    FROM (SELECT x, y,
+                 ROW_NUMBER() OVER (ORDER BY {order_by}, o_orderkey) AS rk,
+                 COUNT(*) OVER () AS n
+          FROM zed)
+    GROUP BY f
+  )
+"""
+
+
+@register(
+    "layout_zorder_skipping",
+    tags=("warehouse", "layout", "zorder", "data-skipping", "scale"),
+    oracle=f"""
+WITH s AS (
+  SELECT MAX(o_custkey) AS max_ck, MIN(o_orderdate) AS d0,
+         date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) + 1 AS nd
+  FROM orders
+),
+zed AS (
+  SELECT o_orderkey, x, y, {_z_sql("x", "y")} AS z
+  FROM (
+    SELECT o_orderkey,
+           (o_custkey * {_DIM}) // (s.max_ck + 1) AS x,
+           (date_diff('day', s.d0, o_orderdate) * {_DIM}) // s.nd AS y
+    FROM orders CROSS JOIN s
+  )
+),
+probes AS (
+  SELECT unnest(generate_series(0, {_DIM - _PROBE_STEP}, {_PROBE_STEP}))
+         AS v
+)
+{_layout_sql("y", "time")}
+UNION ALL
+{_layout_sql("z", "zorder")}
+ORDER BY layout
+""",
+)
+def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout audit — would rewriting the orders table on a
+    Morton curve over (customer, order-date) beat the time-ordered
+    ingest layout for data skipping?  Both candidate layouts are
+    simulated: rows ranked in layout order, packed into {files} notional
+    files, and each file's min/max zone box measured; the score is (a)
+    the summed per-file span of each dimension (tight spans ⇒ prunable
+    statistics) and (b) how many files a 16-point probe grid on each
+    dimension would actually touch.  Time layout: perfect on date,
+    useless on customer (every probe hits every file).  Z-order: ~√
+    on both — the table-maintenance decision row.
+
+    Scale shape: dimensions are normalized into {bits}-bit integer grids
+    with BIGINT ``div`` against a ONE-ROW scalar (max key / date span —
+    broadcast); the Morton value is pure bit arithmetic; layout ranking
+    uses ``bucketed_global_rank`` (n-way partitioned sort, two bounded
+    driver round-trips, never a single-partition global sort); zone
+    boxes are one grouped agg per layout over {files} files, and probe
+    scoring joins the {files}-row box table to a 16-row broadcast probe
+    spine.  Every number is an integer — bit-exact vs the oracle."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    s = o.agg(
+        F.max("o_custkey").alias("max_ck"),
+        F.min("o_orderdate").alias("d0"),
+        (F.datediff(F.max("o_orderdate"), F.min("o_orderdate")) + 1).alias(
+            "nd"
+        ),
+    )
+    zed = (
+        o.crossJoin(F.broadcast(s))
+        .select(
+            "o_orderkey",
+            F.expr(f"(o_custkey * {_DIM}) div (max_ck + 1)").alias("x"),
+            F.expr(
+                f"(datediff(o_orderdate, d0) * {_DIM}) div nd"
+            ).alias("y"),
+        )
+        .withColumn("z", _z_col(F.col("x"), F.col("y")))
+        .localCheckpoint(eager=False)  # consumed by two layout rankings
+    )
+    probes = spark.range(0, _DIM, _PROBE_STEP).select(
+        F.col("id").cast("long").alias("v")
+    )
+
+    def layout_row(lead: str, label: str) -> DataFrame:
+        ranked, n = bucketed_global_rank(
+            zed, [lead, "o_orderkey"], rank_col="rk"
+        )
+        boxes = (
+            ranked.select(
+                F.expr(f"((rk - 1) * {_FILES}) div {n}").alias("f"), "x", "y"
+            )
+            .groupBy("f")
+            .agg(
+                F.min("x").alias("min_x"),
+                F.max("x").alias("max_x"),
+                F.min("y").alias("min_y"),
+                F.max("y").alias("max_y"),
+            )
+        )
+        boxes = boxes.localCheckpoint(eager=False)  # spans + hits passes
+        spans = boxes.agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.col("max_x") - F.col("min_x")).alias("sum_x_span"),
+            F.sum(F.col("max_y") - F.col("min_y")).alias("sum_y_span"),
+        )
+        hits = boxes.crossJoin(F.broadcast(probes)).agg(
+            F.sum(
+                F.col("v")
+                .between(F.col("min_x"), F.col("max_x"))
+                .cast("long")
+            ).alias("files_hit_x"),
+            F.sum(
+                F.col("v")
+                .between(F.col("min_y"), F.col("max_y"))
+                .cast("long")
+            ).alias("files_hit_y"),
+        )
+        return spans.crossJoin(hits).select(
+            F.lit(label).alias("layout"),
+            "n_files",
+            "sum_x_span",
+            "sum_y_span",
+            "files_hit_x",
+            "files_hit_y",
+        )
+
+    return (
+        layout_row("y", "time")
+        .unionByName(layout_row("z", "zorder"))
+        .orderBy("layout")
+    )

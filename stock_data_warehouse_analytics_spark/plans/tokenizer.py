@@ -329,3 +329,118 @@ def text_bpe_encode_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_EPOCH_MULT = 3  # training target = 3× the full corpus (data-constrained)
+_EPOCH_CAP = 4  # max useful repeats (data-constrained scaling rule of thumb)
+
+
+@register(
+    "mix_epoch_schedule",
+    tags=("llm", "sampling", "mixing", "epochs", "data-constrained"),
+    oracle=f"""
+WITH tagged AS (
+  SELECT CASE WHEN {_SQL_H60.format(x="source")} % 3 = 0 THEN 'web'
+              WHEN {_SQL_H60.format(x="source")} % 3 = 1 THEN 'books'
+              ELSE 'code' END AS corpus,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+  FROM documents
+),
+avail AS (
+  SELECT corpus,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens_avail
+  FROM tagged GROUP BY corpus
+),
+tot AS (SELECT CAST(SUM(tokens_avail) AS BIGINT) AS total FROM avail),
+sched AS (
+  SELECT a.corpus, a.n_docs, a.tokens_avail,
+         (tot.total * {_EPOCH_MULT}
+          * CASE a.corpus WHEN 'web' THEN {_BUDGET_W_PCT['web']}
+                          WHEN 'books' THEN {_BUDGET_W_PCT['books']}
+                          ELSE {_BUDGET_W_PCT['code']} END) // 100
+           AS need_tokens
+  FROM avail a CROSS JOIN tot
+)
+SELECT corpus, n_docs, tokens_avail, need_tokens,
+       (need_tokens + tokens_avail - 1) // tokens_avail AS epochs_needed,
+       LEAST((need_tokens + tokens_avail - 1) // tokens_avail,
+             {_EPOCH_CAP}) AS epochs_capped,
+       LEAST(need_tokens, {_EPOCH_CAP} * tokens_avail) AS tokens_served,
+       need_tokens - LEAST(need_tokens, {_EPOCH_CAP} * tokens_avail)
+         AS shortfall_tokens,
+       (need_tokens + tokens_avail - 1) // tokens_avail > {_EPOCH_CAP}
+         AS over_cap
+FROM sched
+ORDER BY corpus
+""",
+)
+def mix_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH / repeat schedule for a data-constrained training mix —
+    the planning table behind "we want {mult}× the corpus in training
+    tokens at 60/30/10 web/books/code": per domain, the tokens the
+    target mixture NEEDS, the epochs (full repeats) of the available
+    data that implies, the repeat cap of {cap} epochs past which
+    additional repeats stop helping (the data-constrained scaling
+    rule of thumb), and the shortfall the cap leaves — the number a
+    data-acquisition team is paged with.  Complements
+    ``mix_token_budget_per_domain`` (which SELECTS docs under a
+    budget); this decides how many TIMES the selected data is seen.
+
+    Scale shape: one scan collapses the corpus to a 3-row per-domain
+    availability table (map-side token counts, grouped agg); the
+    schedule arithmetic is pure BIGINT on that 3-row table with one
+    one-row total broadcast — ceil-division via ``(need + avail − 1)
+    div avail`` keeps every boundary integer-exact on both engines."""
+    from ..functions.text import token_count
+    from ..operators.dedup import hash_int60
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = (
+        F.when(hash_int60(F.col("source")) % 3 == 0, "web")
+        .when(hash_int60(F.col("source")) % 3 == 1, "books")
+        .otherwise("code")
+    )
+    avail = (
+        d.select(
+            corpus.alias("corpus"),
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("corpus")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens_avail"),
+        )
+    )
+    tot = avail.agg(F.sum("tokens_avail").cast("long").alias("total"))
+    w_pct_sql = (
+        f"CASE WHEN corpus = 'web' THEN {_BUDGET_W_PCT['web']} "
+        f"WHEN corpus = 'books' THEN {_BUDGET_W_PCT['books']} "
+        f"ELSE {_BUDGET_W_PCT['code']} END"
+    )
+    sched = avail.crossJoin(F.broadcast(tot)).withColumn(
+        "need_tokens",
+        F.expr(f"(total * {_EPOCH_MULT} * {w_pct_sql}) div 100").cast("long"),
+    )
+    epochs = F.expr("(need_tokens + tokens_avail - 1) div tokens_avail").cast(
+        "long"
+    )
+    served = F.least(
+        F.col("need_tokens"), F.lit(_EPOCH_CAP) * F.col("tokens_avail")
+    ).cast("long")
+    return sched.select(
+        "corpus",
+        "n_docs",
+        "tokens_avail",
+        "need_tokens",
+        epochs.alias("epochs_needed"),
+        F.least(epochs, F.lit(_EPOCH_CAP)).cast("long").alias("epochs_capped"),
+        served.alias("tokens_served"),
+        (F.col("need_tokens") - served).cast("long").alias("shortfall_tokens"),
+        (epochs > _EPOCH_CAP).alias("over_cap"),
+    ).orderBy("corpus")
+
+
+mix_epoch_schedule.__doc__ = mix_epoch_schedule.__doc__.format(
+    mult=_EPOCH_MULT, cap=_EPOCH_CAP
+)

@@ -32,6 +32,8 @@ __all__ = [
     "semantic_banded_fast",
     "semantic_admission_matches",
     "streaming_semantic_admission",
+    "lm_score_columns",
+    "streaming_lm_admission",
 ]
 
 
@@ -246,6 +248,104 @@ def streaming_semantic_admission(
         "vec_id long, embedding array<double>"
     ).json(source_dir)
     out = semantic_admission_matches(stream, static_banded)
+    return (
+        out.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# --------------------------------------------- perplexity LM admission
+
+def lm_score_columns(
+    docs: DataFrame,
+    c2: dict[str, int],
+    c1: dict[str, int],
+    v: int,
+    *,
+    text_col: str = "text",
+    threshold: float = 30.0,
+) -> DataFrame:
+    """Per-row bigram-LM perplexity gate — completely STATELESS: the
+    (pruned) LM travels INSIDE the expression as two map literals, so a
+    streaming micro-batch needs no join, no state store, no watermark.
+    This mirrors how production perplexity filters actually run (CCNet
+    ships a pruned KenLM binary to every worker; the model is a
+    worker-local artifact, not a join input).  For LMs past ~10⁵
+    entries the map literal should become a broadcast variable consumed
+    by an Arrow-batched pandas UDF — same topology, bigger vehicle.
+
+    Per-token log-probs are quantized to integer MICRO-units before the
+    per-row sum (``cast(round(ln(...)·1e6) as bigint)``), so the score
+    is order-independent and bit-exact against a SQL mirror that joins
+    instead of map-looks-up.  Emits (doc_id, n_bigrams, ppl, admitted);
+    rows with fewer than 2 tokens carry no bigram evidence and are
+    dropped (documented contract shared with the oracle)."""
+    from ..functions.text import tokens
+
+    if not c2 or not c1:
+        raise ValueError("empty LM: need non-empty bigram/context counts")
+    c2m = F.create_map(*[F.lit(x) for kv in c2.items() for x in kv])
+    c1m = F.create_map(*[F.lit(x) for kv in c1.items() for x in kv])
+    scored = (
+        docs.withColumn("_t", tokens(F.col(text_col)))
+        .filter(F.size("_t") >= 2)
+        .withColumn("_c2m", c2m)
+        .withColumn("_c1m", c1m)
+        .withColumn(
+            "_lpm",
+            F.expr(
+                f"""
+                transform(slice(_t, 1, size(_t) - 1), (w, i) ->
+                  cast(round(ln(
+                    cast(coalesce(element_at(_c2m, w || ' ' || _t[i + 1]), 0)
+                         + 1 as double)
+                    / cast(coalesce(element_at(_c1m, w), 0) + {int(v)}
+                           as double)) * 1000000, 0) as bigint))
+                """
+            ),
+        )
+    )
+    ppl = F.round(
+        F.exp(
+            -(
+                F.aggregate(
+                    "_lpm", F.lit(0).cast("long"), lambda a, x: a + x
+                ).cast("double")
+                / 1e6
+            )
+            / F.size("_lpm")
+        ),
+        6,
+    )
+    return scored.select(
+        "doc_id",
+        F.size("_lpm").cast("long").alias("n_bigrams"),
+        ppl.alias("ppl"),
+        (ppl <= F.lit(threshold)).alias("admitted"),
+    )
+
+
+def streaming_lm_admission(
+    spark: SparkSession,
+    source_dir: str,
+    c2: dict[str, int],
+    c1: dict[str, int],
+    v: int,
+    *,
+    checkpoint_dir: str,
+    threshold: float = 30.0,
+    out_table: str = "stream_lm_admission",
+):
+    """True readStream version: json doc stream → per-row map-side LM
+    scoring (no join at all) → memory sink (append, availableNow)."""
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        source_dir
+    )
+    out = lm_score_columns(stream, c2, c1, v, threshold=threshold)
     return (
         out.writeStream.format("memory")
         .queryName(out_table)

@@ -196,6 +196,20 @@ _BOUNDED_SINGLE_PARTITION = {
     # at ANY corpus size, the eval_auc_rank_sum bound), and the total
     # itself is partial-agg upstream, O(#tasks) rows cross the exchange
     "eval_pr_curve",
+    # one-row grand-total over the 3-row per-domain availability table
+    # (partial-agg upstream, O(#tasks) rows cross the final exchange)
+    "mix_epoch_schedule",
+    # one-row normalization scalar (max key / date span) + two one-row
+    # summary aggs per layout over the 64-row file-box table — every
+    # single-partition stage here is one-row or 64-row by construction
+    "layout_zorder_skipping",
+    # one-row vocab-size scalar (countDistinct over the unigram table,
+    # which is vocabulary-sized by Heaps' law — ≪ corpus at any scale;
+    # partial aggs upstream, O(#tasks) rows cross the final exchange)
+    "text_lm_perplexity",
+    # two one-row totals (n_uni, n_bi) summed over the vocabulary-sized
+    # unigram/bigram count tables — same Heaps-law bound as above
+    "text_pmi_collocations",
     # theta sketch: every global agg here is over k=256-row sketch
     # tables or one-row theta scalars — sketch-sized by construction
     "sketch_theta_set_difference",

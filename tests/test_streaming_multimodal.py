@@ -985,3 +985,38 @@ def test_image_phash_planted_neardups(spark):
     # zero cross-family pairs
     cross = set(got) - set(expected)
     assert not cross, sorted(cross)[:5]
+
+
+def test_stream_lm_admission_equals_batch(spark, tmp_path):
+    """The stateless readStream perplexity gate (per-row map-side LM
+    scoring, no join, no state store) must produce EXACTLY the batch
+    twin's (n_bigrams, ppl, admitted) per arriving doc — same LM, same
+    micro-unit quantization, so equality is bit-exact, not approximate."""
+    from stock_data_warehouse_analytics_spark.plans import get_queries
+    from stock_data_warehouse_analytics_spark.plans.lm import _train_bigram_lm
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+    from stock_data_warehouse_analytics_spark.streaming.admission import (
+        streaming_lm_admission,
+    )
+
+    c2, c1, v = _train_bigram_lm(spark, SF_SMALL)
+    d = load_table(spark, SF_SMALL, "documents")
+    src = str(tmp_path / "docs")
+    d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text").coalesce(
+        2
+    ).write.mode("overwrite").json(src)
+    q = streaming_lm_admission(
+        spark, src, c2, c1, v, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = {
+        r.doc_id: (r.n_bigrams, r.ppl, r.admitted)
+        for r in spark.table("stream_lm_admission").collect()
+    }
+    want = {
+        r.doc_id: (r.n_bigrams, r.ppl, r.admitted)
+        for r in get_queries()["stream_lm_admission"](spark, SF_SMALL).collect()
+    }
+    assert want and got == want
+    assert any(adm for (_, _, adm) in want.values())
+    assert any(not adm for (_, _, adm) in want.values())
