@@ -242,6 +242,24 @@ _BOUNDED_SINGLE_PARTITION = {
     # ~10^6 at web scale — a tokenizer vocab fits one partition by
     # definition), partial-agg word counts upstream
     "text_bpe_encode_incremental",
+    # NB classifier: one-row train-vocab scalar (countDistinct over the
+    # Heaps-bounded token stream — vocabulary-sized, ≪ corpus) and a
+    # one-row total-train-docs scalar — partial aggregation upstream,
+    # O(#tasks) rows cross each final exchange
+    "text_nb_langid_train",
+    # one-row corpus token total (SUM over the vocabulary-sized unigram
+    # count table — Heaps bound) broadcast into the per-token terms
+    "text_js_divergence_sources",
+    # calendar-bounded per-duration-day table (≤ study span in days at
+    # ANY event volume — the olap_period_over_period bound) carries the
+    # risk-set and product-limit windows; plus a one-row user-count
+    # scalar (partial-agg upstream)
+    "events_survival_kaplan_meier",
+    # Poisson bootstrap: the percentile window runs over the B-row
+    # replicate table (bounded by the B=100 literal at ANY corpus
+    # size — partial (Σwx, Σw) aggregation upstream, #tasks × B rows
+    # cross the exchange), plus one-row point/count scalars
+    "eval_poisson_bootstrap_ci",
 }
 
 
