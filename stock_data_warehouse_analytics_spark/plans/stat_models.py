@@ -536,3 +536,139 @@ def emb_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 emb_matryoshka_audit.__doc__ = emb_matryoshka_audit.__doc__.format(
     k=_MRL_K, dim=_MRL_DIM
 )
+
+
+# --------------------------------------------------------------------------
+# NB langid STREAMING admission: batch twin + pruned-model trainer
+# --------------------------------------------------------------------------
+
+_NB_CAP = 65536  # pruned-model size cap (fastText-style prune; never binds here)
+
+
+def _train_nb_langid(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict[str, int], dict[str, int], dict[str, int], int]:
+    """Train the pruned NB language model on the even-doc_id corpus
+    half.  Returns ((lang|token) counts, lang token totals, lang
+    quantized log-priors, vocab size).  All driver round-trips are
+    (classes × vocabulary)-bounded (Heaps' law) with an explicit
+    {cap}-entry prune — the same dimension-sized-state stance as the
+    bigram-LM trainer (`plans/lm._train_bigram_lm`) and the k-means
+    centroid collects."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    toks = d.select("lang", tokens(F.col("text")).alias("t"))
+    clt_df = (
+        toks.select("lang", F.explode("t").alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).localCheckpoint(eager=True)  # consumed by both the prune and the totals
+    clt = {
+        f"{r.lang}|{r.tok}": r.c
+        for r in clt_df.orderBy(F.desc("c"), "lang", "tok")
+        .limit(_NB_CAP)
+        .collect()
+    }
+    cl = {
+        r.lang: r.n_tok
+        for r in clt_df.groupBy("lang")
+        .agg(F.sum("c").cast("long").alias("n_tok"))
+        .collect()
+    }
+    v = int(
+        clt_df.agg(F.countDistinct("tok").alias("v")).first()["v"]
+    )
+    prior_rows = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).collect()
+    total = sum(r.n_docs for r in prior_rows)
+    import math
+
+    def _round_half_away(x: float) -> int:
+        # SQL ROUND semantics (half away from zero), NOT Python's
+        # banker's rounding — keeps the driver-side prior bit-aligned
+        # with the oracle's ROUND(LN(...)*1e6, 0).
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    prior_lpm = {
+        r.lang: _round_half_away(math.log(r.n_docs / total) * 1000000)
+        for r in prior_rows
+    }
+    return clt, cl, prior_lpm, v
+
+
+_train_nb_langid.__doc__ = _train_nb_langid.__doc__.format(cap=_NB_CAP)
+
+
+@register(
+    "stream_langid_admission",
+    tags=("streaming", "llm", "classifier", "langid", "admission"),
+    oracle=f"""
+WITH train AS (SELECT lang, text FROM documents WHERE doc_id % 2 = 0),
+tt AS (SELECT lang, unnest({_SQL_TOKS}) AS tok FROM train),
+clt AS (
+  SELECT lang, tok, COUNT(*) AS c FROM tt GROUP BY lang, tok
+  QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, lang, tok) <= {_NB_CAP}
+),
+cl AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tok
+  FROM (SELECT lang, tok, COUNT(*) AS c FROM tt GROUP BY lang, tok)
+  GROUP BY lang
+),
+v AS (SELECT COUNT(DISTINCT tok) AS v FROM tt),
+prior AS (
+  SELECT lang,
+         CAST(ROUND(LN(COUNT(*)::DOUBLE
+                       / (SELECT COUNT(*) FROM train)) * 1000000, 0)
+              AS BIGINT) AS prior_lpm
+  FROM train GROUP BY lang
+),
+arriving AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents WHERE doc_id % 2 = 1
+),
+at AS (SELECT doc_id, unnest(t) AS tok FROM arriving),
+scored AS (
+  SELECT a.doc_id, p.lang,
+         CAST(SUM(CAST(ROUND(LN(
+                 (COALESCE(c.c, 0) + 1)::DOUBLE / (cl.n_tok + v.v)::DOUBLE)
+               * 1000000, 0) AS BIGINT)) AS BIGINT)
+           + ANY_VALUE(p.prior_lpm) AS score
+  FROM at a
+  CROSS JOIN prior p
+  JOIN cl ON cl.lang = p.lang
+  CROSS JOIN v
+  LEFT JOIN clt c ON c.lang = p.lang AND c.tok = a.tok
+  GROUP BY a.doc_id, p.lang
+),
+pick AS (
+  SELECT doc_id, lang AS predicted, score AS score_micro
+  FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, lang) = 1
+)
+SELECT ar.doc_id, len(ar.t) AS n_tokens, pk.predicted, pk.score_micro,
+       pk.predicted = 'en' AS admitted
+FROM arriving ar JOIN pick pk ON pk.doc_id = ar.doc_id
+ORDER BY ar.doc_id
+""",
+)
+def stream_langid_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LANGUAGE-ID-gated streaming admission
+    pipeline (``streaming/admission.nb_langid_columns``): even-doc_id
+    documents play the existing corpus (the pruned NB model is trained
+    on them, ``_train_nb_langid``), odd-doc_id documents play the
+    arriving stream, each scored PER-ROW by the map-side classifier
+    expression — per-token log-likelihoods quantized to integer
+    micro-units in-row, per-class BIGINT sums + quantized prior,
+    argmax (score DESC, lang ASC) via an array_min over (−score, lang)
+    structs.  Documents predicted English are admitted — the fastText
+    langid gate running at ingest rates: completely stateless, no
+    state store, no watermark, no join in the hot path (the model
+    ships to workers as a literal, exactly like a fastText .bin
+    artifact).  Stream ≡ batch asserted in
+    tests/test_streaming_multimodal.py::
+    test_stream_langid_admission_equals_batch."""
+    from ..streaming.admission import nb_langid_columns
+
+    clt, cl, prior_lpm, v = _train_nb_langid(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    return nb_langid_columns(
+        d.select("doc_id", "text"), clt, cl, prior_lpm, v, admit_lang="en"
+    ).orderBy("doc_id")

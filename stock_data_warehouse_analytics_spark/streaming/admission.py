@@ -34,6 +34,8 @@ __all__ = [
     "streaming_semantic_admission",
     "lm_score_columns",
     "streaming_lm_admission",
+    "nb_langid_columns",
+    "streaming_nb_admission",
 ]
 
 
@@ -346,6 +348,108 @@ def streaming_lm_admission(
         source_dir
     )
     out = lm_score_columns(stream, c2, c1, v, threshold=threshold)
+    return (
+        out.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ----------------------------------------- Naive-Bayes langid admission
+
+def nb_langid_columns(
+    docs: DataFrame,
+    clt: dict[str, int],
+    cl: dict[str, int],
+    prior_lpm: dict[str, int],
+    v: int,
+    *,
+    text_col: str = "text",
+    admit_lang: str = "en",
+) -> DataFrame:
+    """Per-row Naive-Bayes LANGUAGE-ID gate — completely STATELESS,
+    the ``lm_score_columns`` stance: the trained classifier travels
+    INSIDE the expression as map literals ((lang|token) → count,
+    lang → token total, lang → quantized log-prior), so a streaming
+    micro-batch needs no join, no state store, no watermark — exactly
+    how production langid filters run (fastText ships a model file to
+    every worker; the model is a worker-local artifact, not a join
+    input).  Past ~10⁵ entries the maps become a broadcast consumed by
+    an Arrow-batched pandas UDF — same topology, bigger vehicle.
+
+    Per-token log-likelihoods quantize to integer MICRO-units in-row,
+    per-class scores are BIGINT sums + the quantized prior, and the
+    argmax picks via ``array_min`` over (−score, lang) structs —
+    (score DESC, lang ASC), bit-exact against a SQL mirror that joins
+    the count tables instead of map-looking-them-up.  Emits
+    (doc_id, n_tokens, predicted, score_micro, admitted)."""
+    from ..functions.text import tokens
+
+    if not clt or not cl or not prior_lpm:
+        raise ValueError("empty NB model: need non-empty count maps")
+    langs = sorted(prior_lpm)
+    cltm = F.create_map(*[F.lit(x) for kv in clt.items() for x in kv])
+    clm = F.create_map(*[F.lit(x) for kv in cl.items() for x in kv])
+    prm = F.create_map(
+        *[F.lit(x) for lang in langs for x in (lang, int(prior_lpm[lang]))]
+    )
+    langs_arr = F.array(*[F.lit(lang) for lang in langs])
+    scored = (
+        docs.withColumn("_t", tokens(F.col(text_col)))
+        .withColumn("_cltm", cltm)
+        .withColumn("_clm", clm)
+        .withColumn("_prm", prm)
+        .withColumn("_langs", langs_arr)
+        .withColumn(
+            "_pick",
+            F.expr(
+                f"""
+                array_min(transform(_langs, L -> struct(
+                  -(element_at(_prm, L)
+                    + aggregate(_t, cast(0 as bigint), (a, w) -> a +
+                        cast(round(ln(
+                          cast(coalesce(element_at(_cltm, L || '|' || w), 0)
+                               + 1 as double)
+                          / cast(element_at(_clm, L) + {int(v)} as double))
+                          * 1000000, 0) as bigint))) AS negs,
+                  L AS lang)))
+                """
+            ),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.col("_pick.lang").alias("predicted"),
+        (-F.col("_pick.negs")).alias("score_micro"),
+        (F.col("_pick.lang") == F.lit(admit_lang)).alias("admitted"),
+    )
+
+
+def streaming_nb_admission(
+    spark: SparkSession,
+    source_dir: str,
+    clt: dict[str, int],
+    cl: dict[str, int],
+    prior_lpm: dict[str, int],
+    v: int,
+    *,
+    checkpoint_dir: str,
+    admit_lang: str = "en",
+    out_table: str = "stream_langid_admission",
+):
+    """True readStream version: json doc stream → per-row map-side NB
+    langid scoring (no join at all) → memory sink (append,
+    availableNow)."""
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        source_dir
+    )
+    out = nb_langid_columns(
+        stream, clt, cl, prior_lpm, v, admit_lang=admit_lang
+    )
     return (
         out.writeStream.format("memory")
         .queryName(out_table)

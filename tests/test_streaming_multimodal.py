@@ -1020,3 +1020,43 @@ def test_stream_lm_admission_equals_batch(spark, tmp_path):
     assert want and got == want
     assert any(adm for (_, _, adm) in want.values())
     assert any(not adm for (_, _, adm) in want.values())
+
+
+def test_stream_langid_admission_equals_batch(spark, tmp_path):
+    """The stateless readStream NB langid gate (per-row map-side
+    classifier scoring, no join, no state store) must produce EXACTLY
+    the batch twin's (n_tokens, predicted, score_micro, admitted) per
+    arriving doc — same model maps, same micro-unit quantization, so
+    equality is bit-exact, not approximate."""
+    from stock_data_warehouse_analytics_spark.plans import get_queries
+    from stock_data_warehouse_analytics_spark.plans.stat_models import (
+        _train_nb_langid,
+    )
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+    from stock_data_warehouse_analytics_spark.streaming.admission import (
+        streaming_nb_admission,
+    )
+
+    clt, cl, prior_lpm, v = _train_nb_langid(spark, SF_SMALL)
+    d = load_table(spark, SF_SMALL, "documents")
+    src = str(tmp_path / "docs")
+    d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text").coalesce(
+        2
+    ).write.mode("overwrite").json(src)
+    q = streaming_nb_admission(
+        spark, src, clt, cl, prior_lpm, v, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = {
+        r.doc_id: (r.n_tokens, r.predicted, r.score_micro, r.admitted)
+        for r in spark.table("stream_langid_admission").collect()
+    }
+    want = {
+        r.doc_id: (r.n_tokens, r.predicted, r.score_micro, r.admitted)
+        for r in get_queries()["stream_langid_admission"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert want and got == want
+    assert any(adm for (_, _, _, adm) in want.values())
+    assert any(not adm for (_, _, _, adm) in want.values())
