@@ -40,6 +40,64 @@ _SQL_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 _PPL_FLAG = 30.0  # gate threshold: ppl above this ⇒ "too surprising"
 
+# Per-doc perplexity frame, memoized per (session, sf_dir) so the
+# curriculum planner (plans/stat_models2.mix_curriculum_schedule) and
+# the gate panel share ONE scored materialization — the same
+# WeakKeyDictionary stance as llm_dedup._cc_assignment.
+import weakref as _weakref
+
+_PPL_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def doc_ppl_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, ppl): add-one bigram-LM perplexity per document
+    (the ``text_lm_perplexity`` scoring pipeline, factored out and
+    memoized per session — localCheckpointed so consumers don't re-run
+    the two corpus passes)."""
+    per_session = _PPL_CACHE.setdefault(spark, {})
+    if sf_dir not in per_session:
+        d = load_table(spark, sf_dir, "documents")
+        toks = d.select("doc_id", "source", tokens(F.col("text")).alias("t"))
+        bi = toks.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 1),"
+                    " (w, i) -> struct(w AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        ).select("doc_id", "source", "b.w1", "b.w2")
+        c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+        vocab = (
+            toks.select(F.explode("t").alias("w"))
+            .agg(F.countDistinct("w").alias("v"))
+        )
+        scored = (
+            bi.join(c2, ["w1", "w2"])
+            .join(c1, ["w1"])
+            .crossJoin(F.broadcast(vocab))
+            .select(
+                "doc_id",
+                "source",
+                F.log(
+                    (F.col("c12") + 1).cast("double")
+                    / (F.col("c1") + F.col("v"))
+                ).alias("lp"),
+            )
+        )
+        per_session[sf_dir] = (
+            scored.groupBy("doc_id", "source")
+            .agg(
+                F.round(F.exp(-dsum("lp") / F.count(F.lit(1))), 6).alias("ppl")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return per_session[sf_dir]
+
 
 @register(
     "text_lm_perplexity",
@@ -101,39 +159,7 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-document and per-source sums are exact DECIMAL
     (``plans/exact.dsum``); each per-row LN is deterministic double
     math, so the panel hash-compares bit-for-bit with DuckDB."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "source", tokens(F.col("text")).alias("t"))
-    bi = toks.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.expr(
-                "transform(slice(t, 1, size(t) - 1),"
-                " (w, i) -> struct(w AS w1, t[i + 1] AS w2))"
-            )
-        ).alias("b"),
-    ).select("doc_id", "source", "b.w1", "b.w2")
-    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = (
-        toks.select(F.explode("t").alias("w"))
-        .agg(F.countDistinct("w").alias("v"))
-    )
-    scored = (
-        bi.join(c2, ["w1", "w2"])
-        .join(c1, ["w1"])
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "doc_id",
-            "source",
-            F.log(
-                (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v"))
-            ).alias("lp"),
-        )
-    )
-    ppl = scored.groupBy("doc_id", "source").agg(
-        F.round(F.exp(-dsum("lp") / F.count(F.lit(1))), 6).alias("ppl")
-    )
+    ppl = doc_ppl_frame(spark, sf_dir)
     return (
         ppl.groupBy("source")
         .agg(

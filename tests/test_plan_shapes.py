@@ -260,6 +260,11 @@ _BOUNDED_SINGLE_PARTITION = {
     # size — partial (Σwx, Σw) aggregation upstream, #tasks × B rows
     # cross the exchange), plus one-row point/count scalars
     "eval_poisson_bootstrap_ci",
+    # KN LM: the one-row (T, V) scalar — count of the Heaps-bounded
+    # bigram table and countDistinct over the token stream (both
+    # vocabulary-sized, partial aggs upstream; same bound as
+    # text_lm_perplexity's vocab scalar)
+    "text_lm_kneser_ney",
 }
 
 
