@@ -1,0 +1,398 @@
+"""A/B experimentation family: Welch's t-test, sample-ratio-mismatch
+(SRM) chi-square check, and CUPED variance reduction.
+
+The reference repo computes per-group summary statistics and spike
+studies (``datamining_analysis.py``, ``olap_analysis.py``); this module
+is the controlled-experiment face of the same moment machinery — the
+three queries every experimentation warehouse runs on event logs:
+
+* ``eval_ab_welch_ttest`` — unequal-variance two-sample t on a
+  user-level metric (the deflection test),
+* ``eval_ab_srm_check`` — chi-square sample-ratio-mismatch guard (a
+  broken randomizer invalidates every downstream readout),
+* ``eval_ab_cuped_adjust`` — CUPED (Deng et al., WSDM 2013): pre-period
+  covariate adjustment, the industry-standard variance-reduction step.
+
+Cross-engine exactness: the metric quantizes to integer CENTS per row
+before any aggregation, so every moment is an exact BIGINT / DECIMAL
+sum (order-independent); each statistic is then ONE identically-ordered
+double expression over those exact moments (``plans/exact.py`` stance).
+Variant assignment is the deterministic md5 int60 hash of the user key
+(``operators/dedup.hash_int60``) mod 2 — reproducible on any engine,
+stable under repartitioning.
+
+Scale shape: one shuffle to the per-user grain (partial aggregation
+upstream), then one-row moment aggregates broadcast back — never a
+corpus-sized single partition.  At 10^9 users the per-user table is the
+only large intermediate and it is hash-partitioned on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import hash_int60
+from ..sources.tables import load_table
+from .registry import register
+
+# DuckDB mirror of operators.dedup.hash_int60
+_SQL_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+# per-row exact cents; value is a 2-decimal money double
+_SQL_CENTS = "CAST(ROUND(value * 100, 0) AS BIGINT)"
+
+
+def _cents() -> F.Column:
+    return F.round(F.col("value") * 100, 0).cast("long")
+
+
+def _variant() -> F.Column:
+    return hash_int60(F.col("user_id").cast("string")) % 2
+
+
+def _dec(c: F.Column) -> F.Column:
+    """Exact product operand: cents fit decimal(19,0) at any scale."""
+    return c.cast("decimal(19,0)")
+
+
+_SQL_VARIANT = _SQL_H60.format(x="CAST(user_id AS VARCHAR)") + " % 2"
+
+
+@register(
+    "eval_ab_welch_ttest",
+    tags=("eval", "ab", "ttest", "experiment"),
+    oracle=f"""
+WITH users AS (
+  SELECT user_id,
+         {_SQL_VARIANT} AS variant,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                           THEN {_SQL_CENTS} END), 0) AS y
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT
+    COUNT(*) FILTER (WHERE variant = 0) AS n_c,
+    COUNT(*) FILTER (WHERE variant = 1) AS n_t,
+    CAST(COALESCE(SUM(y) FILTER (WHERE variant = 0), 0) AS DOUBLE) AS s_c,
+    CAST(COALESCE(SUM(y) FILTER (WHERE variant = 1), 0) AS DOUBLE) AS s_t,
+    CAST(COALESCE(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  FILTER (WHERE variant = 0), 0) AS DOUBLE) AS q_c,
+    CAST(COALESCE(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  FILTER (WHERE variant = 1), 0) AS DOUBLE) AS q_t
+  FROM users
+),
+v AS (
+  SELECT n_c, n_t,
+         s_c / n_c AS mc, s_t / n_t AS mt,
+         (q_c - s_c * s_c / n_c) / (n_c - 1) AS vc,
+         (q_t - s_t * s_t / n_t) / (n_t - 1) AS vt
+  FROM m
+)
+SELECT n_c AS n_control, n_t AS n_treatment,
+       ROUND(mc / 100, 6) AS mean_control,
+       ROUND(mt / 100, 6) AS mean_treatment,
+       ROUND((mt - mc) / SQRT(vt / n_t + vc / n_c), 6) AS t_stat,
+       ROUND((vt / n_t + vc / n_c) * (vt / n_t + vc / n_c)
+             / ((vt / n_t) * (vt / n_t) / (n_t - 1)
+                + (vc / n_c) * (vc / n_c) / (n_c - 1)), 4) AS welch_df,
+       ABS(ROUND((mt - mc) / SQRT(vt / n_t + vc / n_c), 6)) > 1.959964
+         AS significant
+FROM v
+""",
+)
+def eval_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH's unequal-variance t-test between two hash-assigned
+    variants on per-user purchase revenue — the deflection readout of
+    every A/B platform (user-level randomization unit, so the per-user
+    aggregate comes first; event-level tests are wrong under repeated
+    exposure).
+
+    Scale shape: one shuffle to the user grain (partial agg upstream),
+    then a one-row six-moment aggregate — the t statistic and the
+    Welch–Satterthwaite df are single double expressions over exact
+    BIGINT/DECIMAL sums of integer cents, bit-stable across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", _cents())),
+            F.lit(0),
+        ).alias("y")
+    ).withColumn("variant", _variant())
+    y = F.col("y")
+    is_c, is_t = F.col("variant") == 0, F.col("variant") == 1
+    m = users.agg(
+        F.count(F.when(is_c, 1)).alias("n_c"),
+        F.count(F.when(is_t, 1)).alias("n_t"),
+        F.coalesce(F.sum(F.when(is_c, y)), F.lit(0))
+        .cast("double")
+        .alias("s_c"),
+        F.coalesce(F.sum(F.when(is_t, y)), F.lit(0))
+        .cast("double")
+        .alias("s_t"),
+        F.coalesce(
+            F.sum(F.when(is_c, _dec(y) * _dec(y))), F.lit(0)
+        )
+        .cast("double")
+        .alias("q_c"),
+        F.coalesce(
+            F.sum(F.when(is_t, _dec(y) * _dec(y))), F.lit(0)
+        )
+        .cast("double")
+        .alias("q_t"),
+    )
+    v = m.select(
+        "n_c",
+        "n_t",
+        (F.col("s_c") / F.col("n_c")).alias("mc"),
+        (F.col("s_t") / F.col("n_t")).alias("mt"),
+        (
+            (F.col("q_c") - F.col("s_c") * F.col("s_c") / F.col("n_c"))
+            / (F.col("n_c") - F.lit(1))
+        ).alias("vc"),
+        (
+            (F.col("q_t") - F.col("s_t") * F.col("s_t") / F.col("n_t"))
+            / (F.col("n_t") - F.lit(1))
+        ).alias("vt"),
+    )
+    se2 = F.col("vt") / F.col("n_t") + F.col("vc") / F.col("n_c")
+    t_stat = F.round((F.col("mt") - F.col("mc")) / F.sqrt(se2), 6)
+    return v.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.round(F.col("mc") / 100, 6).alias("mean_control"),
+        F.round(F.col("mt") / 100, 6).alias("mean_treatment"),
+        t_stat.alias("t_stat"),
+        F.round(
+            se2
+            * se2
+            / (
+                (F.col("vt") / F.col("n_t"))
+                * (F.col("vt") / F.col("n_t"))
+                / (F.col("n_t") - F.lit(1))
+                + (F.col("vc") / F.col("n_c"))
+                * (F.col("vc") / F.col("n_c"))
+                / (F.col("n_c") - F.lit(1))
+            ),
+            4,
+        ).alias("welch_df"),
+        (F.abs(t_stat) > F.lit(1.959964)).alias("significant"),
+    )
+
+
+@register(
+    "eval_ab_srm_check",
+    tags=("eval", "ab", "srm", "dq"),
+    oracle=f"""
+WITH assigned AS (
+  SELECT DISTINCT user_id, {_SQL_VARIANT} AS variant FROM events
+),
+c AS (
+  SELECT COUNT(*) FILTER (WHERE variant = 0) AS n_c,
+         COUNT(*) FILTER (WHERE variant = 1) AS n_t
+  FROM assigned
+),
+e AS (
+  SELECT n_c, n_t, CAST(n_c + n_t AS DOUBLE) / 2 AS expd FROM c
+)
+SELECT n_c AS n_control, n_t AS n_treatment,
+       expd AS expected_each,
+       ROUND(((n_c - expd) * (n_c - expd)
+              + (n_t - expd) * (n_t - expd)) / expd, 6) AS chi2,
+       ROUND(((n_c - expd) * (n_c - expd)
+              + (n_t - expd) * (n_t - expd)) / expd, 6) > 3.841459
+         AS srm_detected
+FROM e
+""",
+)
+def eval_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO-MISMATCH guard: chi-square test of the observed
+    variant split against the designed 50/50 — the first gate every
+    experiment readout must pass (a skewed randomizer biases every
+    metric; Fabijan et al. call SRM the most common experiment bug).
+
+    Scale shape: distinct-user shuffle (partial agg upstream), one-row
+    count pair, chi2 as a single double expression — integer counts in,
+    deterministic double out."""
+    ev = load_table(spark, sf_dir, "events")
+    assigned = (
+        ev.select("user_id").distinct().withColumn("variant", _variant())
+    )
+    c = assigned.agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n_c"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n_t"),
+    )
+    e = c.select(
+        "n_c",
+        "n_t",
+        ((F.col("n_c") + F.col("n_t")).cast("double") / 2).alias("expd"),
+    )
+    chi2 = F.round(
+        (
+            (F.col("n_c") - F.col("expd")) * (F.col("n_c") - F.col("expd"))
+            + (F.col("n_t") - F.col("expd"))
+            * (F.col("n_t") - F.col("expd"))
+        )
+        / F.col("expd"),
+        6,
+    )
+    return e.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.col("expd").alias("expected_each"),
+        chi2.alias("chi2"),
+        (chi2 > F.lit(3.841459)).alias("srm_detected"),
+    )
+
+
+@register(
+    "eval_ab_cuped_adjust",
+    tags=("eval", "ab", "cuped", "variance-reduction"),
+    oracle=f"""
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS mind, MAX(CAST(ts AS DATE)) AS maxd
+  FROM events
+),
+cut AS (SELECT mind + CAST((maxd - mind) // 2 AS INTEGER) AS cutoff
+        FROM bounds),
+users AS (
+  SELECT user_id,
+         {_SQL_VARIANT} AS variant,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                            AND CAST(ts AS DATE) < cutoff
+                           THEN {_SQL_CENTS} END), 0) AS x,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                            AND CAST(ts AS DATE) >= cutoff
+                           THEN {_SQL_CENTS} END), 0) AS y
+  FROM events, cut GROUP BY user_id
+),
+pooled AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+              AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+              AS DOUBLE) AS syy
+  FROM users
+),
+stats AS (
+  SELECT sx / n AS mx,
+         (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+         (sxy - sx * sy / n) * (sxy - sx * sy / n)
+           / ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS rho_sq
+  FROM pooled
+),
+per_variant AS (
+  SELECT variant, COUNT(*) AS n_users,
+         CAST(SUM(y) AS DOUBLE) AS svy,
+         CAST(SUM(x) AS DOUBLE) AS svx
+  FROM users GROUP BY variant
+)
+SELECT v.variant, v.n_users,
+       ROUND(v.svy / v.n_users / 100, 6) AS mean_y,
+       ROUND((v.svy / v.n_users
+              - s.theta * (v.svx / v.n_users - s.mx)) / 100, 6)
+         AS adj_mean_y,
+       ROUND(s.theta, 6) AS theta,
+       ROUND(s.rho_sq, 6) AS var_reduction
+FROM per_variant v, stats s
+ORDER BY v.variant
+""",
+)
+def eval_ab_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED covariate adjustment (Deng et al., WSDM 2013): shrink the
+    experiment-period metric y by theta·(x − mean(x)) where x is the
+    same user's PRE-period metric — the variance-reduction step that
+    lets half-sized experiments reach the same power.  theta is the
+    pooled OLS slope cov(x,y)/var(x); the achievable variance reduction
+    is rho² (reported).
+
+    The pre/post cutoff is the integer midpoint of the observed date
+    span (floor-division day arithmetic — scale-proof and
+    oracle-exact).  Scale shape: one shuffle to the user grain with the
+    1-row cutoff broadcast in, a one-row pooled-moment aggregate
+    broadcast back into the 2-row per-variant report; every moment is
+    an exact BIGINT/DECIMAL sum of integer cents."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("mind"),
+        F.max(F.col("ts").cast("date")).alias("maxd"),
+    )
+    cut = bounds.select(
+        F.date_add(
+            F.col("mind"),
+            F.expr("datediff(maxd, mind) div 2").cast("int"),
+        ).alias("cutoff")
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    d = F.col("ts").cast("date")
+    users = (
+        ev.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        is_purchase & (d < F.col("cutoff")), _cents()
+                    )
+                ),
+                F.lit(0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        is_purchase & (d >= F.col("cutoff")), _cents()
+                    )
+                ),
+                F.lit(0),
+            ).alias("y"),
+        )
+        .withColumn("variant", _variant())
+    )
+    x, y = F.col("x"), F.col("y")
+    pooled = users.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(_dec(x) * _dec(y)).cast("double").alias("sxy"),
+        F.sum(_dec(x) * _dec(x)).cast("double").alias("sxx"),
+        F.sum(_dec(y) * _dec(y)).cast("double").alias("syy"),
+    )
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    stats = pooled.select(
+        (F.col("sx") / F.col("n")).alias("mx"),
+        (cov / varx).alias("theta"),
+        (cov * cov / (varx * vary)).alias("rho_sq"),
+    )
+    per_variant = users.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(y).cast("double").alias("svy"),
+        F.sum(x).cast("double").alias("svx"),
+    )
+    return (
+        per_variant.crossJoin(F.broadcast(stats))
+        .select(
+            "variant",
+            "n_users",
+            F.round(F.col("svy") / F.col("n_users") / 100, 6).alias(
+                "mean_y"
+            ),
+            F.round(
+                (
+                    F.col("svy") / F.col("n_users")
+                    - F.col("theta")
+                    * (F.col("svx") / F.col("n_users") - F.col("mx"))
+                )
+                / 100,
+                6,
+            ).alias("adj_mean_y"),
+            F.round(F.col("theta"), 6).alias("theta"),
+            F.round(F.col("rho_sq"), 6).alias("var_reduction"),
+        )
+        .orderBy("variant")
+    )

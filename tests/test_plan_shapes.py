@@ -199,6 +199,22 @@ _BOUNDED_SINGLE_PARTITION = {
     # one-row grand-total over the 3-row per-domain availability table
     # (partial-agg upstream, O(#tasks) rows cross the final exchange)
     "mix_epoch_schedule",
+    # A/B family: every single-partition stage is a one-row report or
+    # scalar — the six-moment Welch row, the two-count SRM row, the
+    # date-bounds/cutoff scalar and the six-moment pooled CUPED row
+    # (partial aggregation upstream of each; the per-user grain stays
+    # hash-partitioned on user_id at any scale)
+    "eval_ab_welch_ttest",
+    "eval_ab_srm_check",
+    "eval_ab_cuped_adjust",
+    # one-row τ-b report + one-row n_days scalar, both over the
+    # CALENDAR-bounded daily table (≤ ~36.5k rows per century at any
+    # fact scale; partial aggregation upstream of both aggregates)
+    "win_kendall_tau_daily",
+    # one-row (n_docs, avgdl) corpus scalar — partial aggregation
+    # upstream, O(#tasks) rows cross the final exchange; broadcast
+    # back into the hit-sized scored table
+    "text_bm25_topk",
     # one-row normalization scalar (max key / date span) + two one-row
     # summary aggs per layout over the 64-row file-box table — every
     # single-partition stage here is one-row or 64-row by construction
