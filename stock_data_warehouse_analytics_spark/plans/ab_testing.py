@@ -396,3 +396,217 @@ def eval_ab_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+@register(
+    "eval_ab_diff_in_diff",
+    tags=("eval", "ab", "did", "experiment"),
+    oracle=f"""
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS mind, MAX(CAST(ts AS DATE)) AS maxd
+  FROM events
+),
+cut AS (SELECT mind + CAST((maxd - mind) // 2 AS INTEGER) AS cutoff
+        FROM bounds),
+users AS (
+  SELECT user_id,
+         {_SQL_VARIANT} AS variant,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                            AND CAST(ts AS DATE) < cutoff
+                           THEN {_SQL_CENTS} END), 0) AS x,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                            AND CAST(ts AS DATE) >= cutoff
+                           THEN {_SQL_CENTS} END), 0) AS y
+  FROM events, cut GROUP BY user_id
+),
+m AS (
+  SELECT
+    COUNT(*) FILTER (WHERE variant = 0) AS n_c,
+    COUNT(*) FILTER (WHERE variant = 1) AS n_t,
+    CAST(COALESCE(SUM(x) FILTER (WHERE variant = 0), 0) AS DOUBLE) AS sx_c,
+    CAST(COALESCE(SUM(x) FILTER (WHERE variant = 1), 0) AS DOUBLE) AS sx_t,
+    CAST(COALESCE(SUM(y) FILTER (WHERE variant = 0), 0) AS DOUBLE) AS sy_c,
+    CAST(COALESCE(SUM(y) FILTER (WHERE variant = 1), 0) AS DOUBLE) AS sy_t
+  FROM users
+)
+SELECT n_c AS n_control, n_t AS n_treatment,
+       ROUND(sx_c / n_c / 100, 6) AS pre_control,
+       ROUND(sx_t / n_t / 100, 6) AS pre_treatment,
+       ROUND(sy_c / n_c / 100, 6) AS post_control,
+       ROUND(sy_t / n_t / 100, 6) AS post_treatment,
+       ROUND((sx_t / n_t - sx_c / n_c) / 100, 6) AS pre_gap,
+       ROUND(((sy_t / n_t - sx_t / n_t)
+              - (sy_c / n_c - sx_c / n_c)) / 100, 6) AS did_estimate
+FROM m
+""",
+)
+def eval_ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES readout over the same pre/post split
+    CUPED uses: DiD = (post_t − pre_t) − (post_c − pre_c), plus the
+    pre-period gap (the A/A randomization check — a nonzero pre_gap is
+    the red flag that the cohorts were imbalanced before treatment).
+
+    Scale shape: identical to ``eval_ab_cuped_adjust`` — one shuffle to
+    the user grain with the 1-row cutoff broadcast in, then a one-row
+    six-sum report; every mean is a ratio of an exact BIGINT cents sum
+    to a count, so the 2×2 panel is bit-stable across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("mind"),
+        F.max(F.col("ts").cast("date")).alias("maxd"),
+    )
+    cut = bounds.select(
+        F.date_add(
+            F.col("mind"),
+            F.expr("datediff(maxd, mind) div 2").cast("int"),
+        ).alias("cutoff")
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    d = F.col("ts").cast("date")
+    users = (
+        ev.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(is_purchase & (d < F.col("cutoff")), _cents())
+                ),
+                F.lit(0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(is_purchase & (d >= F.col("cutoff")), _cents())
+                ),
+                F.lit(0),
+            ).alias("y"),
+        )
+        .withColumn("variant", _variant())
+    )
+    is_c, is_t = F.col("variant") == 0, F.col("variant") == 1
+    x, y = F.col("x"), F.col("y")
+    m = users.agg(
+        F.count(F.when(is_c, 1)).alias("n_c"),
+        F.count(F.when(is_t, 1)).alias("n_t"),
+        F.coalesce(F.sum(F.when(is_c, x)), F.lit(0))
+        .cast("double")
+        .alias("sx_c"),
+        F.coalesce(F.sum(F.when(is_t, x)), F.lit(0))
+        .cast("double")
+        .alias("sx_t"),
+        F.coalesce(F.sum(F.when(is_c, y)), F.lit(0))
+        .cast("double")
+        .alias("sy_c"),
+        F.coalesce(F.sum(F.when(is_t, y)), F.lit(0))
+        .cast("double")
+        .alias("sy_t"),
+    )
+    mx_c = F.col("sx_c") / F.col("n_c")
+    mx_t = F.col("sx_t") / F.col("n_t")
+    my_c = F.col("sy_c") / F.col("n_c")
+    my_t = F.col("sy_t") / F.col("n_t")
+    return m.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.round(mx_c / 100, 6).alias("pre_control"),
+        F.round(mx_t / 100, 6).alias("pre_treatment"),
+        F.round(my_c / 100, 6).alias("post_control"),
+        F.round(my_t / 100, 6).alias("post_treatment"),
+        F.round((mx_t - mx_c) / 100, 6).alias("pre_gap"),
+        F.round(((my_t - mx_t) - (my_c - mx_c)) / 100, 6).alias(
+            "did_estimate"
+        ),
+    )
+
+
+@register(
+    "eval_ab_power_mde",
+    tags=("eval", "ab", "power", "experiment"),
+    oracle=f"""
+WITH users AS (
+  SELECT user_id,
+         {_SQL_VARIANT} AS variant,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                           THEN {_SQL_CENTS} END), 0) AS y
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT
+    COUNT(*) FILTER (WHERE variant = 0) AS n_c,
+    COUNT(*) FILTER (WHERE variant = 1) AS n_t,
+    CAST(COALESCE(SUM(y) FILTER (WHERE variant = 0), 0) AS DOUBLE) AS s_c,
+    CAST(COALESCE(SUM(y) FILTER (WHERE variant = 1), 0) AS DOUBLE) AS s_t,
+    CAST(COALESCE(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  FILTER (WHERE variant = 0), 0) AS DOUBLE) AS q_c,
+    CAST(COALESCE(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  FILTER (WHERE variant = 1), 0) AS DOUBLE) AS q_t
+  FROM users
+),
+v AS (
+  SELECT n_c, n_t, s_c / n_c AS mc,
+         (q_c - s_c * s_c / n_c) / (n_c - 1) AS vc,
+         (q_t - s_t * s_t / n_t) / (n_t - 1) AS vt
+  FROM m
+)
+SELECT n_c AS n_control, n_t AS n_treatment,
+       ROUND(SQRT(vc / n_c + vt / n_t) / 100, 6) AS se,
+       ROUND(2.801585e0 * SQRT(vc / n_c + vt / n_t) / 100, 6) AS mde_abs,
+       ROUND(2.801585e0 * SQRT(vc / n_c + vt / n_t) / mc, 6) AS mde_rel
+FROM v
+""",
+)
+def eval_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINIMUM DETECTABLE EFFECT at 80% power / two-sided alpha 5%:
+    MDE = (z_{{0.975}} + z_{{0.80}})·SE = 2.801585·sqrt(v_c/n_c +
+    v_t/n_t) — the pre-experiment sizing readout every platform shows
+    next to the live t-stat (can this experiment even detect the
+    effect you care about at its current traffic?).
+
+    Scale shape: same one-shuffle user grain and one-row six-moment
+    report as ``eval_ab_welch_ttest``; SE and MDE are single double
+    expressions over exact BIGINT/DECIMAL moments."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", _cents())),
+            F.lit(0),
+        ).alias("y")
+    ).withColumn("variant", _variant())
+    y = F.col("y")
+    is_c, is_t = F.col("variant") == 0, F.col("variant") == 1
+    m = users.agg(
+        F.count(F.when(is_c, 1)).alias("n_c"),
+        F.count(F.when(is_t, 1)).alias("n_t"),
+        F.coalesce(F.sum(F.when(is_c, y)), F.lit(0))
+        .cast("double")
+        .alias("s_c"),
+        F.coalesce(F.sum(F.when(is_t, y)), F.lit(0))
+        .cast("double")
+        .alias("s_t"),
+        F.coalesce(F.sum(F.when(is_c, _dec(y) * _dec(y))), F.lit(0))
+        .cast("double")
+        .alias("q_c"),
+        F.coalesce(F.sum(F.when(is_t, _dec(y) * _dec(y))), F.lit(0))
+        .cast("double")
+        .alias("q_t"),
+    )
+    v = m.select(
+        "n_c",
+        "n_t",
+        (F.col("s_c") / F.col("n_c")).alias("mc"),
+        (
+            (F.col("q_c") - F.col("s_c") * F.col("s_c") / F.col("n_c"))
+            / (F.col("n_c") - F.lit(1))
+        ).alias("vc"),
+        (
+            (F.col("q_t") - F.col("s_t") * F.col("s_t") / F.col("n_t"))
+            / (F.col("n_t") - F.lit(1))
+        ).alias("vt"),
+    )
+    se = F.sqrt(F.col("vc") / F.col("n_c") + F.col("vt") / F.col("n_t"))
+    return v.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.round(se / 100, 6).alias("se"),
+        F.round(F.lit(2.801585) * se / 100, 6).alias("mde_abs"),
+        F.round(F.lit(2.801585) * se / F.col("mc"), 6).alias("mde_rel"),
+    )

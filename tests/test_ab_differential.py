@@ -1,0 +1,260 @@
+"""Independent numpy/pandas differentials for the round-5 statistics
+(A/B family, Kendall τ-b, Pareto skyline, BM25).
+
+The DuckDB oracle mirrors share each query's FORMULA, so a formula
+error would pass the oracle gate on both engines.  These tests
+recompute every statistic from the raw parquet with an unrelated
+implementation (pandas groupby + numpy moments, an O(n²) τ loop, a
+brute-force dominance scan, a dict-based BM25) and compare.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _events() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_SMALL}/events.parquet")
+
+
+def _user_metric(ev: pd.DataFrame) -> pd.DataFrame:
+    ev = ev.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    purch = ev[ev["event_type"] == "purchase"]
+    y = purch.groupby("user_id")["cents"].sum()
+    users = pd.DataFrame({"user_id": ev["user_id"].unique()})
+    users["y"] = users["user_id"].map(y).fillna(0).astype("int64")
+    users["variant"] = users["user_id"].map(lambda u: _h60(str(u)) % 2)
+    return users
+
+
+def test_welch_ttest_matches_numpy(spark):
+    from stock_data_warehouse_analytics_spark.plans.ab_testing import (
+        eval_ab_welch_ttest,
+    )
+
+    row = eval_ab_welch_ttest(spark, SF_SMALL).collect()[0]
+    users = _user_metric(_events())
+    c = users.loc[users["variant"] == 0, "y"].to_numpy(dtype=float)
+    t = users.loc[users["variant"] == 1, "y"].to_numpy(dtype=float)
+    vc, vt = c.var(ddof=1), t.var(ddof=1)
+    se2 = vt / len(t) + vc / len(c)
+    t_ref = (t.mean() - c.mean()) / math.sqrt(se2)
+    df_ref = se2 * se2 / (
+        (vt / len(t)) ** 2 / (len(t) - 1)
+        + (vc / len(c)) ** 2 / (len(c) - 1)
+    )
+    assert row["n_control"] == len(c) and row["n_treatment"] == len(t)
+    assert row["mean_control"] == pytest.approx(c.mean() / 100, abs=1e-5)
+    assert row["t_stat"] == pytest.approx(t_ref, abs=1e-5)
+    assert row["welch_df"] == pytest.approx(df_ref, abs=1e-3)
+    assert row["significant"] == (abs(t_ref) > 1.959964)
+
+
+def test_srm_matches_numpy(spark):
+    from stock_data_warehouse_analytics_spark.plans.ab_testing import (
+        eval_ab_srm_check,
+    )
+
+    row = eval_ab_srm_check(spark, SF_SMALL).collect()[0]
+    users = _user_metric(_events())
+    n_c = int((users["variant"] == 0).sum())
+    n_t = int((users["variant"] == 1).sum())
+    exp = (n_c + n_t) / 2
+    chi2 = ((n_c - exp) ** 2 + (n_t - exp) ** 2) / exp
+    assert (row["n_control"], row["n_treatment"]) == (n_c, n_t)
+    assert row["chi2"] == pytest.approx(chi2, abs=1e-5)
+    assert row["srm_detected"] == (chi2 > 3.841459)
+
+
+def _prepost() -> pd.DataFrame:
+    ev = _events().copy()
+    ev["d"] = ev["ts"].dt.normalize()
+    mind, maxd = ev["d"].min(), ev["d"].max()
+    cutoff = mind + pd.Timedelta(days=(maxd - mind).days // 2)
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    purch = ev[ev["event_type"] == "purchase"]
+    x = purch[purch["d"] < cutoff].groupby("user_id")["cents"].sum()
+    y = purch[purch["d"] >= cutoff].groupby("user_id")["cents"].sum()
+    users = pd.DataFrame({"user_id": ev["user_id"].unique()})
+    users["x"] = users["user_id"].map(x).fillna(0).astype("int64")
+    users["y"] = users["user_id"].map(y).fillna(0).astype("int64")
+    users["variant"] = users["user_id"].map(lambda u: _h60(str(u)) % 2)
+    return users
+
+
+def test_cuped_matches_numpy(spark):
+    from stock_data_warehouse_analytics_spark.plans.ab_testing import (
+        eval_ab_cuped_adjust,
+    )
+
+    rows = {
+        r["variant"]: r
+        for r in eval_ab_cuped_adjust(spark, SF_SMALL).collect()
+    }
+    users = _prepost()
+    x = users["x"].to_numpy(dtype=float)
+    y = users["y"].to_numpy(dtype=float)
+    cov = np.mean(x * y) - x.mean() * y.mean()
+    theta = cov / (np.mean(x * x) - x.mean() ** 2)
+    rho_sq = cov * cov / (
+        (np.mean(x * x) - x.mean() ** 2)
+        * (np.mean(y * y) - y.mean() ** 2)
+    )
+    for v in (0, 1):
+        sub = users[users["variant"] == v]
+        adj = (
+            sub["y"].mean() - theta * (sub["x"].mean() - x.mean())
+        ) / 100
+        assert rows[v]["n_users"] == len(sub)
+        assert rows[v]["adj_mean_y"] == pytest.approx(adj, abs=1e-5)
+        assert rows[v]["theta"] == pytest.approx(theta, abs=1e-5)
+        assert rows[v]["var_reduction"] == pytest.approx(rho_sq, abs=1e-5)
+
+
+def test_diff_in_diff_matches_numpy(spark):
+    from stock_data_warehouse_analytics_spark.plans.ab_testing import (
+        eval_ab_diff_in_diff,
+    )
+
+    row = eval_ab_diff_in_diff(spark, SF_SMALL).collect()[0]
+    users = _prepost()
+    m = {
+        (v, col): users.loc[users["variant"] == v, col].mean() / 100
+        for v in (0, 1)
+        for col in ("x", "y")
+    }
+    did = (m[(1, "y")] - m[(1, "x")]) - (m[(0, "y")] - m[(0, "x")])
+    assert row["pre_gap"] == pytest.approx(
+        m[(1, "x")] - m[(0, "x")], abs=1e-5
+    )
+    assert row["did_estimate"] == pytest.approx(did, abs=1e-5)
+
+
+def test_power_mde_matches_numpy(spark):
+    from stock_data_warehouse_analytics_spark.plans.ab_testing import (
+        eval_ab_power_mde,
+    )
+
+    row = eval_ab_power_mde(spark, SF_SMALL).collect()[0]
+    users = _user_metric(_events())
+    c = users.loc[users["variant"] == 0, "y"].to_numpy(dtype=float)
+    t = users.loc[users["variant"] == 1, "y"].to_numpy(dtype=float)
+    se = math.sqrt(c.var(ddof=1) / len(c) + t.var(ddof=1) / len(t))
+    assert row["se"] == pytest.approx(se / 100, abs=1e-5)
+    assert row["mde_abs"] == pytest.approx(2.801585 * se / 100, abs=1e-5)
+    assert row["mde_rel"] == pytest.approx(
+        2.801585 * se / c.mean(), abs=1e-5
+    )
+
+
+def test_kendall_tau_matches_quadratic_loop(spark):
+    from stock_data_warehouse_analytics_spark.plans.olap_depth import (
+        win_kendall_tau_daily,
+    )
+
+    row = win_kendall_tau_daily(spark, SF_SMALL).collect()[0]
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+    daily = o.groupby("o_orderdate").agg(
+        x=("o_orderkey", "size"), y=("cents", "sum")
+    )
+    xs, ys = daily["x"].to_numpy(), daily["y"].to_numpy()
+    conc = disc = tx = ty = 0
+    n = len(xs)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx, dy = xs[i] - xs[j], ys[i] - ys[j]
+            if dx and dy:
+                if (dx > 0) == (dy > 0):
+                    conc += 1
+                else:
+                    disc += 1
+            elif dx == 0 and dy != 0:
+                tx += 1
+            elif dy == 0 and dx != 0:
+                ty += 1
+    tau = (conc - disc) / math.sqrt(
+        (conc + disc + tx) * (conc + disc + ty)
+    )
+    assert row["n_days"] == n
+    assert (row["concordant"], row["discordant"]) == (conc, disc)
+    assert (row["ties_x"], row["ties_y"]) == (tx, ty)
+    assert row["tau_b"] == pytest.approx(tau, abs=1e-5)
+
+
+def test_skyline_matches_bruteforce(spark):
+    from stock_data_warehouse_analytics_spark.plans.olap_depth import (
+        olap_skyline_per_brand,
+    )
+
+    got = {
+        (r["p_brand"], int(round(r["price"] * 100)), r["size"])
+        for r in olap_skyline_per_brand(spark, SF_SMALL).collect()
+    }
+    p = pd.read_parquet(f"{SF_SMALL}/part.parquet")
+    p["cents"] = (p["p_retailprice"] * 100).round().astype("int64")
+    want = set()
+    for brand, grp in p.groupby("p_brand"):
+        pts = list(zip(grp["cents"], grp["p_size"]))
+        for c, s in set(pts):
+            dominated = any(
+                (c2 >= c and s2 >= s) and (c2 > c or s2 > s)
+                for c2, s2 in pts
+            )
+            if not dominated:
+                want.add((brand, c, s))
+    assert got == want
+
+
+def test_bm25_matches_dict_implementation(spark):
+    from stock_data_warehouse_analytics_spark.plans.retrieval import (
+        _QUERY_TERMS,
+        text_bm25_topk,
+    )
+
+    got = [
+        (r["doc_id"], r["bm25"])
+        for r in text_bm25_topk(spark, SF_SMALL).collect()
+    ]
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    toks = {
+        r.doc_id: str(r.text).strip().lower().split()
+        for r in docs.itertuples()
+    }
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    df = {
+        q: sum(1 for t in toks.values() if q in t) for q in _QUERY_TERMS
+    }
+    scores = {}
+    for doc_id, t in toks.items():
+        s = 0
+        for q in _QUERY_TERMS:
+            tf = t.count(q)
+            if not tf:
+                continue
+            idf = math.log(1 + (n_docs - df[q] + 0.5) / (df[q] + 0.5))
+            s += round(
+                idf
+                * (tf * 2.2)
+                / (tf + 1.2 * (0.25 + 0.75 * (len(t) / avgdl)))
+                * 1e9
+            )
+        if s:
+            scores[doc_id] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, got_s), (_, want_n) in zip(got, want):
+        assert got_s == pytest.approx(want_n / 1e9, abs=1e-5)

@@ -207,6 +207,8 @@ _BOUNDED_SINGLE_PARTITION = {
     "eval_ab_welch_ttest",
     "eval_ab_srm_check",
     "eval_ab_cuped_adjust",
+    "eval_ab_diff_in_diff",
+    "eval_ab_power_mde",
     # one-row τ-b report + one-row n_days scalar, both over the
     # CALENDAR-bounded daily table (≤ ~36.5k rows per century at any
     # fact scale; partial aggregation upstream of both aggregates)
@@ -215,6 +217,10 @@ _BOUNDED_SINGLE_PARTITION = {
     # upstream, O(#tasks) rows cross the final exchange; broadcast
     # back into the hit-sized scored table
     "text_bm25_topk",
+    # four one-row report aggregates (customer count, cohort count,
+    # order marks, lineitem marks) cross-joined into the single report
+    # row — partial aggregation upstream of each
+    "dq_deletion_cascade",
     # one-row normalization scalar (max key / date span) + two one-row
     # summary aggs per layout over the 64-row file-box table — every
     # single-partition stage here is one-row or 64-row by construction
