@@ -209,6 +209,10 @@ _BOUNDED_SINGLE_PARTITION = {
     "eval_ab_cuped_adjust",
     "eval_ab_diff_in_diff",
     "eval_ab_power_mde",
+    # quantile-operator cut scalars (32-row global value cuts, the
+    # grouped_exact_quantiles contract) + the final pivot over the
+    # 2-row per-variant quantile table — all report/cut-sized
+    "eval_ab_quantile_effect",
     # one-row τ-b report + one-row n_days scalar, both over the
     # CALENDAR-bounded daily table (≤ ~36.5k rows per century at any
     # fact scale; partial aggregation upstream of both aggregates)

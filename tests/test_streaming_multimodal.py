@@ -1060,3 +1060,49 @@ def test_stream_langid_admission_equals_batch(spark, tmp_path):
     assert want and got == want
     assert any(adm for (_, _, _, adm) in want.values())
     assert any(not adm for (_, _, _, adm) in want.values())
+
+
+def test_stream_srm_monitor_equals_batch(spark, tmp_path):
+    """The windowed SRM guardrail under readStream(availableNow) must
+    equal the registered batch twin for every watermark-closed window
+    (append mode emits only closed windows: stream ⊆ batch, all
+    emitted rows exact)."""
+    from stock_data_warehouse_analytics_spark.plans import get_queries
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+    from stock_data_warehouse_analytics_spark.streaming.guardrails import (
+        run_srm_stream,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "src")
+    events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).coalesce(4).write.mode("overwrite").json(src)
+
+    q = run_srm_stream(
+        spark, src, checkpoint_dir=str(tmp_path / "ckpt"), minutes=60
+    )
+    q.awaitTermination()
+    s = {
+        r.window_start: (r.n_control, r.n_treatment, r.chi2, r.srm_flag)
+        for r in spark.table("srm_stream_out").collect()
+    }
+    b = {
+        r.window_start: (r.n_control, r.n_treatment, r.chi2, r.srm_flag)
+        for r in get_queries()["stream_srm_monitor"](spark, SF_SMALL).collect()
+    }
+    assert len(s) > 0
+    for key, val in s.items():
+        assert b[key] == val
+    # only windows near max event time may be missing (still open at
+    # the final watermark)
+    missing = set(b) - set(s)
+    max_start = max(b)
+    assert all(
+        (max_start - k).total_seconds() <= 2 * 3600 for k in missing
+    )
