@@ -153,3 +153,331 @@ def stream_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srm_windowed(
         load_table(spark, sf_dir, "events"), minutes=60, ordered=True
     )
+
+
+@register(
+    "eval_ab_proportion_ztest",
+    tags=("eval", "ab", "conversion", "experiment"),
+    oracle=f"""
+WITH users AS (
+  SELECT user_id,
+         {_SQL_VARIANT} AS variant,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT
+    COUNT(*) FILTER (WHERE variant = 0) AS n_c,
+    COUNT(*) FILTER (WHERE variant = 1) AS n_t,
+    COALESCE(SUM(converted) FILTER (WHERE variant = 0), 0) AS k_c,
+    COALESCE(SUM(converted) FILTER (WHERE variant = 1), 0) AS k_t
+  FROM users
+),
+p AS (
+  SELECT n_c, n_t, k_c, k_t,
+         CAST(k_c AS DOUBLE) / n_c AS pc,
+         CAST(k_t AS DOUBLE) / n_t AS pt,
+         CAST(k_c + k_t AS DOUBLE) / (n_c + n_t) AS pp
+  FROM m
+)
+SELECT n_c AS n_control, n_t AS n_treatment,
+       k_c AS conv_control, k_t AS conv_treatment,
+       ROUND(pc, 6) AS rate_control,
+       ROUND(pt, 6) AS rate_treatment,
+       ROUND((pt - pc)
+             / SQRT(pp * (1.0e0 - pp)
+                    * (1.0e0 / n_c + 1.0e0 / n_t)), 6) AS z_stat,
+       ABS(ROUND((pt - pc)
+             / SQRT(pp * (1.0e0 - pp)
+                    * (1.0e0 / n_c + 1.0e0 / n_t)), 6)) > 1.959964
+         AS significant
+FROM p
+""",
+)
+def eval_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PROPORTION z-test on user conversion (did the user purchase
+    at all?) — the binary-metric face of the deflection test and the
+    single most common experiment readout (conversion rate, not
+    revenue).  Pooled-variance z under H0, per Agresti.
+
+    Scale shape: same one-shuffle user grain as the Welch query; the
+    conversion flag is a per-user MAX, the four counts are one partial-
+    agg row, and z is one double expression over exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).withColumn("variant", _variant())
+    is_c, is_t = F.col("variant") == 0, F.col("variant") == 1
+    m = users.agg(
+        F.count(F.when(is_c, 1)).alias("n_c"),
+        F.count(F.when(is_t, 1)).alias("n_t"),
+        F.coalesce(F.sum(F.when(is_c, F.col("converted"))), F.lit(0)).alias(
+            "k_c"
+        ),
+        F.coalesce(F.sum(F.when(is_t, F.col("converted"))), F.lit(0)).alias(
+            "k_t"
+        ),
+    )
+    p = m.select(
+        "n_c",
+        "n_t",
+        "k_c",
+        "k_t",
+        (F.col("k_c").cast("double") / F.col("n_c")).alias("pc"),
+        (F.col("k_t").cast("double") / F.col("n_t")).alias("pt"),
+        (
+            (F.col("k_c") + F.col("k_t")).cast("double")
+            / (F.col("n_c") + F.col("n_t"))
+        ).alias("pp"),
+    )
+    z = F.round(
+        (F.col("pt") - F.col("pc"))
+        / F.sqrt(
+            F.col("pp")
+            * (F.lit(1.0) - F.col("pp"))
+            * (F.lit(1.0) / F.col("n_c") + F.lit(1.0) / F.col("n_t"))
+        ),
+        6,
+    )
+    return p.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.col("k_c").alias("conv_control"),
+        F.col("k_t").alias("conv_treatment"),
+        F.round(F.col("pc"), 6).alias("rate_control"),
+        F.round(F.col("pt"), 6).alias("rate_treatment"),
+        z.alias("z_stat"),
+        (F.abs(z) > F.lit(1.959964)).alias("significant"),
+    )
+
+
+@register(
+    "eval_ab_readout_panel",
+    tags=("eval", "ab", "experiment", "composition"),
+    oracle=f"""
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS mind, MAX(CAST(ts AS DATE)) AS maxd
+  FROM events
+),
+cut AS (SELECT mind + CAST((maxd - mind) // 2 AS INTEGER) AS cutoff
+        FROM bounds),
+users AS (
+  SELECT user_id,
+         {_SQL_VARIANT} AS variant,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                            AND CAST(ts AS DATE) < cutoff
+                           THEN {_SQL_CENTS} END), 0) AS x,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                            AND CAST(ts AS DATE) >= cutoff
+                           THEN {_SQL_CENTS} END), 0) AS y
+  FROM events, cut GROUP BY user_id
+),
+m AS (
+  SELECT
+    COUNT(*) FILTER (WHERE variant = 0) AS n_c,
+    COUNT(*) FILTER (WHERE variant = 1) AS n_t,
+    CAST(COALESCE(SUM(x) FILTER (WHERE variant = 0), 0) AS DOUBLE) AS sx_c,
+    CAST(COALESCE(SUM(x) FILTER (WHERE variant = 1), 0) AS DOUBLE) AS sx_t,
+    CAST(COALESCE(SUM(y) FILTER (WHERE variant = 0), 0) AS DOUBLE) AS sy_c,
+    CAST(COALESCE(SUM(y) FILTER (WHERE variant = 1), 0) AS DOUBLE) AS sy_t,
+    CAST(COALESCE(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  FILTER (WHERE variant = 0), 0) AS DOUBLE) AS qy_c,
+    CAST(COALESCE(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  FILTER (WHERE variant = 1), 0) AS DOUBLE) AS qy_t,
+    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+         AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+         AS DOUBLE) AS sxy
+  FROM users
+),
+v AS (
+  SELECT n_c, n_t,
+         n_c + n_t AS n,
+         CAST(n_c + n_t AS DOUBLE) / 2 AS expd,
+         sx_c / n_c AS mx_c, sx_t / n_t AS mx_t,
+         sy_c / n_c AS my_c, sy_t / n_t AS my_t,
+         (qy_c - sy_c * sy_c / n_c) / (n_c - 1) AS vy_c,
+         (qy_t - sy_t * sy_t / n_t) / (n_t - 1) AS vy_t,
+         (sxy - (sx_c + sx_t) * (sy_c + sy_t) / (n_c + n_t))
+           / (sxx - (sx_c + sx_t) * (sx_c + sx_t) / (n_c + n_t)) AS theta
+  FROM m
+),
+s AS (
+  SELECT n_c, n_t,
+         ROUND(((n_c - expd) * (n_c - expd)
+                + (n_t - expd) * (n_t - expd)) / expd, 6) AS srm_chi2,
+         ROUND((my_t - my_c) / SQRT(vy_t / n_t + vy_c / n_c), 6)
+           AS t_stat,
+         ROUND((my_t - my_c) / 100, 6) AS lift_abs,
+         ROUND(((my_t - my_c) - theta * (mx_t - mx_c)) / 100, 6)
+           AS cuped_adj_lift,
+         ROUND(((my_t - mx_t) - (my_c - mx_c)) / 100, 6) AS did_estimate
+  FROM v
+)
+SELECT n_c AS n_control, n_t AS n_treatment,
+       srm_chi2,
+       srm_chi2 <= 3.841459 AS srm_ok,
+       t_stat,
+       lift_abs,
+       cuped_adj_lift,
+       did_estimate,
+       (srm_chi2 <= 3.841459 AND ABS(t_stat) > 1.959964
+        AND cuped_adj_lift > 0.0e0) AS ship
+FROM s
+""",
+)
+def eval_ab_readout_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED experiment decision row — the panel every platform
+    renders at readout time: SRM gate, Welch t on the experiment-period
+    metric, raw vs CUPED-adjusted lift, the DiD estimate, and the
+    ship/no-ship verdict (SRM passes ∧ significant ∧ adjusted lift
+    positive).  The experimentation analog of
+    ``mix_training_manifest``: one query, whole funnel.
+
+    Scale shape: ONE shuffle to the user grain and ONE ten-moment row —
+    SRM, Welch, CUPED and DiD all fold into expressions over the same
+    exact BIGINT/DECIMAL moments (the cheapest possible composition:
+    adding readouts costs zero extra passes over the fact table)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("mind"),
+        F.max(F.col("ts").cast("date")).alias("maxd"),
+    )
+    cut = bounds.select(
+        F.date_add(
+            F.col("mind"),
+            F.expr("datediff(maxd, mind) div 2").cast("int"),
+        ).alias("cutoff")
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    d = F.col("ts").cast("date")
+    users = (
+        ev.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(is_purchase & (d < F.col("cutoff")), _cents())
+                ),
+                F.lit(0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(is_purchase & (d >= F.col("cutoff")), _cents())
+                ),
+                F.lit(0),
+            ).alias("y"),
+        )
+        .withColumn("variant", _variant())
+    )
+    from .ab_testing import _dec
+
+    x, y = F.col("x"), F.col("y")
+    is_c, is_t = F.col("variant") == 0, F.col("variant") == 1
+    m = users.agg(
+        F.count(F.when(is_c, 1)).alias("n_c"),
+        F.count(F.when(is_t, 1)).alias("n_t"),
+        F.coalesce(F.sum(F.when(is_c, x)), F.lit(0))
+        .cast("double")
+        .alias("sx_c"),
+        F.coalesce(F.sum(F.when(is_t, x)), F.lit(0))
+        .cast("double")
+        .alias("sx_t"),
+        F.coalesce(F.sum(F.when(is_c, y)), F.lit(0))
+        .cast("double")
+        .alias("sy_c"),
+        F.coalesce(F.sum(F.when(is_t, y)), F.lit(0))
+        .cast("double")
+        .alias("sy_t"),
+        F.coalesce(F.sum(F.when(is_c, _dec(y) * _dec(y))), F.lit(0))
+        .cast("double")
+        .alias("qy_c"),
+        F.coalesce(F.sum(F.when(is_t, _dec(y) * _dec(y))), F.lit(0))
+        .cast("double")
+        .alias("qy_t"),
+        F.sum(_dec(x) * _dec(x)).cast("double").alias("sxx"),
+        F.sum(_dec(x) * _dec(y)).cast("double").alias("sxy"),
+    )
+    n = F.col("n_c") + F.col("n_t")
+    sx = F.col("sx_c") + F.col("sx_t")
+    sy = F.col("sy_c") + F.col("sy_t")
+    v = m.select(
+        "n_c",
+        "n_t",
+        ((F.col("n_c") + F.col("n_t")).cast("double") / 2).alias("expd"),
+        (F.col("sx_c") / F.col("n_c")).alias("mx_c"),
+        (F.col("sx_t") / F.col("n_t")).alias("mx_t"),
+        (F.col("sy_c") / F.col("n_c")).alias("my_c"),
+        (F.col("sy_t") / F.col("n_t")).alias("my_t"),
+        (
+            (F.col("qy_c") - F.col("sy_c") * F.col("sy_c") / F.col("n_c"))
+            / (F.col("n_c") - F.lit(1))
+        ).alias("vy_c"),
+        (
+            (F.col("qy_t") - F.col("sy_t") * F.col("sy_t") / F.col("n_t"))
+            / (F.col("n_t") - F.lit(1))
+        ).alias("vy_t"),
+        ((F.col("sxy") - sx * sy / n) / (F.col("sxx") - sx * sx / n)).alias(
+            "theta"
+        ),
+    )
+    srm_chi2 = F.round(
+        (
+            (F.col("n_c") - F.col("expd")) * (F.col("n_c") - F.col("expd"))
+            + (F.col("n_t") - F.col("expd"))
+            * (F.col("n_t") - F.col("expd"))
+        )
+        / F.col("expd"),
+        6,
+    )
+    t_stat = F.round(
+        (F.col("my_t") - F.col("my_c"))
+        / F.sqrt(
+            F.col("vy_t") / F.col("n_t") + F.col("vy_c") / F.col("n_c")
+        ),
+        6,
+    )
+    s = v.select(
+        "n_c",
+        "n_t",
+        srm_chi2.alias("srm_chi2"),
+        t_stat.alias("t_stat"),
+        F.round((F.col("my_t") - F.col("my_c")) / 100, 6).alias(
+            "lift_abs"
+        ),
+        F.round(
+            (
+                (F.col("my_t") - F.col("my_c"))
+                - F.col("theta") * (F.col("mx_t") - F.col("mx_c"))
+            )
+            / 100,
+            6,
+        ).alias("cuped_adj_lift"),
+        F.round(
+            (
+                (F.col("my_t") - F.col("mx_t"))
+                - (F.col("my_c") - F.col("mx_c"))
+            )
+            / 100,
+            6,
+        ).alias("did_estimate"),
+    )
+    srm_ok = F.col("srm_chi2") <= F.lit(3.841459)
+    return s.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        "srm_chi2",
+        srm_ok.alias("srm_ok"),
+        "t_stat",
+        "lift_abs",
+        "cuped_adj_lift",
+        "did_estimate",
+        (
+            srm_ok
+            & (F.abs(F.col("t_stat")) > F.lit(1.959964))
+            & (F.col("cuped_adj_lift") > F.lit(0.0))
+        ).alias("ship"),
+    )

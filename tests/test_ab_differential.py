@@ -258,3 +258,73 @@ def test_bm25_matches_dict_implementation(spark):
     assert [d for d, _ in got] == [d for d, _ in want]
     for (_, got_s), (_, want_n) in zip(got, want):
         assert got_s == pytest.approx(want_n / 1e9, abs=1e-5)
+
+
+def test_proportion_ztest_matches_numpy(spark):
+    from stock_data_warehouse_analytics_spark.plans.ab_testing2 import (
+        eval_ab_proportion_ztest,
+    )
+
+    row = eval_ab_proportion_ztest(spark, SF_SMALL).collect()[0]
+    ev = _events()
+    conv = ev[ev["event_type"] == "purchase"]["user_id"].unique()
+    users = pd.DataFrame({"user_id": ev["user_id"].unique()})
+    users["converted"] = users["user_id"].isin(conv).astype(int)
+    users["variant"] = users["user_id"].map(lambda u: _h60(str(u)) % 2)
+    n_c = int((users["variant"] == 0).sum())
+    n_t = int((users["variant"] == 1).sum())
+    k_c = int(users.loc[users["variant"] == 0, "converted"].sum())
+    k_t = int(users.loc[users["variant"] == 1, "converted"].sum())
+    pp = (k_c + k_t) / (n_c + n_t)
+    assert (row["conv_control"], row["conv_treatment"]) == (k_c, k_t)
+    if pp in (0.0, 1.0):
+        # degenerate split (everyone/no-one converted): the pooled
+        # variance is 0 and z is 0/0 = NaN on both engines
+        assert row["z_stat"] is None or math.isnan(row["z_stat"])
+    else:
+        z = (k_t / n_t - k_c / n_c) / math.sqrt(
+            pp * (1 - pp) * (1 / n_c + 1 / n_t)
+        )
+        assert row["z_stat"] == pytest.approx(z, abs=1e-5)
+        assert row["significant"] == (abs(z) > 1.959964)
+
+
+def test_readout_panel_matches_numpy(spark):
+    from stock_data_warehouse_analytics_spark.plans.ab_testing2 import (
+        eval_ab_readout_panel,
+    )
+
+    row = eval_ab_readout_panel(spark, SF_SMALL).collect()[0]
+    users = _prepost()
+    c = users[users["variant"] == 0]
+    t = users[users["variant"] == 1]
+    n_c, n_t = len(c), len(t)
+    exp = (n_c + n_t) / 2
+    chi2 = ((n_c - exp) ** 2 + (n_t - exp) ** 2) / exp
+    yc = c["y"].to_numpy(dtype=float)
+    yt = t["y"].to_numpy(dtype=float)
+    t_ref = (yt.mean() - yc.mean()) / math.sqrt(
+        yt.var(ddof=1) / n_t + yc.var(ddof=1) / n_c
+    )
+    x = users["x"].to_numpy(dtype=float)
+    y = users["y"].to_numpy(dtype=float)
+    theta = (np.mean(x * y) - x.mean() * y.mean()) / (
+        np.mean(x * x) - x.mean() ** 2
+    )
+    lift = (yt.mean() - yc.mean()) / 100
+    adj_lift = (
+        (yt.mean() - yc.mean())
+        - theta * (t["x"].mean() - c["x"].mean())
+    ) / 100
+    did = (
+        (yt.mean() - t["x"].mean()) - (yc.mean() - c["x"].mean())
+    ) / 100
+    assert row["srm_chi2"] == pytest.approx(chi2, abs=1e-5)
+    assert row["t_stat"] == pytest.approx(t_ref, abs=1e-5)
+    assert row["lift_abs"] == pytest.approx(lift, abs=1e-5)
+    assert row["cuped_adj_lift"] == pytest.approx(adj_lift, abs=1e-5)
+    assert row["did_estimate"] == pytest.approx(did, abs=1e-5)
+    ship = (
+        chi2 <= 3.841459 and abs(t_ref) > 1.959964 and adj_lift > 0
+    )
+    assert row["ship"] == ship

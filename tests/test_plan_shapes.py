@@ -213,6 +213,11 @@ _BOUNDED_SINGLE_PARTITION = {
     # grouped_exact_quantiles contract) + the final pivot over the
     # 2-row per-variant quantile table — all report/cut-sized
     "eval_ab_quantile_effect",
+    # same one-row report shapes as the rest of the A/B family: the
+    # four-count z row, the ten-moment panel row, the one-row
+    # date-bounds/cutoff scalar — partial aggregation upstream
+    "eval_ab_proportion_ztest",
+    "eval_ab_readout_panel",
     # one-row τ-b report + one-row n_days scalar, both over the
     # CALENDAR-bounded daily table (≤ ~36.5k rows per century at any
     # fact scale; partial aggregation upstream of both aggregates)
