@@ -328,3 +328,31 @@ def test_readout_panel_matches_numpy(spark):
         chi2 <= 3.841459 and abs(t_ref) > 1.959964 and adj_lift > 0
     )
     assert row["ship"] == ship
+
+
+def test_forecast_backtest_matches_pandas(spark):
+    from stock_data_warehouse_analytics_spark.plans.forecast_eval import (
+        eval_forecast_backtest,
+    )
+
+    got = {
+        r["event_type"]: r
+        for r in eval_forecast_backtest(spark, SF_SMALL).collect()
+    }
+    ev = _events().copy()
+    ev["d"] = ev["ts"].dt.normalize()
+    daily = (
+        ev.groupby(["event_type", "d"]).size().rename("y").reset_index()
+    )
+    for et, grp in daily.groupby("event_type"):
+        g = grp.sort_values("d")
+        y = g["y"].to_numpy(dtype=float)
+        e_s = y[7:] - y[:-7]
+        e_n = y[7:] - y[6:-1]
+        mae_s, mae_n = np.abs(e_s).mean(), np.abs(e_n).mean()
+        r = got[et]
+        assert r["n_eval_days"] == len(e_s)
+        assert r["mae_seasonal7"] == pytest.approx(mae_s, abs=1e-5)
+        assert r["mae_naive1"] == pytest.approx(mae_n, abs=1e-5)
+        assert r["mase"] == pytest.approx(mae_s / mae_n, abs=1e-5)
+        assert r["beats_naive"] == (mae_s / mae_n < 1.0)
