@@ -481,3 +481,138 @@ def eval_ab_readout_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("cuped_adj_lift") > F.lit(0.0))
         ).alias("ship"),
     )
+
+
+@register(
+    "eval_ab_metric_panel",
+    tags=("eval", "ab", "guardrails", "multiple-testing"),
+    oracle=f"""
+WITH types AS (SELECT DISTINCT event_type FROM events),
+users AS (SELECT DISTINCT user_id FROM events),
+grid AS (
+  SELECT u.user_id, t.event_type,
+         {_SQL_VARIANT} AS variant
+  FROM users u CROSS JOIN types t
+),
+cnt AS (
+  SELECT user_id, event_type, COUNT(*) AS k
+  FROM events GROUP BY user_id, event_type
+),
+metric AS (
+  SELECT g.event_type, g.variant,
+         COALESCE(c.k, 0) AS k
+  FROM grid g LEFT JOIN cnt c
+    ON g.user_id = c.user_id AND g.event_type = c.event_type
+),
+m AS (
+  SELECT event_type,
+    COUNT(*) FILTER (WHERE variant = 0) AS n_c,
+    COUNT(*) FILTER (WHERE variant = 1) AS n_t,
+    CAST(COALESCE(SUM(k) FILTER (WHERE variant = 0), 0) AS DOUBLE) AS s_c,
+    CAST(COALESCE(SUM(k) FILTER (WHERE variant = 1), 0) AS DOUBLE) AS s_t,
+    CAST(COALESCE(SUM(CAST(k AS DECIMAL(19,0)) * CAST(k AS DECIMAL(19,0)))
+                  FILTER (WHERE variant = 0), 0) AS DOUBLE) AS q_c,
+    CAST(COALESCE(SUM(CAST(k AS DECIMAL(19,0)) * CAST(k AS DECIMAL(19,0)))
+                  FILTER (WHERE variant = 1), 0) AS DOUBLE) AS q_t
+  FROM metric GROUP BY event_type
+),
+v AS (
+  SELECT event_type, n_c, n_t,
+         s_c / n_c AS mc, s_t / n_t AS mt,
+         (q_c - s_c * s_c / n_c) / (n_c - 1) AS vc,
+         (q_t - s_t * s_t / n_t) / (n_t - 1) AS vt
+  FROM m
+)
+SELECT event_type,
+       n_c AS n_control, n_t AS n_treatment,
+       ROUND(mc, 6) AS mean_control,
+       ROUND(mt, 6) AS mean_treatment,
+       ROUND((mt - mc) / SQRT(vt / n_t + vc / n_c), 6) AS t_stat,
+       ABS(ROUND((mt - mc) / SQRT(vt / n_t + vc / n_c), 6)) > 1.959964
+         AS sig_raw,
+       ABS(ROUND((mt - mc) / SQRT(vt / n_t + vc / n_c), 6)) > 2.575829
+         AS sig_bonferroni
+FROM v
+ORDER BY event_type
+""",
+)
+def eval_ab_metric_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-METRIC guardrail panel with Bonferroni correction: one
+    Welch t per event-type engagement metric (events of that type per
+    user, zero-filled over the full user universe), flagged at the raw
+    α = .05 threshold AND at the Bonferroni-corrected α/m (m = 5
+    metrics ⇒ critical value 2.575829) — the multiple-testing
+    discipline that stops a 5-guardrail readout from false-alarming
+    ~23% of the time.
+
+    Scale shape: the dense user × type frame is a bounded-multiplier
+    cross join (|types| = 5 — broadcast side is the tiny dimension);
+    one shuffle to the (user, type) grain, one grouped six-moment row
+    PER METRIC (5 rows, partial agg upstream), t as one double
+    expression per row.  Zero-filling matters: omitting non-engaged
+    users biases every mean upward and breaks the variant comparison
+    whenever engagement itself responds to treatment."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ev.select("event_type").distinct()
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(types)).withColumn(
+        "variant", _variant()
+    )
+    cnt = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    metric = grid.join(cnt, ["user_id", "event_type"], "left").select(
+        "event_type",
+        "variant",
+        F.coalesce(F.col("k"), F.lit(0)).alias("k"),
+    )
+    from .ab_testing import _dec
+
+    k = F.col("k")
+    is_c, is_t = F.col("variant") == 0, F.col("variant") == 1
+    m = metric.groupBy("event_type").agg(
+        F.count(F.when(is_c, 1)).alias("n_c"),
+        F.count(F.when(is_t, 1)).alias("n_t"),
+        F.coalesce(F.sum(F.when(is_c, k)), F.lit(0))
+        .cast("double")
+        .alias("s_c"),
+        F.coalesce(F.sum(F.when(is_t, k)), F.lit(0))
+        .cast("double")
+        .alias("s_t"),
+        F.coalesce(F.sum(F.when(is_c, _dec(k) * _dec(k))), F.lit(0))
+        .cast("double")
+        .alias("q_c"),
+        F.coalesce(F.sum(F.when(is_t, _dec(k) * _dec(k))), F.lit(0))
+        .cast("double")
+        .alias("q_t"),
+    )
+    v = m.select(
+        "event_type",
+        "n_c",
+        "n_t",
+        (F.col("s_c") / F.col("n_c")).alias("mc"),
+        (F.col("s_t") / F.col("n_t")).alias("mt"),
+        (
+            (F.col("q_c") - F.col("s_c") * F.col("s_c") / F.col("n_c"))
+            / (F.col("n_c") - F.lit(1))
+        ).alias("vc"),
+        (
+            (F.col("q_t") - F.col("s_t") * F.col("s_t") / F.col("n_t"))
+            / (F.col("n_t") - F.lit(1))
+        ).alias("vt"),
+    )
+    t_stat = F.round(
+        (F.col("mt") - F.col("mc"))
+        / F.sqrt(F.col("vt") / F.col("n_t") + F.col("vc") / F.col("n_c")),
+        6,
+    )
+    return v.select(
+        "event_type",
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.round(F.col("mc"), 6).alias("mean_control"),
+        F.round(F.col("mt"), 6).alias("mean_treatment"),
+        t_stat.alias("t_stat"),
+        (F.abs(t_stat) > F.lit(1.959964)).alias("sig_raw"),
+        (F.abs(t_stat) > F.lit(2.575829)).alias("sig_bonferroni"),
+    ).orderBy("event_type")

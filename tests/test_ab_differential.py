@@ -356,3 +356,38 @@ def test_forecast_backtest_matches_pandas(spark):
         assert r["mae_naive1"] == pytest.approx(mae_n, abs=1e-5)
         assert r["mase"] == pytest.approx(mae_s / mae_n, abs=1e-5)
         assert r["beats_naive"] == (mae_s / mae_n < 1.0)
+
+
+def test_metric_panel_matches_numpy(spark):
+    from stock_data_warehouse_analytics_spark.plans.ab_testing2 import (
+        eval_ab_metric_panel,
+    )
+
+    got = {
+        r["event_type"]: r
+        for r in eval_ab_metric_panel(spark, SF_SMALL).collect()
+    }
+    ev = _events()
+    all_users = pd.DataFrame({"user_id": ev["user_id"].unique()})
+    all_users["variant"] = all_users["user_id"].map(
+        lambda u: _h60(str(u)) % 2
+    )
+    for et in ev["event_type"].unique():
+        k = (
+            ev[ev["event_type"] == et]
+            .groupby("user_id")
+            .size()
+        )
+        u = all_users.copy()
+        u["k"] = u["user_id"].map(k).fillna(0)
+        c = u.loc[u["variant"] == 0, "k"].to_numpy(dtype=float)
+        t = u.loc[u["variant"] == 1, "k"].to_numpy(dtype=float)
+        t_ref = (t.mean() - c.mean()) / math.sqrt(
+            t.var(ddof=1) / len(t) + c.var(ddof=1) / len(c)
+        )
+        r = got[et]
+        assert (r["n_control"], r["n_treatment"]) == (len(c), len(t))
+        assert r["mean_control"] == pytest.approx(c.mean(), abs=1e-5)
+        assert r["t_stat"] == pytest.approx(t_ref, abs=1e-5)
+        assert r["sig_raw"] == (abs(t_ref) > 1.959964)
+        assert r["sig_bonferroni"] == (abs(t_ref) > 2.575829)
