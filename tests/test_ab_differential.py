@@ -391,3 +391,30 @@ def test_metric_panel_matches_numpy(spark):
         assert r["t_stat"] == pytest.approx(t_ref, abs=1e-5)
         assert r["sig_raw"] == (abs(t_ref) > 1.959964)
         assert r["sig_bonferroni"] == (abs(t_ref) > 2.575829)
+
+
+def test_deletion_cascade_matches_pandas(spark):
+    from stock_data_warehouse_analytics_spark.plans.compliance import (
+        dq_deletion_cascade,
+    )
+
+    row = dq_deletion_cascade(spark, SF_SMALL).collect()[0]
+    cust = pd.read_parquet(f"{SF_SMALL}/customer.parquet")
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    flagged = set(
+        k for k in cust["c_custkey"] if _h60(str(k)) % 20 == 0
+    )
+    ord_del = orders["o_custkey"].isin(flagged)
+    del_keys = set(orders.loc[ord_del, "o_orderkey"])
+    li_del = li["l_orderkey"].isin(del_keys)
+    cents = (li["l_extendedprice"] * 100).round().astype("int64")
+    assert row["n_customers"] == len(cust)
+    assert row["n_customers_flagged"] == len(flagged)
+    assert row["n_orders_cascade"] == int(ord_del.sum())
+    assert row["n_orders_kept"] == int((~ord_del).sum())
+    assert row["n_lineitems_cascade"] == int(li_del.sum())
+    assert row["n_lineitems_kept"] == int((~li_del).sum())
+    assert row["revenue_removed"] == pytest.approx(
+        cents[li_del].sum() / 100, abs=1e-2
+    )
