@@ -592,3 +592,199 @@ def eval_ab_metric_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(t_stat) > F.lit(1.959964)).alias("sig_raw"),
         (F.abs(t_stat) > F.lit(2.575829)).alias("sig_bonferroni"),
     ).orderBy("event_type")
+
+
+@register(
+    "eval_ab_cumulative_tstat",
+    tags=("eval", "ab", "sequential", "window"),
+    oracle=f"""
+WITH ud AS (
+  SELECT user_id,
+         {_SQL_VARIANT} AS variant,
+         CAST(ts AS DATE) AS d,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                           THEN {_SQL_CENTS} END), 0) AS delta
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+cum0 AS (
+  SELECT user_id, variant, d, delta,
+         CAST(SUM(delta) OVER (PARTITION BY user_id ORDER BY d)
+              AS BIGINT) AS cum
+  FROM ud
+),
+cums AS (
+  SELECT variant, d, delta, cum,
+         CAST(COALESCE(LAG(cum, 1)
+              OVER (PARTITION BY user_id ORDER BY d), 0) AS BIGINT)
+           AS lagcum
+  FROM cum0
+),
+daily AS (
+  SELECT variant, d,
+         CAST(SUM(delta) AS BIGINT) AS sd,
+         SUM(CAST(cum AS DECIMAL(19,0)) * CAST(cum AS DECIMAL(19,0))
+             - CAST(lagcum AS DECIMAL(19,0)) * CAST(lagcum AS DECIMAL(19,0)))
+           AS sq
+  FROM cums GROUP BY variant, d
+),
+spine AS (SELECT DISTINCT d FROM ud),
+variants AS (SELECT 0 AS variant UNION ALL SELECT 1),
+grid AS (
+  SELECT s.d, v.variant, COALESCE(dl.sd, 0) AS sd,
+         COALESCE(dl.sq, 0) AS sq
+  FROM spine s CROSS JOIN variants v
+  LEFT JOIN daily dl ON dl.d = s.d AND dl.variant = v.variant
+),
+cum_grid AS (
+  SELECT d, variant,
+         CAST(SUM(sd) OVER (PARTITION BY variant ORDER BY d) AS BIGINT)
+           AS s_cum,
+         CAST(SUM(sq) OVER (PARTITION BY variant ORDER BY d) AS DOUBLE)
+           AS q_cum
+  FROM grid
+),
+n AS (
+  SELECT
+    COUNT(*) FILTER (WHERE variant = 0) AS n_c,
+    COUNT(*) FILTER (WHERE variant = 1) AS n_t
+  FROM (SELECT DISTINCT user_id, {_SQL_VARIANT} AS variant FROM events)
+),
+wide AS (
+  SELECT d,
+         CAST(MAX(CASE WHEN variant = 0 THEN s_cum END) AS DOUBLE) AS s_c,
+         CAST(MAX(CASE WHEN variant = 1 THEN s_cum END) AS DOUBLE) AS s_t,
+         MAX(CASE WHEN variant = 0 THEN q_cum END) AS q_c,
+         MAX(CASE WHEN variant = 1 THEN q_cum END) AS q_t
+  FROM cum_grid GROUP BY d
+),
+v AS (
+  SELECT d, n_c, n_t,
+         s_c / n_c AS mc, s_t / n_t AS mt,
+         (q_c - s_c * s_c / n_c) / (n_c - 1) AS vc,
+         (q_t - s_t * s_t / n_t) / (n_t - 1) AS vt
+  FROM wide, n
+)
+SELECT d,
+       ROUND(mc / 100, 6) AS mean_control,
+       ROUND(mt / 100, 6) AS mean_treatment,
+       ROUND((mt - mc) / SQRT(vt / n_t + vc / n_c), 6) AS t_stat,
+       ABS(ROUND((mt - mc) / SQRT(vt / n_t + vc / n_c), 6)) > 1.959964
+         AS naive_significant
+FROM v
+ORDER BY d
+""",
+)
+def eval_ab_cumulative_tstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PEEKING curve: the Welch-style t statistic recomputed at
+    every day-D snapshot of the experiment, over the FIXED user
+    universe — the trajectory whose repeated naive-threshold crossings
+    are exactly why platforms need sequential corrections (the
+    ``naive_significant`` flags show how often an uncorrected peeker
+    would have stopped early).
+
+    Scale shape — incremental SECOND-MOMENT maintenance, the part that
+    usually forces a per-snapshot rescan: Σy²(D) does not decompose
+    into daily deltas, but per user-day
+    ``cum² − lag(cum)²`` does, so one user-partitioned window pass
+    yields daily Σy² increments that a calendar-spine window then
+    cumulates — days × users work collapses to ONE pass over the
+    (user, day) grain plus windows over the CALENDAR-bounded daily
+    table.  All sums exact (BIGINT / DECIMAL(38,0)); t per day is one
+    double expression."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    from .ab_testing import _cents, _dec
+
+    ud = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", _cents())
+            ),
+            F.lit(0),
+        ).alias("delta")
+    ).withColumn("variant", _variant())
+    wu = Window.partitionBy("user_id").orderBy("d")
+    cum = F.sum("delta").over(wu).cast("bigint")
+    cums = ud.select(
+        "variant",
+        "d",
+        "delta",
+        cum.alias("cum"),
+        F.coalesce(F.lag(cum, 1).over(wu), F.lit(0))
+        .cast("bigint")
+        .alias("lagcum"),
+    )
+    daily = cums.groupBy("variant", "d").agg(
+        F.sum("delta").cast("bigint").alias("sd"),
+        F.sum(
+            _dec(F.col("cum")) * _dec(F.col("cum"))
+            - _dec(F.col("lagcum")) * _dec(F.col("lagcum"))
+        ).alias("sq"),
+    )
+    spine = ud.select("d").distinct()
+    variants = spark.range(2).select(F.col("id").cast("int").alias("variant"))
+    grid = (
+        spine.crossJoin(F.broadcast(variants))
+        .join(daily, ["d", "variant"], "left")
+        .select(
+            "d",
+            "variant",
+            F.coalesce(F.col("sd"), F.lit(0)).alias("sd"),
+            F.coalesce(F.col("sq"), F.lit(0)).alias("sq"),
+        )
+    )
+    wv = Window.partitionBy("variant").orderBy("d")
+    cum_grid = grid.select(
+        "d",
+        "variant",
+        F.sum("sd").over(wv).cast("bigint").alias("s_cum"),
+        F.sum("sq").over(wv).cast("double").alias("q_cum"),
+    )
+    n = (
+        ud.select("user_id")
+        .distinct()
+        .withColumn("variant", _variant())
+        .agg(
+            F.count(F.when(F.col("variant") == 0, 1)).alias("n_c"),
+            F.count(F.when(F.col("variant") == 1, 1)).alias("n_t"),
+        )
+    )
+    wide = cum_grid.groupBy("d").agg(
+        F.max(F.when(F.col("variant") == 0, F.col("s_cum")))
+        .cast("double")
+        .alias("s_c"),
+        F.max(F.when(F.col("variant") == 1, F.col("s_cum")))
+        .cast("double")
+        .alias("s_t"),
+        F.max(F.when(F.col("variant") == 0, F.col("q_cum"))).alias("q_c"),
+        F.max(F.when(F.col("variant") == 1, F.col("q_cum"))).alias("q_t"),
+    )
+    v = wide.crossJoin(F.broadcast(n)).select(
+        "d",
+        "n_c",
+        "n_t",
+        (F.col("s_c") / F.col("n_c")).alias("mc"),
+        (F.col("s_t") / F.col("n_t")).alias("mt"),
+        (
+            (F.col("q_c") - F.col("s_c") * F.col("s_c") / F.col("n_c"))
+            / (F.col("n_c") - F.lit(1))
+        ).alias("vc"),
+        (
+            (F.col("q_t") - F.col("s_t") * F.col("s_t") / F.col("n_t"))
+            / (F.col("n_t") - F.lit(1))
+        ).alias("vt"),
+    )
+    t_stat = F.round(
+        (F.col("mt") - F.col("mc"))
+        / F.sqrt(F.col("vt") / F.col("n_t") + F.col("vc") / F.col("n_c")),
+        6,
+    )
+    return v.select(
+        "d",
+        F.round(F.col("mc") / 100, 6).alias("mean_control"),
+        F.round(F.col("mt") / 100, 6).alias("mean_treatment"),
+        t_stat.alias("t_stat"),
+        (F.abs(t_stat) > F.lit(1.959964)).alias("naive_significant"),
+    ).orderBy("d")

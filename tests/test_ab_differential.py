@@ -418,3 +418,35 @@ def test_deletion_cascade_matches_pandas(spark):
     assert row["revenue_removed"] == pytest.approx(
         cents[li_del].sum() / 100, abs=1e-2
     )
+
+
+def test_cumulative_tstat_matches_bruteforce(spark):
+    """The incremental second-moment trajectory must equal a per-day
+    brute-force recomputation over the fixed user universe."""
+    from stock_data_warehouse_analytics_spark.plans.ab_testing2 import (
+        eval_ab_cumulative_tstat,
+    )
+
+    got = {
+        r["d"]: (r["t_stat"], r["mean_control"], r["mean_treatment"])
+        for r in eval_ab_cumulative_tstat(spark, SF_SMALL).collect()
+    }
+    ev = _events().copy()
+    ev["d"] = ev["ts"].dt.normalize().dt.date
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    users = pd.DataFrame({"user_id": ev["user_id"].unique()})
+    users["variant"] = users["user_id"].map(lambda u: _h60(str(u)) % 2)
+    purch = ev[ev["event_type"] == "purchase"]
+    for day in sorted(got):
+        upto = purch[purch["d"] <= day]
+        y = users["user_id"].map(
+            upto.groupby("user_id")["cents"].sum()
+        ).fillna(0)
+        c = y[users["variant"] == 0].to_numpy(dtype=float)
+        t = y[users["variant"] == 1].to_numpy(dtype=float)
+        t_ref = (t.mean() - c.mean()) / math.sqrt(
+            t.var(ddof=1) / len(t) + c.var(ddof=1) / len(c)
+        )
+        assert got[day][0] == pytest.approx(t_ref, abs=1e-5), day
+        assert got[day][1] == pytest.approx(c.mean() / 100, abs=1e-5)
+        assert got[day][2] == pytest.approx(t.mean() / 100, abs=1e-5)

@@ -218,6 +218,10 @@ _BOUNDED_SINGLE_PARTITION = {
     # date-bounds/cutoff scalar — partial aggregation upstream
     "eval_ab_proportion_ztest",
     "eval_ab_readout_panel",
+    # one-row (n_c, n_t) universe scalar + windows over the CALENDAR-
+    # bounded daily grid (2 variants × days); the user-grain window is
+    # hash-partitioned by user_id — never a corpus-sized partition
+    "eval_ab_cumulative_tstat",
     # one-row τ-b report + one-row n_days scalar, both over the
     # CALENDAR-bounded daily table (≤ ~36.5k rows per century at any
     # fact scale; partial aggregation upstream of both aggregates)
