@@ -454,6 +454,36 @@ def eval_ab_readout_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bonferroni critical values z_{1 - 0.025/m} for m = 1..16 metrics,
+# derived ONCE at import from stdlib statistics.NormalDist (Wichura's
+# AS241 inverse CDF — deterministic pure Python, no scipy) and embedded
+# as identical literals in BOTH engines' plans, so the corrected
+# threshold tracks the DATA-derived metric count instead of baking in
+# m = 5 (advisor r5 finding).  m > 16 yields NULL threshold → NULL
+# sig_bonferroni in both engines identically (CASE falls through).
+from statistics import NormalDist as _ND
+
+_BONF_MAX_M = 16
+_BONF_CRIT = {
+    m: round(_ND().inv_cdf(1.0 - 0.025 / m), 6)
+    for m in range(1, _BONF_MAX_M + 1)
+}
+_BONF_CASE_SQL = (
+    "CASE n_metrics "
+    + " ".join(f"WHEN {m} THEN {v}" for m, v in _BONF_CRIT.items())
+    + " END"
+)
+
+
+def _bonf_crit_col() -> F.Column:
+    """The same m → critical-value CASE as ``_BONF_CASE_SQL``, as a
+    Spark when-chain over the ``n_metrics`` column."""
+    expr = F.when(F.col("n_metrics") == 1, F.lit(_BONF_CRIT[1]))
+    for m in range(2, _BONF_MAX_M + 1):
+        expr = expr.when(F.col("n_metrics") == m, F.lit(_BONF_CRIT[m]))
+    return expr
+
+
 @register(
     "eval_ab_metric_panel",
     tags=("eval", "ab", "guardrails", "multiple-testing"),
@@ -493,17 +523,19 @@ v AS (
          (q_c - s_c * s_c / n_c) / (n_c - 1) AS vc,
          (q_t - s_t * s_t / n_t) / (n_t - 1) AS vt
   FROM m
-)
+),
+mm AS (SELECT COUNT(*) AS n_metrics FROM v)
 SELECT event_type,
        n_c AS n_control, n_t AS n_treatment,
+       CAST(n_metrics AS INT) AS n_metrics,
        ROUND(mc, 6) AS mean_control,
        ROUND(mt, 6) AS mean_treatment,
        ROUND((mt - mc) / SQRT(vt / n_t + vc / n_c), 6) AS t_stat,
        ABS(ROUND((mt - mc) / SQRT(vt / n_t + vc / n_c), 6)) > 1.959964
          AS sig_raw,
-       ABS(ROUND((mt - mc) / SQRT(vt / n_t + vc / n_c), 6)) > 2.575829
-         AS sig_bonferroni
-FROM v
+       ABS(ROUND((mt - mc) / SQRT(vt / n_t + vc / n_c), 6))
+         > {_BONF_CASE_SQL} AS sig_bonferroni
+FROM v, mm
 ORDER BY event_type
 """,
 )
@@ -511,10 +543,12 @@ def eval_ab_metric_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-METRIC guardrail panel with Bonferroni correction: one
     Welch t per event-type engagement metric (events of that type per
     user, zero-filled over the full user universe), flagged at the raw
-    α = .05 threshold AND at the Bonferroni-corrected α/m (m = 5
-    metrics ⇒ critical value 2.575829) — the multiple-testing
-    discipline that stops a 5-guardrail readout from false-alarming
-    ~23% of the time.
+    α = .05 threshold AND at the Bonferroni-corrected α/m, where m is
+    the DATA-derived metric count (distinct event types; e.g. m = 5 ⇒
+    critical value 2.575829 via the import-time ``_BONF_CRIT`` table,
+    identical literals in both engines) — the multiple-testing
+    discipline that stops a multi-guardrail readout from
+    false-alarming ~23% of the time at m = 5.
 
     Scale shape: the dense user × type frame is a bounded-multiplier
     cross join (|types| = 5 — broadcast side is the tiny dimension);
@@ -582,16 +616,25 @@ def eval_ab_metric_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.sqrt(F.col("vt") / F.col("n_t") + F.col("vc") / F.col("n_c")),
         6,
     )
-    return v.select(
-        "event_type",
-        F.col("n_c").alias("n_control"),
-        F.col("n_t").alias("n_treatment"),
-        F.round(F.col("mc"), 6).alias("mean_control"),
-        F.round(F.col("mt"), 6).alias("mean_treatment"),
-        t_stat.alias("t_stat"),
-        (F.abs(t_stat) > F.lit(1.959964)).alias("sig_raw"),
-        (F.abs(t_stat) > F.lit(2.575829)).alias("sig_bonferroni"),
-    ).orderBy("event_type")
+    # the data-derived metric count m: one-row aggregate over the
+    # 5-ish-row panel, broadcast back — threshold now tracks m instead
+    # of assuming 5 (see _BONF_CRIT above)
+    mcount = v.agg(F.count(F.lit(1)).cast("int").alias("n_metrics"))
+    return (
+        v.crossJoin(F.broadcast(mcount))
+        .select(
+            "event_type",
+            F.col("n_c").alias("n_control"),
+            F.col("n_t").alias("n_treatment"),
+            "n_metrics",
+            F.round(F.col("mc"), 6).alias("mean_control"),
+            F.round(F.col("mt"), 6).alias("mean_treatment"),
+            t_stat.alias("t_stat"),
+            (F.abs(t_stat) > F.lit(1.959964)).alias("sig_raw"),
+            (F.abs(t_stat) > _bonf_crit_col()).alias("sig_bonferroni"),
+        )
+        .orderBy("event_type")
+    )
 
 
 @register(
@@ -691,6 +734,28 @@ def eval_ab_cumulative_tstat(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, day) grain plus windows over the CALENDAR-bounded daily
     table.  All sums exact (BIGINT / DECIMAL(38,0)); t per day is one
     double expression."""
+    v = _daily_cum_moments(spark, sf_dir)
+    t_stat = F.round(
+        (F.col("mt") - F.col("mc"))
+        / F.sqrt(F.col("vt") / F.col("n_t") + F.col("vc") / F.col("n_c")),
+        6,
+    )
+    return v.select(
+        "d",
+        F.round(F.col("mc") / 100, 6).alias("mean_control"),
+        F.round(F.col("mt") / 100, 6).alias("mean_treatment"),
+        t_stat.alias("t_stat"),
+        (F.abs(t_stat) > F.lit(1.959964)).alias("naive_significant"),
+    ).orderBy("d")
+
+
+def _daily_cum_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d, n_c, n_t, mc, mt, vc, vt) at every day-D experiment
+    snapshot over the FIXED user universe (users with no events by
+    day D implicitly contribute y = 0): the incremental second-moment
+    pipeline factored out of ``eval_ab_cumulative_tstat`` so the
+    sequential readouts (peeking curve, mSPRT) share one
+    implementation.  Means and variances are in CENTS."""
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window
     from .ab_testing import _cents, _dec
@@ -776,15 +841,193 @@ def eval_ab_cumulative_tstat(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_t") - F.lit(1))
         ).alias("vt"),
     )
-    t_stat = F.round(
-        (F.col("mt") - F.col("mc"))
-        / F.sqrt(F.col("vt") / F.col("n_t") + F.col("vc") / F.col("n_c")),
-        6,
+    return v
+
+
+# ---------------------------------------------------------------------
+# ALWAYS-VALID sequential readout (mSPRT): the production answer to the
+# peeking problem the cumulative-t curve documents.
+# ---------------------------------------------------------------------
+
+# Mixture variance τ² of the mSPRT normal mixture (Johari, Pekelis &
+# Walsh, "Always Valid Inference", 2015/2022) — an ANALYST-chosen scale
+# for plausible effect sizes (here: dollars² on the per-user purchase
+# metric), a tuning literal by construction, not data-derived.
+_MSPRT_TAU2 = 100.0
+_MSPRT_ALPHA = 0.05
+
+# the shared daily-cumulative-moments CTE chain (identical to the
+# eval_ab_cumulative_tstat oracle up to the `v` relation)
+_SQL_DAILY_MOMENTS = f"""
+ud AS (
+  SELECT user_id,
+         {_SQL_VARIANT} AS variant,
+         CAST(ts AS DATE) AS d,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                           THEN {_SQL_CENTS} END), 0) AS delta
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+cum0 AS (
+  SELECT user_id, variant, d, delta,
+         CAST(SUM(delta) OVER (PARTITION BY user_id ORDER BY d)
+              AS BIGINT) AS cum
+  FROM ud
+),
+cums AS (
+  SELECT variant, d, delta, cum,
+         CAST(COALESCE(LAG(cum, 1)
+              OVER (PARTITION BY user_id ORDER BY d), 0) AS BIGINT)
+           AS lagcum
+  FROM cum0
+),
+daily AS (
+  SELECT variant, d,
+         CAST(SUM(delta) AS BIGINT) AS sd,
+         SUM(CAST(cum AS DECIMAL(19,0)) * CAST(cum AS DECIMAL(19,0))
+             - CAST(lagcum AS DECIMAL(19,0)) * CAST(lagcum AS DECIMAL(19,0)))
+           AS sq
+  FROM cums GROUP BY variant, d
+),
+spine AS (SELECT DISTINCT d FROM ud),
+variants AS (SELECT 0 AS variant UNION ALL SELECT 1),
+grid AS (
+  SELECT s.d, v.variant, COALESCE(dl.sd, 0) AS sd,
+         COALESCE(dl.sq, 0) AS sq
+  FROM spine s CROSS JOIN variants v
+  LEFT JOIN daily dl ON dl.d = s.d AND dl.variant = v.variant
+),
+cum_grid AS (
+  SELECT d, variant,
+         CAST(SUM(sd) OVER (PARTITION BY variant ORDER BY d) AS BIGINT)
+           AS s_cum,
+         CAST(SUM(sq) OVER (PARTITION BY variant ORDER BY d) AS DOUBLE)
+           AS q_cum
+  FROM grid
+),
+n AS (
+  SELECT
+    COUNT(*) FILTER (WHERE variant = 0) AS n_c,
+    COUNT(*) FILTER (WHERE variant = 1) AS n_t
+  FROM (SELECT DISTINCT user_id, {_SQL_VARIANT} AS variant FROM events)
+),
+wide AS (
+  SELECT d,
+         CAST(MAX(CASE WHEN variant = 0 THEN s_cum END) AS DOUBLE) AS s_c,
+         CAST(MAX(CASE WHEN variant = 1 THEN s_cum END) AS DOUBLE) AS s_t,
+         MAX(CASE WHEN variant = 0 THEN q_cum END) AS q_c,
+         MAX(CASE WHEN variant = 1 THEN q_cum END) AS q_t
+  FROM cum_grid GROUP BY d
+),
+v AS (
+  SELECT d, n_c, n_t,
+         s_c / n_c AS mc, s_t / n_t AS mt,
+         (q_c - s_c * s_c / n_c) / (n_c - 1) AS vc,
+         (q_t - s_t * s_t / n_t) / (n_t - 1) AS vt
+  FROM wide, n
+)"""
+
+
+@register(
+    "eval_ab_msprt",
+    tags=("eval", "ab", "sequential", "always-valid", "window"),
+    oracle=f"""
+WITH {_SQL_DAILY_MOMENTS},
+lam AS (
+  SELECT d,
+         ROUND((mt - mc) / 100, 6) AS theta_hat,
+         (vt / n_t + vc / n_c) / 10000 AS vv
+  FROM v
+),
+lnl AS (
+  SELECT d, theta_hat,
+         CASE WHEN vv <= 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(ROUND(
+                (0.5 * LN(vv / (vv + {_MSPRT_TAU2}))
+                 + (theta_hat * theta_hat) * {_MSPRT_TAU2}
+                   / ((2 * vv) * (vv + {_MSPRT_TAU2})))
+                * 1000000000, 0) AS BIGINT)
+         END AS lnl_nano
+  FROM lam
+),
+runmax AS (
+  SELECT d, theta_hat, lnl_nano,
+         MAX(lnl_nano) OVER (ORDER BY d) AS best_nano
+  FROM lnl
+)
+SELECT d, theta_hat,
+       ROUND(CAST(lnl_nano AS DOUBLE) / 1000000000, 6) AS ln_lambda,
+       ROUND(LEAST(1.0,
+             EXP(-(CAST(best_nano AS DOUBLE) / 1000000000))), 9)
+         AS p_always_valid,
+       ROUND(LEAST(1.0,
+             EXP(-(CAST(best_nano AS DOUBLE) / 1000000000))), 9)
+         <= {_MSPRT_ALPHA} AS rejected
+FROM runmax
+ORDER BY d
+""",
+)
+def eval_ab_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALWAYS-VALID p-value trajectory via the mixture SPRT (Johari,
+    Pekelis & Walsh) — the production mitigation for the peeking
+    problem ``eval_ab_cumulative_tstat`` documents: at every day-D
+    snapshot the normal-mixture likelihood ratio
+    ``Λ_D = √(V/(V+τ²)) · exp(θ̂²τ² / (2V(V+τ²)))`` is computed from
+    the SAME incremental second-moment machinery, and the always-valid
+    p-value is the running minimum of 1/Λ — monotone by construction,
+    so an analyst may stop at ANY day with type-I error ≤ α = _MSPRT_ALPHA = 0.05.
+    τ² = _MSPRT_TAU2 = 100 (dollars²) is the analyst-chosen mixture scale — a
+    tuning literal, not data-derived (advisor r5's Bonferroni lesson).
+
+    Cross-engine exactness: θ̂ is rounded to 6 dp FIRST (both
+    engines), ln Λ is one identically-ordered double expression
+    quantized to integer NANO-units, the running extremum is a BIGINT
+    window max (order-free), and p = exp(−max/1e9) rounds at 9 dp —
+    the ``plans/exact.py`` stance applied to a sequential statistic.
+    Degenerate V ≤ 0 (no variance yet) pins ln Λ = 0 identically.
+
+    Scale shape: inherits ``_daily_cum_moments`` — ONE pass over the
+    (user, day) grain, windows only over the CALENDAR-bounded daily
+    table; the mSPRT math adds zero shuffles (per-day expressions +
+    one tiny window over days)."""
+    v = _daily_cum_moments(spark, sf_dir)
+    theta = F.round((F.col("mt") - F.col("mc")) / 100, 6)
+    vv = (F.col("vt") / F.col("n_t") + F.col("vc") / F.col("n_c")) / 10000
+    lam = v.select("d", theta.alias("theta_hat"), vv.alias("vv"))
+    t2 = F.lit(_MSPRT_TAU2)
+    th = F.col("theta_hat")
+    vcol = F.col("vv")
+    ln_lambda = F.lit(0.5) * F.log(vcol / (vcol + t2)) + (th * th) * t2 / (
+        (F.lit(2.0) * vcol) * (vcol + t2)
     )
-    return v.select(
+    lnl = lam.select(
         "d",
-        F.round(F.col("mc") / 100, 6).alias("mean_control"),
-        F.round(F.col("mt") / 100, 6).alias("mean_treatment"),
-        t_stat.alias("t_stat"),
-        (F.abs(t_stat) > F.lit(1.959964)).alias("naive_significant"),
+        "theta_hat",
+        F.when(vcol <= 0, F.lit(0).cast("bigint"))
+        .otherwise(F.round(ln_lambda * 1000000000, 0).cast("bigint"))
+        .alias("lnl_nano"),
+    )
+    from pyspark.sql import Window
+
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    runmax = lnl.withColumn("best_nano", F.max("lnl_nano").over(wd))
+    p_av = F.round(
+        F.least(
+            F.lit(1.0),
+            F.exp(-(F.col("best_nano").cast("double") / 1000000000)),
+        ),
+        9,
+    )
+    return runmax.select(
+        "d",
+        "theta_hat",
+        F.round(F.col("lnl_nano").cast("double") / 1000000000, 6).alias(
+            "ln_lambda"
+        ),
+        p_av.alias("p_always_valid"),
+        (p_av <= F.lit(_MSPRT_ALPHA)).alias("rejected"),
     ).orderBy("d")
+
+
+eval_ab_msprt.__doc__ = eval_ab_msprt.__doc__.format(
+    alpha=_MSPRT_ALPHA, tau2=_MSPRT_TAU2
+)

@@ -648,3 +648,308 @@ def chunk_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="chunk_key",
         fast=True,  # rows-only path: numpy signature kernel
     ).orderBy("query_id", "rnk")
+
+
+# ---------------------------------------------------------------------
+# CHUNK-GRAIN HYBRID RETRIEVAL (VERDICT r5 action #4): the sparse
+# shingle-cosine leg and a dense leg over the hashed chunk vectors,
+# fused with reciprocal-rank fusion — the production RAG retriever
+# shape at chunk granularity.
+# ---------------------------------------------------------------------
+_HY_DEPTH = 10  # per-leg candidate depth fed into the fusion
+_HY_K = 60      # the standard RRF smoothing constant
+_HY_OUT = 5     # fused list length per query chunk
+
+_SQL_HASH60 = "CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "chunk_hybrid_rrf_topk",
+    tags=("llm", "chunking", "retrieval", "rrf", "hybrid", "rag"),
+    oracle=f"""
+WITH {_SQL_CHUNKS},
+ctoks AS (
+  SELECT doc_id, chunk_id,
+         {_SQL_TOKS.replace('text', 'chunk_text')} AS t
+  FROM chunks
+),
+sh_all AS (
+  SELECT doc_id, chunk_id, unnest(
+    CASE WHEN len(t) >= {SHINGLE_K} THEN list_distinct(
+           list_transform(generate_series(1, len(t) - {SHINGLE_K - 1}),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         ELSE [array_to_string(t, ' ')] END) AS term
+  FROM ctoks
+),
+tf AS (
+  SELECT doc_id, chunk_id, term FROM sh_all WHERE len(term) > 0
+),
+df AS (
+  SELECT term FROM tf GROUP BY term HAVING COUNT(*) <= {MAX_DF}
+),
+tf2 AS (SELECT tf.* FROM tf JOIN df USING (term)),
+nrm AS (
+  SELECT doc_id, chunk_id, SQRT(CAST(COUNT(*) AS DOUBLE)) AS nn
+  FROM tf2 GROUP BY doc_id, chunk_id
+),
+dots AS (
+  SELECT q.doc_id AS q_doc, q.chunk_id AS q_chunk,
+         c.doc_id AS c_doc, c.chunk_id AS c_chunk,
+         CAST(COUNT(*) AS BIGINT) AS dp
+  FROM tf2 q JOIN tf2 c USING (term)
+  WHERE q.doc_id < {N_QUERY_DOCS} AND c.doc_id >= {N_QUERY_DOCS}
+  GROUP BY 1, 2, 3, 4
+),
+sparse AS (
+  SELECT q_doc, q_chunk, c_doc, c_chunk, rnk FROM (
+    SELECT d.q_doc, d.q_chunk, d.c_doc, d.c_chunk,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.q_doc, d.q_chunk
+             ORDER BY ROUND(CAST(d.dp AS DOUBLE) / (nq.nn * nc.nn), 6)
+                        DESC, d.c_doc, d.c_chunk) AS rnk
+    FROM dots d
+    JOIN nrm nq ON nq.doc_id = d.q_doc AND nq.chunk_id = d.q_chunk
+    JOIN nrm nc ON nc.doc_id = d.c_doc AND nc.chunk_id = d.c_chunk
+  ) WHERE rnk <= {_HY_DEPTH}
+),
+hb AS (
+  SELECT doc_id, chunk_id,
+         CAST({_SQL_HASH60} % {HASH_DIM} AS INTEGER) AS b,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tf GROUP BY 1, 2, 3
+),
+hn AS (
+  SELECT doc_id, chunk_id,
+         SQRT(CAST(SUM(cnt * cnt) AS DOUBLE)) AS nn
+  FROM hb GROUP BY 1, 2
+),
+hd AS (
+  SELECT q.doc_id AS q_doc, q.chunk_id AS q_chunk,
+         c.doc_id AS c_doc, c.chunk_id AS c_chunk,
+         CAST(SUM(q.cnt * c.cnt) AS BIGINT) AS dp
+  FROM hb q JOIN hb c USING (b)
+  WHERE q.doc_id < {N_QUERY_DOCS} AND c.doc_id >= {N_QUERY_DOCS}
+  GROUP BY 1, 2, 3, 4
+),
+dense AS (
+  SELECT q_doc, q_chunk, c_doc, c_chunk, rnk FROM (
+    SELECT d.q_doc, d.q_chunk, d.c_doc, d.c_chunk,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.q_doc, d.q_chunk
+             ORDER BY ROUND(CAST(d.dp AS DOUBLE) / (nq.nn * nc.nn), 6)
+                        DESC, d.c_doc, d.c_chunk) AS rnk
+    FROM hd d
+    JOIN hn nq ON nq.doc_id = d.q_doc AND nq.chunk_id = d.q_chunk
+    JOIN hn nc ON nc.doc_id = d.c_doc AND nc.chunk_id = d.c_chunk
+  ) WHERE rnk <= {_HY_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(d.q_doc, s.q_doc) AS q_doc,
+         COALESCE(d.q_chunk, s.q_chunk) AS q_chunk,
+         COALESCE(d.c_doc, s.c_doc) AS c_doc,
+         COALESCE(d.c_chunk, s.c_chunk) AS c_chunk,
+         COALESCE(1.0 / ({_HY_K} + d.rnk), 0)
+           + COALESCE(1.0 / ({_HY_K} + s.rnk), 0) AS score
+  FROM dense d
+  FULL OUTER JOIN sparse s
+    ON s.q_doc = d.q_doc AND s.q_chunk = d.q_chunk
+   AND s.c_doc = d.c_doc AND s.c_chunk = d.c_chunk
+)
+SELECT q_doc, q_chunk, c_doc, c_chunk, rrf_rank,
+       ROUND(score, 9) AS rrf_score
+FROM (
+  SELECT q_doc, q_chunk, c_doc, c_chunk, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY q_doc, q_chunk
+           ORDER BY CAST(ROUND(score * 1000000000, 0) AS BIGINT) DESC,
+                    c_doc, c_chunk
+         ) AS rrf_rank
+  FROM fused
+) WHERE rrf_rank <= {_HY_OUT}
+ORDER BY q_doc, q_chunk, rrf_rank
+""",
+)
+def chunk_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-GRAIN HYBRID RETRIEVAL — the production RAG retriever
+    shape (VERDICT r5 action #4): for every chunk of the query
+    documents, a SPARSE leg (df-capped shingle-set cosine, the
+    ``chunk_sparse_cosine_topk`` inverted-index formulation at depth
+    _HY_DEPTH = 10) and a DENSE leg (exact cosine over the deterministic
+    HASH_DIM-bucket hashed shingle-count vectors of
+    ``chunk_hashed_vectors``) are fused with reciprocal-rank fusion
+    Σ 1/(_HY_K + rank), _HY_K = 60, and re-ranked to the top _HY_OUT = 5
+    per query chunk.
+
+    ORACLE-EXACT end to end: both legs rank 6-dp-rounded cosines built
+    from BIGINT dot products with full (c_doc, c_chunk) tiebreaks, and
+    the fused score — a sum of ≤ 2 deterministic doubles — re-quantizes
+    to nano-units before the final rank (the ``sim_hybrid_rrf``
+    doc-grain stance, applied at chunk grain).  The dense leg here is
+    the BRUTE-FORCE baseline so the whole fusion is SQL-expressible;
+    the unbounded-query-set scale path swaps in the LSH leg
+    (``chunk_ann_lsh_topk``) — fusion quality of that swap is measured
+    by tests/test_chunking.py::test_chunk_hybrid_lsh_leg_recall.
+
+    Scale shape: ONE chunk+shingle pass feeds both legs (the tf table
+    is computed once); the sparse leg shuffles on the df-capped shingle
+    key (candidates only where a shingle is shared); the dense leg's
+    bucket join is a HASH_DIM-key equi-join whose q-side is the BOUNDED
+    query set; fusion joins two depth-_HY_DEPTH lists per query chunk."""
+    from ..functions.text import shingles
+    from ..operators.dedup import hash_int60
+
+    d = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(
+        d, chunk_tokens=CHUNK_TOKENS, overlap=OVERLAP, keep_text=True
+    )
+    tf = ch.select(
+        "doc_id",
+        "chunk_id",
+        F.explode(shingles(F.col("chunk_text"), SHINGLE_K)).alias("term"),
+    ).filter(F.length("term") > 0)
+
+    # ---------------- sparse leg (df-capped shingle-set cosine)
+    surviving = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= MAX_DF)
+        .select("term")
+    )
+    tf2 = tf.join(surviving, "term")
+    nrm = tf2.groupBy("doc_id", "chunk_id").agg(
+        F.sqrt(F.count(F.lit(1)).cast("double")).alias("nn")
+    )
+    q = tf2.filter(F.col("doc_id") < N_QUERY_DOCS).select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("chunk_id").alias("q_chunk"),
+        "term",
+    )
+    c = tf2.filter(F.col("doc_id") >= N_QUERY_DOCS).select(
+        F.col("doc_id").alias("c_doc"),
+        F.col("chunk_id").alias("c_chunk"),
+        "term",
+    )
+    dots = (
+        q.join(c, "term")
+        .groupBy("q_doc", "q_chunk", "c_doc", "c_chunk")
+        .agg(F.count(F.lit(1)).cast("long").alias("dp"))
+    )
+    nq = nrm.select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("chunk_id").alias("q_chunk"),
+        F.col("nn").alias("_qn"),
+    )
+    nc = nrm.select(
+        F.col("doc_id").alias("c_doc"),
+        F.col("chunk_id").alias("c_chunk"),
+        F.col("nn").alias("_cn"),
+    )
+    w_sp = Window.partitionBy("q_doc", "q_chunk").orderBy(
+        F.desc("cosine"), "c_doc", "c_chunk"
+    )
+    sparse = (
+        dots.join(F.broadcast(nq), ["q_doc", "q_chunk"])
+        .join(nc, ["c_doc", "c_chunk"])
+        .select(
+            "q_doc",
+            "q_chunk",
+            "c_doc",
+            "c_chunk",
+            F.round(
+                F.col("dp").cast("double") / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("cosine"),
+        )
+        .withColumn("s_rnk", F.row_number().over(w_sp))
+        .filter(F.col("s_rnk") <= _HY_DEPTH)
+        .select("q_doc", "q_chunk", "c_doc", "c_chunk", "s_rnk")
+    )
+
+    # ---------------- dense leg (hashed-bucket count vectors, exact)
+    hb = tf.groupBy(
+        "doc_id",
+        "chunk_id",
+        (hash_int60(F.col("term")) % HASH_DIM).cast("int").alias("b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    hn = hb.groupBy("doc_id", "chunk_id").agg(
+        F.sqrt(F.sum(F.col("cnt") * F.col("cnt")).cast("double")).alias(
+            "nn"
+        )
+    )
+    hq = hb.filter(F.col("doc_id") < N_QUERY_DOCS).select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("chunk_id").alias("q_chunk"),
+        "b",
+        F.col("cnt").alias("qcnt"),
+    )
+    hc = hb.filter(F.col("doc_id") >= N_QUERY_DOCS).select(
+        F.col("doc_id").alias("c_doc"),
+        F.col("chunk_id").alias("c_chunk"),
+        "b",
+        F.col("cnt").alias("ccnt"),
+    )
+    hd = (
+        hq.join(hc, "b")
+        .groupBy("q_doc", "q_chunk", "c_doc", "c_chunk")
+        .agg(F.sum(F.col("qcnt") * F.col("ccnt")).cast("long").alias("dp"))
+    )
+    hnq = hn.select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("chunk_id").alias("q_chunk"),
+        F.col("nn").alias("_qn"),
+    )
+    hnc = hn.select(
+        F.col("doc_id").alias("c_doc"),
+        F.col("chunk_id").alias("c_chunk"),
+        F.col("nn").alias("_cn"),
+    )
+    w_d = Window.partitionBy("q_doc", "q_chunk").orderBy(
+        F.desc("cosine"), "c_doc", "c_chunk"
+    )
+    dense = (
+        hd.join(F.broadcast(hnq), ["q_doc", "q_chunk"])
+        .join(hnc, ["c_doc", "c_chunk"])
+        .select(
+            "q_doc",
+            "q_chunk",
+            "c_doc",
+            "c_chunk",
+            F.round(
+                F.col("dp").cast("double") / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("cosine"),
+        )
+        .withColumn("d_rnk", F.row_number().over(w_d))
+        .filter(F.col("d_rnk") <= _HY_DEPTH)
+        .select("q_doc", "q_chunk", "c_doc", "c_chunk", "d_rnk")
+    )
+
+    # ---------------- RRF fusion
+    keys = ["q_doc", "q_chunk", "c_doc", "c_chunk"]
+    fused = dense.join(sparse, keys, "full_outer").select(
+        *keys,
+        (
+            F.coalesce(1.0 / (_HY_K + F.col("d_rnk")), F.lit(0.0))
+            + F.coalesce(1.0 / (_HY_K + F.col("s_rnk")), F.lit(0.0))
+        ).alias("score"),
+    )
+    w_f = Window.partitionBy("q_doc", "q_chunk").orderBy(
+        F.desc(F.round(F.col("score") * 1000000000, 0).cast("bigint")),
+        "c_doc",
+        "c_chunk",
+    )
+    return (
+        fused.withColumn("rrf_rank", F.row_number().over(w_f))
+        .filter(F.col("rrf_rank") <= _HY_OUT)
+        .select(
+            *keys,
+            "rrf_rank",
+            F.round(F.col("score"), 9).alias("rrf_score"),
+        )
+        .orderBy("q_doc", "q_chunk", "rrf_rank")
+    )
+
+
+chunk_hybrid_rrf_topk.__doc__ = chunk_hybrid_rrf_topk.__doc__.format(
+    depth=_HY_DEPTH, dim=HASH_DIM, k=_HY_K, out=_HY_OUT
+)

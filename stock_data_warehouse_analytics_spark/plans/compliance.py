@@ -72,8 +72,10 @@ def dq_deletion_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``h(c_custkey) % 20 = 0`` — the reproducible stand-in for an
     uploaded request list; membership is partition-invariant.
 
-    Scale shape: one semi-join marks orders (cohort side is 5% of the
-    customer DIMENSION — join strategy left to the optimizer), one
+    Scale shape: one LEFT join + mark flags orders (a semi-join would
+    lose the kept side; the kept/cascade split needs both, so the
+    cohort rides as a nullable mark — cohort side is 5% of the
+    customer DIMENSION, join strategy left to the optimizer), one
     equi-join carries the mark to lineitem, then one-row conditional
     aggregates (partial agg upstream).  No collect, no broadcast of
     data-sized state."""
@@ -129,4 +131,70 @@ def dq_deletion_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_lineitems_kept",
             "revenue_removed",
         )
+    )
+
+
+@register(
+    "dq_k_anonymity",
+    tags=("compliance", "privacy", "dq"),
+    oracle="""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(*) AS k,
+         COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0e0) AS INT)) AS l
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       CAST(SUM(CASE WHEN k < 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_k_lt_10,
+       CAST(SUM(CASE WHEN k < 10 THEN k ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       ROUND(CAST(SUM(CASE WHEN k < 10 THEN k ELSE 0 END) AS DOUBLE)
+             / SUM(k), 6) AS pct_rows_at_risk,
+       CAST(MIN(l) AS BIGINT) AS min_l,
+       CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_l_lt_3
+FROM classes
+""",
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit — the privacy-readiness gate a
+    warehouse runs before releasing a quasi-identifier projection
+    (Sweeney k-anonymity; Machanavajjhala l-diversity).  QI =
+    (c_nationkey, c_mktsegment); sensitive attribute = account-balance
+    band floor(acctbal/1000).  Reports the equivalence-class census:
+    min/max class size, classes and row mass below k=10, and the
+    minimum distinct-sensitive-value count per class (l).
+
+    Scale shape: one hash-partitioned groupBy on the QI pair (the
+    class census — partial aggregation map-side), then a one-row
+    report agg over the ≤ |nations|×|segments| class table (bounded
+    at ANY row count — partial-agg upstream, O(#tasks) rows cross the
+    final exchange).  No joins, no windows, no Python."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("int")
+        ).alias("l"),
+    )
+    at_risk = F.sum(F.when(F.col("k") < 10, F.col("k")).otherwise(0))
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+        F.sum(F.when(F.col("k") < 10, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_classes_k_lt_10"),
+        at_risk.cast("bigint").alias("n_rows_at_risk"),
+        F.round(at_risk.cast("double") / F.sum("k"), 6).alias(
+            "pct_rows_at_risk"
+        ),
+        F.min("l").cast("bigint").alias("min_l"),
+        F.sum(F.when(F.col("l") < 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_classes_l_lt_3"),
     )

@@ -347,3 +347,135 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "mix_dsir_selection",
+    tags=("llm", "mixing", "selection", "dsir"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, lang, term, COUNT(*) AS tf FROM tok
+  GROUP BY doc_id, lang, term
+),
+vocab AS (
+  SELECT term,
+         SUM(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS cnt_t,
+         SUM(CASE WHEN lang <> 'en' THEN tf ELSE 0 END) AS cnt_s
+  FROM tf GROUP BY term
+),
+scal AS (
+  SELECT CAST(SUM(cnt_t) AS DOUBLE) AS tt,
+         CAST(SUM(cnt_s) AS DOUBLE) AS ts,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM vocab
+),
+contrib AS (
+  SELECT tf.doc_id, tf.lang,
+         tf.tf,
+         CAST(ROUND(CAST(tf.tf AS DOUBLE)
+           * (LN((vocab.cnt_t + 0.5e0) / (scal.tt + 0.5e0 * scal.v))
+              - LN((vocab.cnt_s + 0.5e0) / (scal.ts + 0.5e0 * scal.v)))
+           * 1000000000, 0) AS BIGINT) AS nano
+  FROM tf JOIN vocab ON tf.term = vocab.term CROSS JOIN scal
+  WHERE tf.lang <> 'en'
+),
+per_doc AS (
+  SELECT doc_id, lang, SUM(tf) AS n_tokens, SUM(nano) AS llr_nano
+  FROM contrib GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CAST(llr_nano AS DOUBLE) / 1000000000, 6) AS dsir_llr
+FROM per_doc
+ORDER BY llr_nano DESC, doc_id
+LIMIT 20
+""",
+)
+def mix_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): rank out-of-domain
+    documents by the log importance weight log p_target(x) −
+    log p_source(x) under add-half-smoothed unigram LMs, where the
+    target domain is the ``lang = 'en'`` slice and the source is the
+    rest.  Top-20 source docs by LLR = the docs a curriculum would
+    pull into the target mix first.
+
+    Cross-engine exactness: each (doc, term) contribution tf·(ln a −
+    ln b) is ONE identically-ordered double expression on exact
+    integer-derived inputs, quantized to nano before the per-doc sum
+    (the ``plans/exact.py`` stance); ranking is on the BIGINT sum with
+    a doc_id tiebreak.
+
+    Scale shape: tokenize → (doc, term) tf [hash shuffle on the
+    compound key] → term-grain vocab census [term shuffle, partial agg
+    map-side] → tf ⋈ vocab on term (both term-partitioned; Spark picks
+    sort-merge at corpus scale, the vocab side is Heaps-sublinear) →
+    one-row (T_t, T_s, V) scalar broadcast [bounded: partial-agg
+    upstream, O(#tasks) rows cross the final exchange] → per-doc sum
+    [doc shuffle] → top-20 TakeOrderedAndProject.  No windows, no
+    Python, no corpus-sized single partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.text import tokens
+
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "lang", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    vocab = tf.groupBy("term").agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("tf")).otherwise(0)).alias(
+            "cnt_t"
+        ),
+        F.sum(F.when(F.col("lang") != "en", F.col("tf")).otherwise(0)).alias(
+            "cnt_s"
+        ),
+    )
+    scal = vocab.agg(
+        F.sum("cnt_t").cast("double").alias("tt"),
+        F.sum("cnt_s").cast("double").alias("ts"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    llr = (
+        F.col("tf").cast("double")
+        * (
+            F.log(
+                (F.col("cnt_t") + F.lit(0.5))
+                / (F.col("tt") + F.lit(0.5) * F.col("v"))
+            )
+            - F.log(
+                (F.col("cnt_s") + F.lit(0.5))
+                / (F.col("ts") + F.lit(0.5) * F.col("v"))
+            )
+        )
+    )
+    contrib = (
+        tf.filter(F.col("lang") != "en")
+        .join(vocab, "term")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "doc_id",
+            "lang",
+            "tf",
+            F.round(llr * 1000000000, 0).cast("bigint").alias("nano"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id", "lang")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum("nano").alias("llr_nano"),
+        )
+        .orderBy(F.desc("llr_nano"), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round(F.col("llr_nano").cast("double") / 1000000000, 6).alias(
+                "dsir_llr"
+            ),
+        )
+    )

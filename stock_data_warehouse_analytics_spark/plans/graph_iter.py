@@ -372,6 +372,16 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                             dist[v] = dist[u] + 1
                             nxt.append(v)
                 frontier = nxt
+    # the oracle replays exactly _BFS_ITERS relax rounds, so the driver
+    # fixpoint must be reachable within that budget — enforce the
+    # "iters ≥ eccentricity" contract loudly instead of silently
+    # diverging on a sparser-than-expected graph
+    if dist and max(dist.values()) > _BFS_ITERS:
+        raise AssertionError(
+            f"BFS eccentricity {max(dist.values())} from {_BFS_SOURCE} "
+            f"exceeds _BFS_ITERS={_BFS_ITERS}; raise _BFS_ITERS so the "
+            "fixed-round oracle provably converges"
+        )
     rows = [(node, dist.get(node)) for node in sorted(node_set)]
     out = spark.createDataFrame(rows, "node int, hops long")
     return (

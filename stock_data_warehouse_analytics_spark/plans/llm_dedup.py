@@ -174,7 +174,9 @@ _CC_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
 
 def _cc_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id) from MinHash(16)+LSH(4) pairs closed by
-    distributed connected components, memoized per (session, sf_dir)."""
+    distributed connected components, memoized per (session, sf_dir).
+    Staleness contract: see ``ab_testing.user_day_purchases`` — the
+    memo is never invalidated; inputs are immutable per session."""
     per_session = _CC_CACHE.setdefault(spark, {})
     if sf_dir not in per_session:
         d = load_table(spark, sf_dir, "documents")

@@ -552,3 +552,102 @@ def stream_semantic_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+_MMR_LAMBDA = 0.7
+_MMR_K = 10
+_MMR_CANDIDATES = 50
+
+
+@register(
+    "sim_mmr_diversify",
+    tags=("llm", "similarity", "retrieval", "mmr"),
+    oracle=None,  # greedy argmax recursion is not SQL-expressible;
+    # rows-only here, semantics pinned by the independent numpy
+    # differential test (tests/test_mmr_differential.py) at sf0.001
+    # and the contract test's schema/rowcount pin.
+)
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998)
+    — the diversity-aware post-processor every production RAG retriever
+    runs after ANN: from the exact top-50 cosine candidates for query
+    vec_id 0, greedily select 10 maximizing λ·sim(q,d) − (1−λ)·
+    max_{s∈S} sim(d,s), λ = 0.7.  Rows-only by design (iterative
+    argmax); verified by the numpy differential test
+    ``tests/test_mmr_differential.py::test_mmr_matches_numpy`` which
+    re-derives the candidate set and the greedy trajectory from the
+    raw parquet.
+
+    Determinism: candidates sorted by neighbor_id before the greedy
+    loop; scores are float64; numpy argmax takes the FIRST max, i.e.
+    the lowest neighbor_id on exact ties.
+
+    Scale shape: candidate generation is the broadcast-query brute
+    scan (corpus read once, only the 50-row top-k heap moves); the
+    greedy loop runs in ONE Arrow-batched applyInPandas task over a
+    candidate frame BOUNDED at 50 rows by the upstream
+    TakeOrderedAndProject — never corpus-sized; per-query groups keyed
+    by query_id so a batch of queries fans out, one task each."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cand = topk_bruteforce(
+        e, e.filter(F.col("vec_id") == 0), k=_MMR_CANDIDATES
+    )
+    qvecs = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    enriched = (
+        cand.join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"), "embedding", "label"
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qvecs), "query_id")
+        .select("query_id", "neighbor_id", "label", "embedding", "qvec")
+    )
+
+    def mmr(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        Vn = V / np.sqrt((V * V).sum(axis=1))[:, None]
+        q = np.asarray(pdf["qvec"].iloc[0], dtype=np.float64)
+        qn = q / np.sqrt((q * q).sum())
+        rel = Vn @ qn
+        S = Vn @ Vn.T
+        n = len(pdf)
+        max_sim = np.zeros(n)
+        picked = np.zeros(n, dtype=bool)
+        out = []
+        for step in range(1, min(_MMR_K, n) + 1):
+            score = _MMR_LAMBDA * rel - (1.0 - _MMR_LAMBDA) * max_sim
+            score[picked] = -np.inf
+            i = int(np.argmax(score))
+            out.append(
+                (
+                    step,
+                    int(pdf["neighbor_id"].iloc[i]),
+                    int(pdf["label"].iloc[i]),
+                    round(float(rel[i]), 6),
+                    round(float(score[i]), 6),
+                )
+            )
+            picked[i] = True
+            max_sim = np.maximum(max_sim, S[:, i])
+        return pd.DataFrame(
+            out,
+            columns=["rank", "vec_id", "label", "relevance", "mmr_score"],
+        )
+
+    return (
+        enriched.groupBy("query_id")
+        .applyInPandas(
+            mmr,
+            "rank int, vec_id bigint, label int, relevance double,"
+            " mmr_score double",
+        )
+        .orderBy("rank")
+    )

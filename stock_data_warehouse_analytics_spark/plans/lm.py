@@ -55,7 +55,9 @@ def doc_ppl_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, ppl): add-one bigram-LM perplexity per document
     (the ``text_lm_perplexity`` scoring pipeline, factored out and
     memoized per session — localCheckpointed so consumers don't re-run
-    the two corpus passes)."""
+    the two corpus passes).  Staleness contract: see
+    ``ab_testing.user_day_purchases`` — the (session, sf_dir) memo is
+    never invalidated, so inputs are assumed immutable per session."""
     per_session = _PPL_CACHE.setdefault(spark, {})
     if sf_dir not in per_session:
         d = load_table(spark, sf_dir, "documents")

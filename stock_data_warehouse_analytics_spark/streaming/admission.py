@@ -18,6 +18,7 @@ Stream ≡ batch is asserted in
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -262,6 +263,14 @@ def streaming_semantic_admission(
 
 # --------------------------------------------- perplexity LM admission
 
+# Past this many map entries the create_map literal tree stops being the
+# right vehicle (two 65536-entry maps would put ~131k literal nodes in
+# one plan — pathological analysis/codegen size, advisor r5 finding);
+# the model then ships as a SparkContext BROADCAST consumed by an
+# Arrow-batched pandas UDF — same stateless topology, bigger vehicle.
+_LITERAL_SAFE_ENTRIES = 4096
+
+
 def lm_score_columns(
     docs: DataFrame,
     c2: dict[str, int],
@@ -270,15 +279,23 @@ def lm_score_columns(
     *,
     text_col: str = "text",
     threshold: float = 30.0,
+    force_path: str | None = None,
 ) -> DataFrame:
     """Per-row bigram-LM perplexity gate — completely STATELESS: the
     (pruned) LM travels INSIDE the expression as two map literals, so a
     streaming micro-batch needs no join, no state store, no watermark.
     This mirrors how production perplexity filters actually run (CCNet
     ships a pruned KenLM binary to every worker; the model is a
-    worker-local artifact, not a join input).  For LMs past ~10⁵
-    entries the map literal should become a broadcast variable consumed
-    by an Arrow-batched pandas UDF — same topology, bigger vehicle.
+    worker-local artifact, not a join input).
+
+    TWO vehicles, auto-selected on model size (``force_path`` pins one
+    for testing): up to ``_LITERAL_SAFE_ENTRIES`` total entries the
+    model travels as two ``create_map`` LITERALS inside the expression
+    (zero Python in the hot path); past that the same model ships as a
+    SparkContext BROADCAST consumed by an Arrow-batched pandas UDF that
+    emits the per-bigram RAW log-probs — quantization and the per-row
+    sum stay Spark-side expressions, so both paths share the exact same
+    rounding semantics (differential: tests/test_admission_paths.py).
 
     Per-token log-probs are quantized to integer MICRO-units before the
     per-row sum (``cast(round(ln(...)·1e6) as bigint)``), so the score
@@ -290,27 +307,68 @@ def lm_score_columns(
 
     if not c2 or not c1:
         raise ValueError("empty LM: need non-empty bigram/context counts")
-    c2m = F.create_map(*[F.lit(x) for kv in c2.items() for x in kv])
-    c1m = F.create_map(*[F.lit(x) for kv in c1.items() for x in kv])
-    scored = (
-        docs.withColumn("_t", tokens(F.col(text_col)))
-        .filter(F.size("_t") >= 2)
-        .withColumn("_c2m", c2m)
-        .withColumn("_c1m", c1m)
-        .withColumn(
+    n_entries = len(c2) + len(c1)
+    path = force_path or (
+        "literal" if n_entries <= _LITERAL_SAFE_ENTRIES else "broadcast"
+    )
+    tokenized = docs.withColumn("_t", tokens(F.col(text_col))).filter(
+        F.size("_t") >= 2
+    )
+    if path == "literal":
+        c2m = F.create_map(*[F.lit(x) for kv in c2.items() for x in kv])
+        c1m = F.create_map(*[F.lit(x) for kv in c1.items() for x in kv])
+        scored = (
+            tokenized.withColumn("_c2m", c2m)
+            .withColumn("_c1m", c1m)
+            .withColumn(
+                "_lpm",
+                F.expr(
+                    f"""
+                    transform(slice(_t, 1, size(_t) - 1), (w, i) ->
+                      cast(round(ln(
+                        cast(coalesce(element_at(_c2m, w || ' ' || _t[i + 1]), 0)
+                             + 1 as double)
+                        / cast(coalesce(element_at(_c1m, w), 0) + {int(v)}
+                               as double)) * 1000000, 0) as bigint))
+                    """
+                ),
+            )
+        )
+    else:
+        import math
+
+        bc = docs.sparkSession.sparkContext.broadcast(
+            (dict(c2), dict(c1), int(v))
+        )
+
+        @F.pandas_udf("array<double>")
+        def _lp_raw(tok: pd.Series) -> pd.Series:
+            c2d, c1d, vv = bc.value
+            out = []
+            for t in tok:
+                ws = list(t)
+                out.append(
+                    [
+                        math.log(
+                            (c2d.get(ws[i] + " " + ws[i + 1], 0) + 1)
+                            / (c1d.get(ws[i], 0) + vv)
+                        )
+                        for i in range(len(ws) - 1)
+                    ]
+                )
+            return pd.Series(out)
+
+        # quantization stays a Spark expression — IDENTICAL rounding
+        # on both paths (only the ln producer differs)
+        scored = tokenized.withColumn(
+            "_lpraw", _lp_raw(F.col("_t"))
+        ).withColumn(
             "_lpm",
             F.expr(
-                f"""
-                transform(slice(_t, 1, size(_t) - 1), (w, i) ->
-                  cast(round(ln(
-                    cast(coalesce(element_at(_c2m, w || ' ' || _t[i + 1]), 0)
-                         + 1 as double)
-                    / cast(coalesce(element_at(_c1m, w), 0) + {int(v)}
-                           as double)) * 1000000, 0) as bigint))
-                """
+                "transform(_lpraw, x ->"
+                " cast(round(x * 1000000, 0) as bigint))"
             ),
         )
-    )
     ppl = F.round(
         F.exp(
             -(
@@ -369,6 +427,7 @@ def nb_langid_columns(
     *,
     text_col: str = "text",
     admit_lang: str = "en",
+    force_path: str | None = None,
 ) -> DataFrame:
     """Per-row Naive-Bayes LANGUAGE-ID gate — completely STATELESS,
     the ``lm_score_columns`` stance: the trained classifier travels
@@ -377,8 +436,14 @@ def nb_langid_columns(
     micro-batch needs no join, no state store, no watermark — exactly
     how production langid filters run (fastText ships a model file to
     every worker; the model is a worker-local artifact, not a join
-    input).  Past ~10⁵ entries the maps become a broadcast consumed by
-    an Arrow-batched pandas UDF — same topology, bigger vehicle.
+    input).  TWO vehicles, auto-selected on model size like
+    ``lm_score_columns`` (``force_path`` pins one for testing): map
+    LITERALS up to ``_LITERAL_SAFE_ENTRIES`` entries, else a broadcast
+    consumed by an Arrow-batched pandas UDF that emits the per-(lang,
+    token) RAW log-likelihoods — quantization, the per-class BIGINT
+    sum, and the argmax stay Spark-side expressions shared verbatim by
+    both paths (the lang-count-bounded prior map stays literal on
+    both).
 
     Per-token log-likelihoods quantize to integer MICRO-units in-row,
     per-class scores are BIGINT sums + the quantized prior, and the
@@ -391,35 +456,86 @@ def nb_langid_columns(
     if not clt or not cl or not prior_lpm:
         raise ValueError("empty NB model: need non-empty count maps")
     langs = sorted(prior_lpm)
-    cltm = F.create_map(*[F.lit(x) for kv in clt.items() for x in kv])
-    clm = F.create_map(*[F.lit(x) for kv in cl.items() for x in kv])
+    n_entries = len(clt) + len(cl)
+    path = force_path or (
+        "literal" if n_entries <= _LITERAL_SAFE_ENTRIES else "broadcast"
+    )
     prm = F.create_map(
         *[F.lit(x) for lang in langs for x in (lang, int(prior_lpm[lang]))]
     )
     langs_arr = F.array(*[F.lit(lang) for lang in langs])
-    scored = (
+    base = (
         docs.withColumn("_t", tokens(F.col(text_col)))
-        .withColumn("_cltm", cltm)
-        .withColumn("_clm", clm)
         .withColumn("_prm", prm)
         .withColumn("_langs", langs_arr)
-        .withColumn(
+    )
+    if path == "literal":
+        cltm = F.create_map(*[F.lit(x) for kv in clt.items() for x in kv])
+        clm = F.create_map(*[F.lit(x) for kv in cl.items() for x in kv])
+        scored = (
+            base.withColumn("_cltm", cltm)
+            .withColumn("_clm", clm)
+            .withColumn(
+                "_pick",
+                F.expr(
+                    f"""
+                    array_min(transform(_langs, L -> struct(
+                      -(element_at(_prm, L)
+                        + aggregate(_t, cast(0 as bigint), (a, w) -> a +
+                            cast(round(ln(
+                              cast(coalesce(element_at(_cltm, L || '|' || w), 0)
+                                   + 1 as double)
+                              / cast(element_at(_clm, L) + {int(v)} as double))
+                              * 1000000, 0) as bigint))) AS negs,
+                      L AS lang)))
+                    """
+                ),
+            )
+        )
+    else:
+        import math
+
+        bc = docs.sparkSession.sparkContext.broadcast(
+            (dict(clt), dict(cl), [str(x) for x in langs], int(v))
+        )
+
+        @F.pandas_udf("array<array<double>>")
+        def _ll_raw(tok: pd.Series) -> pd.Series:
+            cltd, cld, lgs, vv = bc.value
+            out = []
+            for t in tok:
+                ws = list(t)
+                out.append(
+                    [
+                        [
+                            math.log(
+                                (cltd.get(lg + "|" + w, 0) + 1)
+                                / (cld[lg] + vv)
+                            )
+                            for w in ws
+                        ]
+                        for lg in lgs
+                    ]
+                )
+            return pd.Series(out)
+
+        # quantization + per-class sum + argmax stay Spark expressions
+        # — IDENTICAL semantics to the literal path (0-based [] index:
+        # _lls[li] is lang li's per-token array)
+        scored = base.withColumn(
+            "_lls", _ll_raw(F.col("_t"))
+        ).withColumn(
             "_pick",
             F.expr(
-                f"""
-                array_min(transform(_langs, L -> struct(
+                """
+                array_min(transform(_langs, (L, li) -> struct(
                   -(element_at(_prm, L)
-                    + aggregate(_t, cast(0 as bigint), (a, w) -> a +
-                        cast(round(ln(
-                          cast(coalesce(element_at(_cltm, L || '|' || w), 0)
-                               + 1 as double)
-                          / cast(element_at(_clm, L) + {int(v)} as double))
-                          * 1000000, 0) as bigint))) AS negs,
+                    + aggregate(_lls[li], cast(0 as bigint), (a, x) -> a +
+                        cast(round(x * 1000000, 0) as bigint))) AS negs,
                   L AS lang)))
                 """
             ),
         )
-    )
     return scored.select(
         "doc_id",
         F.size("_t").cast("long").alias("n_tokens"),

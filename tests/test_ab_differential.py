@@ -385,12 +385,19 @@ def test_metric_panel_matches_numpy(spark):
         t_ref = (t.mean() - c.mean()) / math.sqrt(
             t.var(ddof=1) / len(t) + c.var(ddof=1) / len(c)
         )
+        # independent threshold derivation: inverse normal at α/(2m)
+        # for the DATA-derived metric count m
+        from statistics import NormalDist
+
+        m_count = ev["event_type"].nunique()
+        crit = round(NormalDist().inv_cdf(1 - 0.025 / m_count), 6)
         r = got[et]
         assert (r["n_control"], r["n_treatment"]) == (len(c), len(t))
+        assert r["n_metrics"] == m_count
         assert r["mean_control"] == pytest.approx(c.mean(), abs=1e-5)
         assert r["t_stat"] == pytest.approx(t_ref, abs=1e-5)
         assert r["sig_raw"] == (abs(t_ref) > 1.959964)
-        assert r["sig_bonferroni"] == (abs(t_ref) > 2.575829)
+        assert r["sig_bonferroni"] == (abs(t_ref) > crit)
 
 
 def test_deletion_cascade_matches_pandas(spark):
@@ -450,3 +457,51 @@ def test_cumulative_tstat_matches_bruteforce(spark):
         assert got[day][0] == pytest.approx(t_ref, abs=1e-5), day
         assert got[day][1] == pytest.approx(c.mean() / 100, abs=1e-5)
         assert got[day][2] == pytest.approx(t.mean() / 100, abs=1e-5)
+
+
+def test_msprt_matches_bruteforce(spark):
+    """The always-valid mSPRT trajectory must equal a per-day brute
+    force: Λ_D from scratch moments at every snapshot, p_D as the
+    running min of 1/Λ — monotone non-increasing by construction."""
+    from stock_data_warehouse_analytics_spark.plans.ab_testing2 import (
+        _MSPRT_ALPHA,
+        _MSPRT_TAU2,
+        eval_ab_msprt,
+    )
+
+    rows = eval_ab_msprt(spark, SF_SMALL).collect()
+    got = {r["d"]: r for r in rows}
+    ev = _events().copy()
+    ev["d"] = ev["ts"].dt.normalize().dt.date
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    users = pd.DataFrame({"user_id": ev["user_id"].unique()})
+    users["variant"] = users["user_id"].map(lambda u: _h60(str(u)) % 2)
+    purch = ev[ev["event_type"] == "purchase"]
+    p_run = 1.0
+    prev_p = 1.0
+    for day in sorted(got):
+        upto = purch[purch["d"] <= day]
+        y = (
+            users["user_id"]
+            .map(upto.groupby("user_id")["cents"].sum())
+            .fillna(0)
+        )
+        c = y[users["variant"] == 0].to_numpy(dtype=float) / 100
+        t = y[users["variant"] == 1].to_numpy(dtype=float) / 100
+        theta = t.mean() - c.mean()
+        vv = t.var(ddof=1) / len(t) + c.var(ddof=1) / len(c)
+        if vv <= 0:
+            lnl = 0.0
+        else:
+            lnl = 0.5 * math.log(vv / (vv + _MSPRT_TAU2)) + (
+                theta * theta
+            ) * _MSPRT_TAU2 / (2 * vv * (vv + _MSPRT_TAU2))
+        p_run = min(p_run, min(1.0, math.exp(-lnl)))
+        r = got[day]
+        assert r["theta_hat"] == pytest.approx(theta, abs=1e-5), day
+        assert r["ln_lambda"] == pytest.approx(lnl, abs=1e-4), day
+        assert r["p_always_valid"] == pytest.approx(p_run, abs=1e-4), day
+        assert r["rejected"] == (r["p_always_valid"] <= _MSPRT_ALPHA)
+        # always-valid p must be monotone non-increasing
+        assert r["p_always_valid"] <= prev_p + 1e-12
+        prev_p = r["p_always_valid"]

@@ -156,3 +156,48 @@ def test_chunk_ann_lsh_recall(spark):
     assert hits / max(
         1, sum(len(v) for v in exact.values())
     ) >= 0.5, (hits, exact)
+
+
+def test_chunk_hybrid_lsh_leg_recall(spark):
+    """The scale-path swap the hybrid query's docstring names: replacing
+    the exact dense leg with the LSH-bucketed leg (chunk_ann_lsh_topk's
+    operator at the fusion depth) must recover a solid fraction of the
+    exact dense leg's candidates on the SAME hashed vectors — the
+    measured leg-level recall that bounds how much the fused list can
+    drift at scale."""
+    from stock_data_warehouse_analytics_spark.plans.chunking import (
+        CHUNK_KEY_MUL,
+        HASH_DIM,
+        N_QUERY_DOCS,
+        _HY_DEPTH,
+        chunk_hashed_vectors,
+    )
+    from stock_data_warehouse_analytics_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_lsh,
+    )
+
+    vecs = chunk_hashed_vectors(spark, SF_SMALL).localCheckpoint(eager=True)
+    queries = vecs.filter(F.col("chunk_key") < N_QUERY_DOCS * CHUNK_KEY_MUL)
+    exact = {}
+    for r in topk_bruteforce(
+        vecs, queries, k=_HY_DEPTH, id_col="chunk_key"
+    ).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in topk_lsh(
+        vecs,
+        queries,
+        k=_HY_DEPTH,
+        dim=HASH_DIM,
+        n_planes=16,
+        max_hamming=6,
+        id_col="chunk_key",
+        fast=True,
+    ).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    tot = sum(len(exact[q]) for q in exact)
+    recall = hits / tot
+    assert recall >= 0.5, recall
+    print(f"chunk hybrid dense-leg LSH recall@{_HY_DEPTH}: {recall:.3f}")

@@ -222,6 +222,34 @@ _BOUNDED_SINGLE_PARTITION = {
     # bounded daily grid (2 variants × days); the user-grain window is
     # hash-partitioned by user_id — never a corpus-sized partition
     "eval_ab_cumulative_tstat",
+    # same shared _daily_cum_moments shapes as eval_ab_cumulative_tstat
+    # (one-row universe scalar + CALENDAR-bounded daily windows), plus
+    # the mSPRT running-max window over the day-grain table — ≤ study
+    # span in days at ANY fact scale
+    "eval_ab_msprt",
+    # one-row n_metrics scalar: COUNT(*) over the already-aggregated
+    # per-metric panel (≤ #distinct event types rows, partial-agg
+    # upstream), broadcast back to drive the Bonferroni CASE — never
+    # raw facts
+    "eval_ab_metric_panel",
+    # θ scalar for MaxScore pruning: global top-20 of the seed set via
+    # TakeOrderedAndProject (≤ 20 rows per task reach the final
+    # exchange) then a one-row MIN over those 20 — bounded at ANY
+    # corpus size; the pruned scoring path stays hash-partitioned
+    "text_bm25_topk_maxscore",
+    # both rankings cut to 10 rows via TakeOrderedAndProject (≤ 10
+    # rows per task cross the exchange) BEFORE the rank window; the
+    # DCG/IDCG/MRR report aggs are one-row over those 10-row frames,
+    # and the n_rel_corpus scalar is partial-agg upstream
+    "eval_ranking_ndcg",
+    # one-row privacy report over the ≤ |nations|×|segments| QI-class
+    # census (partial aggregation upstream, O(#tasks) rows cross the
+    # final exchange)
+    "dq_k_anonymity",
+    # one-row (T_target, T_source, V) LM-totals scalar broadcast into
+    # the per-term LLR (partial-agg upstream); doc scoring stays
+    # hash-partitioned, final cut is a top-20 TakeOrderedAndProject
+    "mix_dsir_selection",
     # one-row τ-b report + one-row n_days scalar, both over the
     # CALENDAR-bounded daily table (≤ ~36.5k rows per century at any
     # fact scale; partial aggregation upstream of both aggregates)

@@ -34,3 +34,22 @@ def test_rows_only_query_runs(spark, name):
     df = QUERIES[name].fn(spark, SF_MEDIUM)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+# ---------------------------------------------------------------------
+# The sf0.1 sweep: QUERIES.md's "bit-exact at BOTH SFs" claim as ONE
+# reproducible command (`pytest -m sf01`) instead of a round-notes
+# protocol.  Excluded by default via pytest.ini (`-m "not sf01"`).
+# ---------------------------------------------------------------------
+SF_LARGE = "/root/testdata/sf0.1"
+
+
+@pytest.mark.sf01
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle_sf01(spark, name):
+    spec = QUERIES[name]
+    rep = compare_query(name, spec.fn, spec.oracle, spark, SF_LARGE)
+    assert rep.ok, (
+        f"{name}: errors={rep.errors} mismatched={rep.mismatched_cells} "
+        f"max_abs_diff={rep.max_abs_diff} first={rep.first_diff}"
+    )
