@@ -802,11 +802,19 @@ def chunk_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = chunk_documents(
         d, chunk_tokens=CHUNK_TOKENS, overlap=OVERLAP, keep_text=True
     )
-    tf = ch.select(
-        "doc_id",
-        "chunk_id",
-        F.explode(shingles(F.col("chunk_text"), SHINGLE_K)).alias("term"),
-    ).filter(F.length("term") > 0)
+    tf = (
+        ch.select(
+            "doc_id",
+            "chunk_id",
+            F.explode(shingles(F.col("chunk_text"), SHINGLE_K)).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        # consumed by FIVE branches (df census, tf2 join, q/c sides,
+        # dense hb) — without this the chunk+shingle explode re-runs
+        # per branch; at scale this is the staged shingle table every
+        # production retrieval pipeline writes once per corpus batch
+        .localCheckpoint(eager=True)
+    )
 
     # ---------------- sparse leg (df-capped shingle-set cosine)
     surviving = (
