@@ -486,3 +486,18 @@ def test_ticker_pivot_enumeration_cached(spark):
     stock_olap.monthly_close_pivot(df).collect()
     scans = stock_olap._TICKER_SCANS[0] - before
     assert scans == 1, f"expected 1 enumeration scan, got {scans}"
+
+
+@pytest.mark.parametrize(
+    "name", ["chunk_hybrid_rrf_topk", "eval_ranking_ndcg"]
+)
+def test_staged_frames_are_not_reexploded(spark, name):
+    """The round-6 staging pins: chunk_hybrid_rrf_topk materializes the
+    shared shingle table once (five consumers), eval_ranking_ndcg its
+    hit-sized per_doc frame (three report branches).  The FINAL plan
+    must therefore read the staged RDD and contain NO Generate
+    (explode) node — if the checkpoint is ever dropped, the corpus
+    explode reappears downstream and this fails before the bench does."""
+    plan = _plan(spark, name)
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+    assert "Generate" not in plan, plan
