@@ -1,0 +1,817 @@
+"""Causal measurement + privacy-release depth: Shapley multi-touch
+attribution, stratified-matching ATT, a differentially-private count
+release, inter-rater agreement (Cohen's kappa), and split-conformal
+prediction intervals.
+
+These close the remaining "decision science on the warehouse" surface
+next to the A/B family (``plans/ab_testing*.py``): Shapley is the
+game-theoretic attribution the last-touch/time-decay family
+approximates; stratified ATT is the observational fallback when no
+randomized assignment exists; the DP release is the privacy-budgeted
+publication layer; kappa is the agreement audit every labelling
+pipeline runs; conformal is the distribution-free interval wrapper
+production forecasters ship.
+
+Cross-engine exactness follows the house rules (plans/exact.py
+docstring): integer/decimal aggregation, nano/micro-unit quantization
+before any cross-engine comparison boundary, and final statistics as
+short identically-ordered double op sequences.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.dedup import hash_int60
+from ..sources.tables import load_table
+from .llm_text import _sql_predicted_lang
+from .registry import register
+
+_SQL_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------- Shapley MTA
+
+_CHANNELS = ("click", "error", "signup", "view")  # the non-conversion types
+
+
+def _shapley_enum() -> list[tuple[str, str, str, int]]:
+    """The exact Shapley enumeration for the 4-channel game: for each
+    channel i and each subset S of the other channels, the pair of
+    coalition signatures (S, S∪{i}) and the weight |S|!·(n−|S|−1)!
+    (denominator n! = 24 divided out once at the end).  32 literal rows
+    — shared by the Spark plan and the SQL oracle so the two can never
+    drift."""
+    rows = []
+    for ch in _CHANNELS:
+        others = [c for c in _CHANNELS if c != ch]
+        for r in range(len(others) + 1):
+            for s in itertools.combinations(others, r):
+                w = math.factorial(len(s)) * math.factorial(
+                    len(_CHANNELS) - len(s) - 1
+                )
+                rows.append(
+                    (ch, ",".join(sorted(s)), ",".join(sorted(s + (ch,))), w)
+                )
+    return rows
+
+
+_SHAPLEY_FACT = math.factorial(len(_CHANNELS))
+_SHAPLEY_VALUES_SQL = ",\n    ".join(
+    f"('{c}', '{wo}', '{w}', {w24})" for c, wo, w, w24 in _shapley_enum()
+)
+
+
+@register(
+    "attribution_shapley",
+    tags=("attribution", "causal", "shapley", "marketing"),
+    oracle=f"""
+WITH j AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         COALESCE(string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+                  FILTER (WHERE event_type != 'purchase'), '') AS sig,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1, 2
+),
+v AS (
+  SELECT sig, (SUM(conv) * 1000000000) // COUNT(*) AS v_nano FROM j GROUP BY sig
+),
+enum(channel, sig_wo, sig_w, w24) AS (VALUES
+    {_SHAPLEY_VALUES_SQL}
+),
+contrib AS (
+  SELECT e.channel,
+         SUM(e.w24 * (COALESCE(vw.v_nano, 0) - COALESCE(vo.v_nano, 0)))
+           AS shapley_nano24
+  FROM enum e
+  LEFT JOIN v vw ON vw.sig = e.sig_w
+  LEFT JOIN v vo ON vo.sig = e.sig_wo
+  GROUP BY e.channel
+)
+SELECT channel, shapley_nano24,
+       CAST(shapley_nano24 AS DOUBLE) / {_SHAPLEY_FACT}.0 / 1000000000.0
+         AS shapley
+FROM contrib ORDER BY channel
+""",
+)
+def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SHAPLEY-value multi-touch attribution over the 4 touch
+    channels (click/error/signup/view) — the game-theoretic credit
+    split that last-touch (`attribution_last_touch`) and time-decay
+    (`attribution_time_decay`) approximate.  Journey grain is
+    (user, day): the coalition is the day's set of distinct non-purchase
+    touch types, conversion is "any purchase that day", and the
+    characteristic function v(S) is the observed conversion rate of
+    journeys exposed to EXACTLY coalition S (unobserved coalitions
+    contribute v = 0, the standard empirical-MTA convention).
+
+    Exactness: v(S) is nano-unit-quantized with BIGINT floor division,
+    the Shapley sum Σ_S |S|!·(n−|S|−1)!·(v(S∪i) − v(S)) stays in
+    integer nano·24 units (weights are the exact factorials; the n!
+    denominator divides out once at the end), so the only double op is
+    the final display division — bit-identical cross-engine.
+
+    Scale shape: one (user, day) grouped agg over the fact table →
+    coalition table bounded by 2^|channels| = 16 rows; the Shapley
+    enumeration is a 32-row literal relation joined twice against it
+    (broadcast); final agg is |channels| rows.  Adding a channel grows
+    the literal table 2×, never the fact-side cost."""
+    ev = load_table(spark, sf_dir, "events")
+    j = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_set(
+                    F.when(
+                        F.col("event_type") != "purchase", F.col("event_type")
+                    )
+                )
+            ),
+            ",",
+        ).alias("sig"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+    )
+    v = j.groupBy("sig").agg(
+        F.expr("(sum(conv) * 1000000000) div count(*)").alias("v_nano")
+    )
+    enum = spark.createDataFrame(
+        _shapley_enum(), "channel string, sig_wo string, sig_w string, w24 long"
+    )
+    vw = v.select(F.col("sig").alias("sig_w"), F.col("v_nano").alias("vw"))
+    vo = v.select(F.col("sig").alias("sig_wo"), F.col("v_nano").alias("vo"))
+    return (
+        enum.join(vw, "sig_w", "left")
+        .join(vo, "sig_wo", "left")
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.col("w24")
+                * (
+                    F.coalesce(F.col("vw"), F.lit(0))
+                    - F.coalesce(F.col("vo"), F.lit(0))
+                )
+            )
+            .cast("long")
+            .alias("shapley_nano24")
+        )
+        .select(
+            "channel",
+            "shapley_nano24",
+            (
+                F.col("shapley_nano24").cast("double")
+                / float(_SHAPLEY_FACT)
+                / 1_000_000_000.0
+            ).alias("shapley"),
+        )
+        .orderBy("channel")
+    )
+
+
+# -------------------------------------------------- stratified-matching ATT
+
+_ATT_CUT = "2024-01-08"  # pre-period = week 1 (generator pins Jan 2024)
+_ATT_ERR_MIN = 3  # treated = ≥3 error events in the pre-period
+_ATT_BAND = 4  # stratum = pre-period activity DIV 4, capped
+_ATT_CAP = 5
+
+
+@register(
+    "eval_att_stratified",
+    tags=("eval", "causal", "matching", "att"),
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         COUNT(*) FILTER (WHERE ts < TIMESTAMP '{_ATT_CUT}') AS n_pre,
+         COUNT(*) FILTER (WHERE ts < TIMESTAMP '{_ATT_CUT}'
+                            AND event_type = 'error') AS err_pre,
+         COALESCE(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                  FILTER (WHERE ts >= TIMESTAMP '{_ATT_CUT}'
+                            AND event_type = 'purchase'), 0) AS post_cents
+  FROM events GROUP BY user_id
+),
+tagged AS (
+  SELECT CASE WHEN err_pre >= {_ATT_ERR_MIN} THEN 1 ELSE 0 END AS treated,
+         LEAST(n_pre // {_ATT_BAND}, {_ATT_CAP}) AS stratum,
+         post_cents
+  FROM u
+),
+s AS (
+  SELECT stratum,
+         COUNT(*) FILTER (WHERE treated = 1) AS n_treated,
+         COUNT(*) FILTER (WHERE treated = 0) AS n_control,
+         COALESCE(SUM(post_cents) FILTER (WHERE treated = 1), 0) AS sum_t,
+         COALESCE(SUM(post_cents) FILTER (WHERE treated = 0), 0) AS sum_c
+  FROM tagged GROUP BY stratum
+),
+supported AS (
+  SELECT *, CAST(SUM(n_treated) OVER () AS BIGINT) AS n_treated_total
+  FROM s WHERE n_treated > 0 AND n_control > 0
+),
+per AS (
+  SELECT stratum, n_treated, n_control,
+         CAST(sum_t AS DOUBLE) / 100.0 / n_treated AS mean_treated,
+         CAST(sum_c AS DOUBLE) / 100.0 / n_control AS mean_control,
+         CAST(sum_t AS DOUBLE) / 100.0 / n_treated
+           - CAST(sum_c AS DOUBLE) / 100.0 / n_control AS diff,
+         CAST(FLOOR((CAST(sum_t AS DOUBLE) / 100.0 / n_treated
+                     - CAST(sum_c AS DOUBLE) / 100.0 / n_control)
+                    * (CAST(n_treated AS DOUBLE)
+                       / CAST(n_treated_total AS DOUBLE))
+                    * 1000000000.0) AS BIGINT) AS contrib_nano
+  FROM supported
+)
+SELECT stratum, n_treated, n_control, mean_treated, mean_control, diff,
+       contrib_nano,
+       CAST(SUM(contrib_nano) OVER () AS DOUBLE) / 1000000000.0 AS att
+FROM per ORDER BY stratum
+""",
+)
+def eval_att_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified-matching ATT (average treatment effect on the
+    treated) — the observational-causal readout when assignment was
+    NOT randomized, next to the A/B family's randomized readouts.
+    Design: treatment = "≥{err} error events in the pre-period (week
+    1)", outcome = post-period purchase spend, strata = pre-period
+    activity bands (an entirely PRE-treatment covariate, as matching
+    requires).  ATT = Σ_s w_s·(ȳ_t,s − ȳ_c,s) with w_s = n_t,s / N_t
+    over common-support strata only (strata missing either arm are
+    excluded, the standard positivity trim).
+
+    Exactness: outcomes are exact integer cents; per-stratum means are
+    single double divisions of exact sums; each stratum's ATT
+    contribution is floor-quantized to nano-units so the cross-stratum
+    sum is integer (order-independent).  The two window functions run
+    over the STRATUM table — ≤{cap}+1 rows by construction (activity
+    band is capped), never the fact table.
+
+    Scale shape: one user-grain grouped agg over the fact scan (the
+    same one-fact-pass stance as the A/B metric store), then
+    dimension-free arithmetic on ≤{cap}+1 stratum rows."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(_ATT_CUT).cast("timestamp")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("ts") < cut, 1)).alias("n_pre"),
+        F.count(
+            F.when((F.col("ts") < cut) & (F.col("event_type") == "error"), 1)
+        ).alias("err_pre"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("ts") >= cut) & (F.col("event_type") == "purchase"),
+                    cents,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("post_cents"),
+    )
+    tagged = u.select(
+        F.when(F.col("err_pre") >= _ATT_ERR_MIN, 1).otherwise(0).alias("treated"),
+        F.least(
+            F.expr(f"n_pre div {_ATT_BAND}"), F.lit(_ATT_CAP).cast("long")
+        ).alias("stratum"),
+        "post_cents",
+    )
+    s = tagged.groupBy("stratum").agg(
+        F.count(F.when(F.col("treated") == 1, 1)).alias("n_treated"),
+        F.count(F.when(F.col("treated") == 0, 1)).alias("n_control"),
+        F.coalesce(
+            F.sum(F.when(F.col("treated") == 1, F.col("post_cents"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("sum_t"),
+        F.coalesce(
+            F.sum(F.when(F.col("treated") == 0, F.col("post_cents"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("sum_c"),
+    )
+    supported = s.filter((F.col("n_treated") > 0) & (F.col("n_control") > 0))
+    w_all = Window.partitionBy()
+    supported = supported.withColumn(
+        "n_treated_total", F.sum("n_treated").over(w_all).cast("long")
+    )
+    mean_t = F.col("sum_t").cast("double") / 100.0 / F.col("n_treated")
+    mean_c = F.col("sum_c").cast("double") / 100.0 / F.col("n_control")
+    diff = mean_t - mean_c
+    contrib = F.floor(
+        diff
+        * (F.col("n_treated").cast("double") / F.col("n_treated_total").cast("double"))
+        * 1_000_000_000.0
+    ).cast("long")
+    per = supported.select(
+        "stratum",
+        "n_treated",
+        "n_control",
+        mean_t.alias("mean_treated"),
+        mean_c.alias("mean_control"),
+        diff.alias("diff"),
+        contrib.alias("contrib_nano"),
+    )
+    return per.withColumn(
+        "att",
+        F.sum("contrib_nano").over(w_all).cast("double") / 1_000_000_000.0,
+    ).orderBy("stratum")
+
+
+eval_att_stratified.__doc__ = eval_att_stratified.__doc__.format(
+    err=_ATT_ERR_MIN, cap=_ATT_CAP
+)
+
+
+# ------------------------------------------------------- DP count release
+
+_DP_EPS = 0.5  # per-query privacy budget
+_DP_DEN = 1 << 48
+
+
+@register(
+    "dq_dp_noisy_counts",
+    tags=("dq", "privacy", "differential-privacy", "release"),
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, COUNT(*) AS n_true FROM events GROUP BY event_type
+),
+noised AS (
+  SELECT event_type, n_true,
+         (({_SQL_H60.format(x="'dp:' || event_type")}) % {_DP_DEN})::DOUBLE
+           AS h
+  FROM base
+),
+lap AS (
+  SELECT event_type, n_true,
+         CAST(ROUND(
+           -(1.0 / {_DP_EPS}) *
+           (CASE WHEN (h + 0.5) / {_DP_DEN}.0 - 0.5 >= 0.0
+                 THEN 1.0 ELSE -1.0 END) *
+           LN(1.0 - 2.0 * ABS((h + 0.5) / {_DP_DEN}.0 - 0.5)) * 1000000000.0,
+           0) AS BIGINT) AS noise_nano
+  FROM noised
+)
+SELECT event_type, n_true, noise_nano,
+       CAST(n_true * 1000000000 + noise_nano AS DOUBLE) / 1000000000.0
+         AS noisy_count,
+       {_DP_EPS} AS epsilon, 1 AS l1_sensitivity
+FROM lap ORDER BY event_type
+""",
+)
+def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release: per-event-type counts with
+    Laplace(Δ/ε) noise (Δ = 1 for a count query, ε = {eps}) — the
+    publication layer a privacy-budgeted warehouse puts between raw
+    facts and external consumers, next to `dq_k_anonymity`'s static
+    audit.  Noise is DETERMINISTIC for reproducibility/verification:
+    the Laplace draw comes from the inverse CDF
+    x = −(Δ/ε)·sgn(u−½)·ln(1−2|u−½|) applied to a 48-bit md5 hash
+    uniform of the group key (the `sample_weighted_reservoir` hash-
+    uniform primitive; u is offset by ½ lsb so u ≠ ½ and the ln
+    argument stays in (0, 1]).  A production release would substitute
+    a calibrated RNG — the plan shape (group, noise expression, audit
+    columns) is identical.
+
+    Exactness: the uniform, the ln, and the scaling are one fixed
+    sequence of double ops on identical inputs (bit-identical across
+    engines — the reservoir/PMI precedent), quantized to integer
+    nano-units BEFORE the noisy count is assembled, so the published
+    value is exact integer arithmetic.
+
+    Scale shape: one grouped count with map-side partial aggregation;
+    the noise expression is per-GROUP (5 rows), not per-row."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_true"))
+    h = (
+        hash_int60(F.concat(F.lit("dp:"), F.col("event_type"))) % _DP_DEN
+    ).cast("double")
+    u_centered = (h + 0.5) / float(_DP_DEN) - 0.5
+    lap = (
+        F.lit(-1.0 / _DP_EPS)
+        * F.when(u_centered >= 0.0, 1.0).otherwise(-1.0)
+        * F.log(1.0 - 2.0 * F.abs(u_centered))
+    )
+    noise_nano = F.round(lap * 1_000_000_000.0, 0).cast("long")
+    return (
+        base.select(
+            "event_type",
+            "n_true",
+            noise_nano.alias("noise_nano"),
+        )
+        .select(
+            "event_type",
+            "n_true",
+            "noise_nano",
+            (
+                (F.col("n_true") * F.lit(1_000_000_000) + F.col("noise_nano"))
+                .cast("double")
+                / 1_000_000_000.0
+            ).alias("noisy_count"),
+            F.lit(_DP_EPS).alias("epsilon"),
+            F.lit(1).alias("l1_sensitivity"),
+        )
+        .orderBy("event_type")
+    )
+
+
+dq_dp_noisy_counts.__doc__ = dq_dp_noisy_counts.__doc__.format(eps=_DP_EPS)
+
+
+# ------------------------------------------------------------ Cohen's kappa
+
+
+@register(
+    "eval_cohens_kappa",
+    tags=("eval", "agreement", "labelling", "kappa"),
+    oracle=f"""
+WITH cells AS (
+  SELECT lang AS a, {_sql_predicted_lang()} AS b, COUNT(*) AS n
+  FROM documents GROUP BY 1, 2
+),
+tot AS (
+  SELECT SUM(n) AS n_docs,
+         COALESCE(SUM(n) FILTER (WHERE a = b), 0) AS n_agree
+  FROM cells
+),
+marg AS (
+  SELECT SUM(r.rn * c.cn) AS pe_num
+  FROM (SELECT a, SUM(n) AS rn FROM cells GROUP BY a) r
+  JOIN (SELECT b, SUM(n) AS cn FROM cells GROUP BY b) c ON r.a = c.b
+)
+SELECT n_docs, n_agree, pe_num,
+       CAST(n_agree AS DOUBLE) / n_docs AS po,
+       CAST(pe_num AS DOUBLE) / n_docs / n_docs AS pe,
+       (CAST(n_agree AS DOUBLE) / n_docs
+        - CAST(pe_num AS DOUBLE) / n_docs / n_docs)
+       / (1.0 - CAST(pe_num AS DOUBLE) / n_docs / n_docs) AS kappa
+FROM tot CROSS JOIN marg
+""",
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA chance-corrected agreement between the heuristic
+    language-ID rater (`functions.text.predicted_lang`) and the gold
+    `lang` label — the inter-rater audit every labelling/annotation
+    pipeline runs before trusting a classifier or a second annotator
+    (`text_langid_confusion` is the underlying table; kappa is its
+    decision scalar).  κ = (p_o − p_e)/(1 − p_e) with p_e from the
+    confusion marginals.
+
+    Exactness: all counts are exact BIGINTs off one grouped agg; p_o,
+    p_e, κ are a short identical double op sequence on those integers
+    (Σ row_k·col_k stays BIGINT — safe to ~3·10^9 docs before the
+    marginal product needs decimal).
+
+    Scale shape: ONE pass over documents into a |langs|² ≤ 25-cell
+    confusion table (map-side partial agg); everything after is
+    arithmetic on that bounded table — the one-row report aggregates
+    are confusion-table-sized, never corpus-sized."""
+    from ..functions.text import predicted_lang
+
+    d = load_table(spark, sf_dir, "documents")
+    cells = (
+        d.select(
+            F.col("lang").alias("a"),
+            predicted_lang(F.col("text")).alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # ≤25 rows, consumed by 3 branches
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.when(F.col("a") == F.col("b"), F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    rows = cells.groupBy("a").agg(F.sum("n").alias("rn"))
+    cols = cells.groupBy("b").agg(F.sum("n").alias("cn"))
+    marg = (
+        rows.join(cols, rows.a == cols.b)
+        .agg(F.sum(F.col("rn") * F.col("cn")).cast("long").alias("pe_num"))
+    )
+    po = F.col("n_agree").cast("double") / F.col("n_docs")
+    pe = F.col("pe_num").cast("double") / F.col("n_docs") / F.col("n_docs")
+    return tot.crossJoin(F.broadcast(marg)).select(
+        "n_docs",
+        "n_agree",
+        "pe_num",
+        po.alias("po"),
+        pe.alias("pe"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
+
+
+# ------------------------------------------------- split-conformal coverage
+
+_CONF_LAG_H = 24  # seasonal-naive horizon: same hour yesterday
+_CONF_ALPHA_NUM = 9  # target coverage 9/10
+
+
+@register(
+    "eval_conformal_coverage",
+    tags=("eval", "conformal", "forecast", "uncertainty"),
+    oracle=f"""
+WITH hours AS (
+  SELECT date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', ts) AS h,
+         event_type,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+bounds AS (SELECT MIN(h) AS hmin, MAX(h) AS hmax FROM hours),
+spine AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN bounds
+  CROSS JOIN UNNEST(generate_series(hmin, hmax)) AS g(h)
+),
+hourly AS (
+  SELECT s.event_type, s.h,
+         COALESCE(SUM(x.cents), 0) AS y,
+         (SELECT hmin FROM bounds) AS hmin
+  FROM spine s
+  LEFT JOIN hours x ON x.event_type = s.event_type AND x.h = s.h
+  GROUP BY s.event_type, s.h
+),
+resid AS (
+  SELECT event_type, h,
+         ABS(y - LAG(y, {_CONF_LAG_H})
+                   OVER (PARTITION BY event_type ORDER BY h)) AS r,
+         ((h - hmin) // 24) % 2 AS day_parity
+  FROM hourly
+),
+cal AS (
+  SELECT event_type, r,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r, h) AS rk
+  FROM resid WHERE r IS NOT NULL AND day_parity = 0
+),
+ncal AS (SELECT event_type, COUNT(*) AS n_cal FROM cal GROUP BY event_type),
+qhat AS (
+  SELECT c.event_type, n.n_cal, c.r AS q_hat_cents
+  FROM cal c JOIN ncal n ON n.event_type = c.event_type
+  WHERE c.rk = ({_CONF_ALPHA_NUM} * (n.n_cal + 1) + {_CONF_ALPHA_NUM}) // 10
+),
+ev AS (
+  SELECT event_type, r FROM resid WHERE r IS NOT NULL AND day_parity = 1
+)
+SELECT e.event_type, q.n_cal, COUNT(*) AS n_eval, q.q_hat_cents,
+       CAST(COUNT(*) FILTER (WHERE e.r <= q.q_hat_cents) AS DOUBLE)
+         / COUNT(*) AS coverage,
+       0.9e0 AS target
+FROM ev e JOIN qhat q ON q.event_type = e.event_type
+GROUP BY e.event_type, q.n_cal, q.q_hat_cents
+ORDER BY e.event_type
+""",
+)
+def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL prediction-interval audit over an hourly
+    seasonal-naive forecast (ŷ(h) = y(h − 24)) of per-type event value
+    — the distribution-free uncertainty wrapper production forecasters
+    ship around any point model, next to `eval_forecast_backtest`'s
+    point-accuracy readout.  Days alternate calibration/evaluation
+    (even/odd day parity — a deterministic split with no scalar
+    cutoff); q̂ is the ⌈(1−α)(n+1)⌉-th smallest calibration residual
+    (exact integer rank ⌈9(n+1)/10⌉, computed as (9(n+1)+9)//10 so no
+    float ceil runs), and the reported coverage is the share of
+    held-out residuals within ±q̂ — the finite-sample-valid guarantee
+    being verified.
+
+    Exactness: hourly values are exact integer cents on a zero-filled
+    hour spine; residuals, ranks and the coverage numerator are all
+    BIGINT; the only doubles are the final per-type coverage ratios.
+
+    Scale shape: one grouped agg to (type, hour) grain — calendar ×
+    type bounded, not fact-sized; every window is PARTITIONED BY
+    event_type (no global sort); the hour spine comes from a one-row
+    min/max agg broadcast into a generated sequence."""
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.select(
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP '1970-01-01 00:00:00', ts)"
+        ).alias("h"),
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    bounds = hours.agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            "hmin",
+            F.explode(F.sequence(F.col("hmin"), F.col("hmax"))).alias("h"),
+        )
+    )
+    sums = hours.groupBy("event_type", "h").agg(
+        F.sum("cents").cast("long").alias("y0")
+    )
+    hourly = (
+        spine.join(sums, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            "hmin",
+            F.coalesce(F.col("y0"), F.lit(0)).alias("y"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    resid = hourly.select(
+        "event_type",
+        "h",
+        F.abs(F.col("y") - F.lag("y", _CONF_LAG_H).over(w)).alias("r"),
+        (F.expr("(h - hmin) div 24") % 2).alias("day_parity"),
+    ).filter(F.col("r").isNotNull())
+    cal = resid.filter(F.col("day_parity") == 0)
+    rk_w = Window.partitionBy("event_type").orderBy("r", "h")
+    cal_rk = cal.withColumn("rk", F.row_number().over(rk_w))
+    ncal = cal.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_cal"))
+    qhat = (
+        cal_rk.join(ncal, "event_type")
+        .filter(
+            F.col("rk")
+            == F.expr(
+                f"({_CONF_ALPHA_NUM} * (n_cal + 1) + {_CONF_ALPHA_NUM}) div 10"
+            )
+        )
+        .select("event_type", "n_cal", F.col("r").alias("q_hat_cents"))
+    )
+    eval_side = resid.filter(F.col("day_parity") == 1)
+    return (
+        eval_side.join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type", "n_cal", "q_hat_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            (
+                F.count(
+                    F.when(F.col("r") <= F.col("q_hat_cents"), 1)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("coverage"),
+        )
+        .select(
+            "event_type",
+            "n_cal",
+            "n_eval",
+            "q_hat_cents",
+            "coverage",
+            F.lit(0.9).alias("target"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------------------- k-fold CV via LOFO moments
+
+_CV_FOLDS = 5
+
+
+@register(
+    "eval_kfold_cv_ols",
+    tags=("eval", "cross-validation", "regression", "ml"),
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         ('0x' || substr(md5('cv:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           % {_CV_FOLDS} AS fold,
+         COUNT(*) AS x,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ROUND(value * 100, 0) AS BIGINT) END), 0) AS y
+  FROM events GROUP BY user_id
+),
+fm AS (
+  SELECT fold, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM u GROUP BY fold
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sx) AS BIGINT) AS sx,
+         CAST(SUM(sy) AS BIGINT) AS sy, CAST(SUM(sxx) AS BIGINT) AS sxx,
+         CAST(SUM(sxy) AS BIGINT) AS sxy
+  FROM fm
+),
+coef AS (
+  SELECT f.fold, t.n - f.n AS n_train, f.n AS n_test,
+         (CAST(t.n - f.n AS DOUBLE) * (t.sxy - f.sxy)
+          - CAST(t.sx - f.sx AS DOUBLE) * (t.sy - f.sy))
+         / (CAST(t.n - f.n AS DOUBLE) * (t.sxx - f.sxx)
+            - CAST(t.sx - f.sx AS DOUBLE) * (t.sx - f.sx)) AS slope,
+         (CAST(t.sy - f.sy AS DOUBLE)
+          - ((CAST(t.n - f.n AS DOUBLE) * (t.sxy - f.sxy)
+              - CAST(t.sx - f.sx AS DOUBLE) * (t.sy - f.sy))
+             / (CAST(t.n - f.n AS DOUBLE) * (t.sxx - f.sxx)
+                - CAST(t.sx - f.sx AS DOUBLE) * (t.sx - f.sx)))
+            * (t.sx - f.sx))
+         / (t.n - f.n) AS intercept
+  FROM fm f CROSS JOIN tot t
+),
+scored AS (
+  SELECT u.fold, c.n_train, c.n_test, c.slope, c.intercept,
+         CAST(ROUND((u.y - c.intercept - c.slope * u.x)
+                    * (u.y - c.intercept - c.slope * u.x) * 1000000.0, 0)
+              AS BIGINT) AS sqres_micro
+  FROM u JOIN coef c ON c.fold = u.fold
+)
+SELECT fold, n_train, n_test, slope, intercept,
+       SQRT(CAST(SUM(sqres_micro) AS DOUBLE) / 1000000.0 / n_test) AS rmse_cents
+FROM scored
+GROUP BY fold, n_train, n_test, slope, intercept
+ORDER BY fold
+""",
+)
+def eval_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-FOLD CROSS-VALIDATION of the user-grain OLS spend model
+    (y = user purchase cents ~ x = user event count) via the
+    LEAVE-ONE-FOLD-OUT moment identity: one pass computes per-fold
+    moment tuples (n, Σx, Σy, Σx², Σxy); each fold's TRAINING moments
+    are total − fold (no 5× rescans — the algebra production CV
+    harnesses use when the model is closed-form), the held fold scores
+    the fit, and the readout is per-fold out-of-sample RMSE — the
+    overfit audit next to `mining_ols_trend`'s in-sample fit and
+    `mining_knn_label_accuracy`'s held-out probe.
+
+    Exactness: folds are md5-hash membership; x, y, and all five
+    moments are exact BIGINTs; slope/intercept are one fixed double
+    expression per fold; per-row squared residuals are micro-unit
+    quantized before the order-free integer sum, and RMSE is the
+    final double op.
+
+    Scale shape: one user-grain grouped agg over the facts, a
+    {k}-row moment table + one-row total, coefficients broadcast back
+    for one scoring pass — two fact-scans total (metric build + score),
+    independent of k."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", cents)), F.lit(0)
+        )
+        .cast("long")
+        .alias("y"),
+    ).select(
+        (
+            hash_int60(
+                F.concat(F.lit("cv:"), F.col("user_id").cast("string"))
+            )
+            % _CV_FOLDS
+        ).alias("fold"),
+        "x",
+        "y",
+    ).localCheckpoint(eager=True)  # user-grain table feeds moments + scoring
+    fm = u.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    tot = fm.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("sx").cast("long").alias("tsx"),
+        F.sum("sy").cast("long").alias("tsy"),
+        F.sum("sxx").cast("long").alias("tsxx"),
+        F.sum("sxy").cast("long").alias("tsxy"),
+    )
+    j = fm.crossJoin(F.broadcast(tot))
+    n_tr = (F.col("tn") - F.col("n")).cast("double")
+    dsx = F.col("tsx") - F.col("sx")
+    dsy = F.col("tsy") - F.col("sy")
+    dsxx = F.col("tsxx") - F.col("sxx")
+    dsxy = F.col("tsxy") - F.col("sxy")
+    slope = (n_tr * dsxy - dsx.cast("double") * dsy) / (
+        n_tr * dsxx - dsx.cast("double") * dsx
+    )
+    intercept = (dsy.cast("double") - slope * dsx) / (F.col("tn") - F.col("n"))
+    coef = j.select(
+        "fold",
+        (F.col("tn") - F.col("n")).alias("n_train"),
+        F.col("n").alias("n_test"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+    res = F.col("y") - F.col("intercept") - F.col("slope") * F.col("x")
+    scored = u.join(F.broadcast(coef), "fold").select(
+        "fold",
+        "n_train",
+        "n_test",
+        "slope",
+        "intercept",
+        F.round(res * res * 1_000_000.0, 0).cast("long").alias("sqres_micro"),
+    )
+    return (
+        scored.groupBy("fold", "n_train", "n_test", "slope", "intercept")
+        .agg(
+            F.sqrt(
+                F.sum("sqres_micro").cast("double")
+                / 1_000_000.0
+                / F.col("n_test")
+            ).alias("rmse_cents")
+        )
+        .orderBy("fold")
+    )
+
+
+eval_kfold_cv_ols.__doc__ = eval_kfold_cv_ols.__doc__.format(k=_CV_FOLDS)

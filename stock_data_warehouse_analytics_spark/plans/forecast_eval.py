@@ -101,3 +101,103 @@ def eval_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -------------------------------------------- Holt–Winters seasonal
+
+_HW_ALPHA, _HW_BETA, _HW_GAMMA = 0.3, 0.1, 0.2
+_HW_PERIOD = 7
+_HW_HORIZON = 7
+
+
+@register(
+    "win_holt_winters_forecast",
+    oracle=None,  # coupled three-state seasonal recurrence — no SQL
+    # oracle; substitute:
+    # tests/test_technical_differential.py::test_holt_winters_matches_explicit_recurrence
+    tags=(
+        "window",
+        "technical",
+        "recurrence",
+        "forecast",
+        "seasonal",
+        "rows-only",
+    ),
+)
+def win_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT–WINTERS additive triple-exponential smoothing (level +
+    trend + weekly seasonality, α=0.3 β=0.1 γ=0.2, m=7) over each
+    event type's daily count series, emitting the m-step-ahead
+    forecast fan ŷ(h) = L_N + h·T_N + S_{N+h−m} for h = 1..7 plus the
+    final states — the seasonal member of the forecast-recurrence
+    family (`win_holt_linear_forecast` has no seasonality;
+    `eval_forecast_backtest` showed seasonal-naive beats naive-1 on
+    exactly this series, so the production next step is a model WITH
+    the seasonal state).
+
+    Initialization (classic two-full-period scheme): L₀ = mean of week
+    1, T₀ = (mean of week 2 − mean of week 1)/m, S_i = y_i − L₀ for
+    the first week; the recurrence starts at t = m.  Rows-only by
+    design (three COUPLED states per step — inexpressible as frame
+    aggregates or a single grouped-ewm, and an unrolled SQL mirror of
+    30 steps × 3 states is not an oracle, it is a second copy);
+    substitute check is the explicit-recurrence differential test
+    named above.
+
+    Scale shape: facts collapse to the calendar-bounded (type, day)
+    count table in one grouped agg; the recurrence runs inside ONE
+    applyInPandas task per event type (states are O(m) per series;
+    |types| tasks of ≤|days| rows — trivially parallel across series,
+    which is the real production shape: thousands of independent
+    series, each small)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("y"))
+
+    m, hor = _HW_PERIOD, _HW_HORIZON
+    a, b, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        y = pdf["y"].to_numpy(dtype="float64")
+        et = pdf["event_type"].iloc[0]
+        if len(y) < 2 * m:
+            return pd.DataFrame(
+                columns=["event_type", "h", "forecast", "level", "trend"]
+            )
+        lvl = float(y[:m].mean())
+        trd = float((y[m : 2 * m].mean() - y[:m].mean()) / m)
+        season = [float(y[i] - lvl) for i in range(m)]
+        for t in range(m, len(y)):
+            s_prev = season[t % m]
+            l_prev = lvl
+            lvl = a * (y[t] - s_prev) + (1 - a) * (lvl + trd)
+            trd = b * (lvl - l_prev) + (1 - b) * trd
+            season[t % m] = g * (y[t] - lvl) + (1 - g) * s_prev
+        n = len(y)
+        rows = [
+            (
+                et,
+                h,
+                lvl + h * trd + season[(n + h - 1) % m],
+                lvl,
+                trd,
+            )
+            for h in range(1, hor + 1)
+        ]
+        return pd.DataFrame(
+            rows, columns=["event_type", "h", "forecast", "level", "trend"]
+        )
+
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(
+            fit,
+            schema="event_type string, h int, forecast double,"
+            " level double, trend double",
+        )
+        .orderBy("event_type", "h")
+    )

@@ -1,0 +1,479 @@
+"""Sketch + corpus-quality depth, round 6: a fully RELATIONAL
+HyperLogLog (mergeable registers, integer-exact estimate), the
+published Gopher quality-rule panel, and per-language tokenizer
+fertility.
+
+``sketch_hll_relational`` upgrades the HLL family: Spark's
+``approx_count_distinct`` (`agg_approx_distinct`) is engine-internal
+(rows-only check), and `agg_hll_sketch_union` merges opaque binary
+sketches — this variant builds the registers AS A TABLE (the
+``sketch_count_min_heavy_hitters`` stance), so the estimate is
+bit-identical cross-engine and the merge (register MAX ≡ term MIN) is
+an ordinary grouped aggregation any engine can run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_STOPWORDS,
+    bpe_token_count,
+    stopword_hits,
+    token_count,
+    tokens,
+)
+from ..operators.dedup import hash_int60
+from ..sources.tables import load_table
+from .llm_text import _SQL_BPE
+from .registry import register
+
+_SQL_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+_SQL_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+_SQL_NTOK = f"len({_SQL_TOKS})"
+
+# ------------------------------------------------------- relational HLL
+
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P  # 256 registers
+_HLL_WBITS = 52  # 60-bit hash minus 8 bucket bits
+# alpha_m · m² · 2^53 as ONE shared double literal (python-computed repr
+# embedded identically in both engines; 2^53 is the integer scale of the
+# register-term sum below)
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_HLL_NUM = repr(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 53))
+_HLL_LC_CUT = repr(2.5 * _HLL_M)  # linear-counting switchover
+
+
+def _hll_term_case(w: str) -> str:
+    """rho→term CASE chain shared verbatim by Spark (F.expr) and DuckDB:
+    term = 2^(53 − rho) where rho = leading-zero count of the 52-bit
+    hash remainder + 1 (w = 0 → rho = 53 → term = 1).  A generated
+    52-arm integer CASE — no log2/bit_length, whose floating rounding
+    could disagree at power-of-two boundaries (the Zipf octave-chain
+    stance: comparisons and literals only)."""
+    arms = []
+    for rho in range(1, _HLL_WBITS + 1):
+        thresh = 1 << (_HLL_WBITS - rho)
+        term = 1 << (53 - rho)
+        arms.append(f"WHEN {w} >= {thresh} THEN CAST({term} AS BIGINT)")
+    return "CASE " + " ".join(arms) + " ELSE CAST(1 AS BIGINT) END"
+
+
+_SQL_HLL_EST = f"""
+CASE WHEN {_HLL_NUM} / z_int <= {_HLL_LC_CUT} AND zeros > 0
+     THEN ROUND({_HLL_M}.0 * LN({_HLL_M}.0 / zeros), 6)
+     ELSE ROUND({_HLL_NUM} / z_int, 6) END"""
+
+
+@register(
+    "sketch_hll_relational",
+    tags=("sketch", "hll", "distinct", "mergeable"),
+    oracle=f"""
+WITH hashed AS (
+  SELECT event_type,
+         ({_SQL_H60.format(x="'hll:' || CAST(user_id AS VARCHAR)")})
+           % {_HLL_M} AS bucket,
+         ({_SQL_H60.format(x="'hll:' || CAST(user_id AS VARCHAR)")})
+           // {_HLL_M} AS w
+  FROM events
+),
+reg AS (
+  SELECT event_type, bucket, MIN({_hll_term_case("w")}) AS term
+  FROM hashed GROUP BY event_type, bucket
+),
+per_type AS (
+  SELECT event_type,
+         CAST(SUM(term) + ({_HLL_M} - COUNT(*)) * {1 << 53} AS BIGINT)
+           AS z_int,
+         {_HLL_M} - COUNT(*) AS zeros
+  FROM reg GROUP BY event_type
+),
+union_reg AS (
+  SELECT bucket, MIN(term) AS term FROM reg GROUP BY bucket
+),
+union_row AS (
+  SELECT '__union__' AS event_type,
+         CAST(SUM(term) + ({_HLL_M} - COUNT(*)) * {1 << 53} AS BIGINT)
+           AS z_int,
+         {_HLL_M} - COUNT(*) AS zeros
+  FROM union_reg
+),
+exact_t AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY event_type
+),
+exact_u AS (
+  SELECT '__union__' AS event_type, COUNT(DISTINCT user_id) AS n_exact
+  FROM events
+),
+allrows AS (
+  SELECT p.event_type, e.n_exact, p.zeros, p.z_int
+  FROM per_type p JOIN exact_t e ON e.event_type = p.event_type
+  UNION ALL
+  SELECT u.event_type, x.n_exact, u.zeros, u.z_int
+  FROM union_row u CROSS JOIN exact_u x
+)
+SELECT event_type, n_exact, zeros, z_int,
+       {_SQL_HLL_EST} AS hll_estimate,
+       ROUND(({_SQL_HLL_EST} - n_exact) / n_exact, 6) AS rel_err
+FROM allrows ORDER BY event_type
+""",
+)
+def sketch_hll_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIONAL HyperLogLog (Flajolet et al. 2007): per-event-type
+    distinct-user estimates from an m = 256 register TABLE plus the
+    union estimate obtained by MERGING registers (term MIN ≡ rho MAX
+    per bucket) — no second pass over raw events, and unlike the
+    engine-opaque `agg_hll_sketch_union` the registers are rows, so
+    the sketch is storable, mergeable across days/partitions by any
+    engine, and the estimate is oracle-checkable bit-for-bit.
+
+    Exactness: bucket/remainder come from the md5-int60 hash (BIGINT
+    mod / `div`); rho→term is a generated 52-arm integer CASE (term =
+    2^(53−rho), so Z·2^53 = Σ terms stays BIGINT — max 256·2^53 <
+    2^62); the raw estimate α·m²·2^53 / Z_int is one double division
+    of a shared literal by an exact integer, and the small-range
+    linear-counting branch m·ln(m/V) switches on the same exact
+    integers — both rounded at 6 dp on both engines.
+
+    Scale shape: one map-side expression per row, one (type, bucket)
+    grouped MIN — partial aggregation makes the shuffle ≤ types × m
+    rows regardless of fact count; the register merge and estimate
+    arithmetic run on ≤ types·m rows.  The exact COUNT(DISTINCT)
+    audit columns are the only user-cardinality-bounded stages (drop
+    them in production; they exist to MEASURE the sketch error
+    honestly, like `dedup_minhash_estimate_accuracy`)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = hash_int60(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    hashed = ev.select("event_type", h.alias("h")).select(
+        "event_type",
+        (F.col("h") % _HLL_M).alias("bucket"),
+        F.expr(f"h div {_HLL_M}").alias("w"),
+    )
+    reg = (
+        hashed.select(
+            "event_type", "bucket", F.expr(_hll_term_case("w")).alias("t")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.min("t").alias("term"))
+    ).localCheckpoint(eager=True)  # ≤ types·m rows, feeds 2 branches
+    z = F.sum("term") + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(1 << 53)
+    zeros = (F.lit(_HLL_M) - F.count(F.lit(1))).cast("long")
+    per_type = reg.groupBy("event_type").agg(
+        z.cast("long").alias("z_int"), zeros.alias("zeros")
+    )
+    union_row = (
+        reg.groupBy("bucket")
+        .agg(F.min("term").alias("term"))
+        .agg(z.cast("long").alias("z_int"), zeros.alias("zeros"))
+        .select(F.lit("__union__").alias("event_type"), "z_int", "zeros")
+    )
+    exact_t = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    exact_u = ev.agg(F.countDistinct("user_id").alias("n_exact")).select(
+        F.lit("__union__").alias("event_type"), "n_exact"
+    )
+    allrows = (
+        per_type.join(exact_t, "event_type")
+        .select("event_type", "n_exact", "zeros", "z_int")
+        .unionByName(
+            union_row.join(exact_u, "event_type").select(
+                "event_type", "n_exact", "zeros", "z_int"
+            )
+        )
+    )
+    est = F.expr(_SQL_HLL_EST)
+    return allrows.select(
+        "event_type",
+        "n_exact",
+        "zeros",
+        "z_int",
+        est.alias("hll_estimate"),
+        F.round((est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+            "rel_err"
+        ),
+    ).orderBy("event_type")
+
+
+# -------------------------------------------------- Gopher quality rules
+
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MWL_LO = "3.0e0"
+_GOPHER_MWL_HI = "1.0e1"
+_GOPHER_ALPHA_MIN = "8.0e-1"  # ≥80% of words contain a letter
+_GOPHER_MIN_STOPWORDS = 2
+_GOPHER_SYMBOL_MAX = "1.0e-1"  # (# + … occurrences) / words ≤ 0.1
+
+
+@register(
+    "docs_gopher_rules",
+    tags=("llm", "text", "quality", "filter", "gopher"),
+    oracle=f"""
+WITH scored AS (
+  SELECT source,
+         {_SQL_NTOK} AS nw,
+         CAST(length(regexp_replace(lower(trim(text)), '\\s+', '', 'g'))
+              AS DOUBLE) / {_SQL_NTOK} AS mwl,
+         CAST(len(list_filter({_SQL_TOKS}, w -> regexp_matches(w, '[a-z]')))
+              AS DOUBLE) / {_SQL_NTOK} AS alpha_ratio,
+         len(regexp_extract_all(lower(trim(text)),
+             '\\b({"|".join(LANG_STOPWORDS["en"])})\\b')) AS stop_hits,
+         CAST(len(regexp_extract_all(lower(trim(text)), '#|\\.\\.\\.'))
+              AS DOUBLE) / {_SQL_NTOK} AS symbol_ratio
+  FROM documents
+),
+flags AS (
+  SELECT source,
+         CASE WHEN nw BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+              THEN 0 ELSE 1 END AS f_words,
+         CASE WHEN mwl >= {_GOPHER_MWL_LO} AND mwl <= {_GOPHER_MWL_HI}
+              THEN 0 ELSE 1 END AS f_mwl,
+         CASE WHEN alpha_ratio >= {_GOPHER_ALPHA_MIN} THEN 0 ELSE 1 END
+           AS f_alpha,
+         CASE WHEN stop_hits >= {_GOPHER_MIN_STOPWORDS} THEN 0 ELSE 1 END
+           AS f_stop,
+         CASE WHEN symbol_ratio <= {_GOPHER_SYMBOL_MAX} THEN 0 ELSE 1 END
+           AS f_symbol
+  FROM scored
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(f_words) AS BIGINT) AS fail_word_count,
+       CAST(SUM(f_mwl) AS BIGINT) AS fail_mean_word_len,
+       CAST(SUM(f_alpha) AS BIGINT) AS fail_alpha_ratio,
+       CAST(SUM(f_stop) AS BIGINT) AS fail_stopwords,
+       CAST(SUM(f_symbol) AS BIGINT) AS fail_symbol_ratio,
+       CAST(SUM(CASE WHEN f_words + f_mwl + f_alpha + f_stop + f_symbol = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN f_words + f_mwl + f_alpha + f_stop + f_symbol = 0
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS pass_rate
+FROM flags GROUP BY source ORDER BY source
+""",
+)
+def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published GOPHER quality-rule panel (Rae et al. 2021 §A1.1,
+    the rule set C4/MassiveText-style corpus cleaning applies before
+    model-based filtering): per-source counts of documents failing
+    each rule — word count in [50, 100k], mean word length in [3, 10],
+    ≥80% words containing a letter, ≥2 stopwords, symbol-to-word
+    ratio ≤ 0.1 — plus the all-rules pass rate.  Complements
+    `docs_quality_gate` (composite score) with the RULE-ATTRIBUTED
+    breakdown a curation dashboard needs to see WHICH rule bites.
+
+    Exactness: every rule flag is an integer comparison on exact
+    token/char/match counts (thresholds are e-notation double
+    literals, the round-3 typing gotcha); the only double is the
+    final per-source pass rate.
+
+    Scale shape: one map-side expression block per document, one
+    grouped agg by source with map-side partials — no joins, no
+    windows, shuffle ∝ sources."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    nw = token_count(t)
+    norm = F.lower(F.trim(t))
+    mwl = (
+        F.length(F.regexp_replace(norm, r"\s+", "")).cast("double") / nw
+    )
+    alpha_ratio = (
+        F.expr(
+            "size(filter(split(lower(trim(text)), '\\\\s+'),"
+            " w -> w rlike '[a-z]'))"
+        ).cast("double")
+        / nw
+    )
+    symbol_ratio = (
+        F.size(F.regexp_extract_all(norm, F.lit(r"#|\.\.\."))).cast("double")
+        / nw
+    )
+    f_words = (
+        ~nw.between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    ).cast("int")
+    f_mwl = ((mwl < 3.0) | (mwl > 10.0)).cast("int")
+    f_alpha = (alpha_ratio < 0.8).cast("int")
+    f_stop = (stopword_hits(t) < _GOPHER_MIN_STOPWORDS).cast("int")
+    f_symbol = (symbol_ratio > 0.1).cast("int")
+    flags = d.select(
+        "source",
+        f_words.alias("f_words"),
+        f_mwl.alias("f_mwl"),
+        f_alpha.alias("f_alpha"),
+        f_stop.alias("f_stop"),
+        f_symbol.alias("f_symbol"),
+    )
+    all_pass = (
+        F.col("f_words")
+        + F.col("f_mwl")
+        + F.col("f_alpha")
+        + F.col("f_stop")
+        + F.col("f_symbol")
+        == 0
+    ).cast("int")
+    return (
+        flags.withColumn("pass", all_pass)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("f_words").cast("long").alias("fail_word_count"),
+            F.sum("f_mwl").cast("long").alias("fail_mean_word_len"),
+            F.sum("f_alpha").cast("long").alias("fail_alpha_ratio"),
+            F.sum("f_stop").cast("long").alias("fail_stopwords"),
+            F.sum("f_symbol").cast("long").alias("fail_symbol_ratio"),
+            F.sum("pass").cast("long").alias("n_pass"),
+            (F.sum("pass").cast("double") / F.count(F.lit(1))).alias(
+                "pass_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------- tokenizer fertility
+
+
+@register(
+    "text_tokenizer_fertility",
+    tags=("llm", "text", "tokenizer", "fertility"),
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM({_SQL_NTOK}) AS BIGINT) AS n_words,
+       CAST(SUM({_SQL_BPE}) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')))
+         AS BIGINT) AS n_chars,
+       CAST(SUM({_SQL_BPE}) AS DOUBLE) / SUM({_SQL_NTOK}) AS fertility,
+       CAST(SUM(length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')))
+         AS DOUBLE) / SUM({_SQL_BPE}) AS chars_per_token
+FROM documents
+GROUP BY lang ORDER BY lang
+""",
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY per language: BPE-style tokens per
+    whitespace word and characters per token — the fairness/cost audit
+    multilingual-corpus teams run on a tokenizer (languages with high
+    fertility pay more compute per word and get shorter effective
+    context; cf. the tokenizer-parity analyses around GPT/BLOOM).
+    Uses the repo's shared GPT-2-style pre-tokenization regex
+    (`functions.text.bpe_tokens` — token-for-token identical in both
+    engines), so this measures the SAME tokenizer `text_bpe_token_cost`
+    prices.
+
+    Exactness: three exact BIGINT sums per language; the two ratios
+    are single double divisions of those sums.
+
+    Scale shape: map-side token counting (no explode — counts only),
+    one grouped agg by lang."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    norm = F.lower(F.trim(t))
+    chars = F.length(F.regexp_replace(norm, r"\s+", ""))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(t)).cast("long").alias("n_words"),
+            F.sum(bpe_token_count(t)).cast("long").alias("n_bpe_tokens"),
+            F.sum(chars).cast("long").alias("n_chars"),
+            (
+                F.sum(bpe_token_count(t)).cast("double")
+                / F.sum(token_count(t))
+            ).alias("fertility"),
+            (
+                F.sum(chars).cast("double") / F.sum(bpe_token_count(t))
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+# -------------------------------------------- streaming HLL (batch twin)
+
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "stream_hll_distinct_daily",
+    tags=("stream", "sketch", "hll", "distinct", "mergeable"),
+    oracle=f"""
+WITH hashed AS (
+  SELECT make_timestamp((epoch_us(ts) // {_DAY_US}) * {_DAY_US})
+           AS window_start,
+         ({_SQL_H60.format(x="'hll:' || CAST(user_id AS VARCHAR)")})
+           % {_HLL_M} AS bucket,
+         ({_SQL_H60.format(x="'hll:' || CAST(user_id AS VARCHAR)")})
+           // {_HLL_M} AS w,
+         user_id
+  FROM events
+),
+reg AS (
+  SELECT window_start, bucket, MIN({_hll_term_case("w")}) AS term
+  FROM hashed GROUP BY window_start, bucket
+),
+per_day AS (
+  SELECT window_start,
+         CAST(SUM(term) + ({_HLL_M} - COUNT(*)) * {1 << 53} AS BIGINT)
+           AS z_int,
+         {_HLL_M} - COUNT(*) AS zeros
+  FROM reg GROUP BY window_start
+),
+exact_d AS (
+  SELECT window_start, COUNT(DISTINCT user_id) AS n_exact
+  FROM hashed GROUP BY window_start
+)
+SELECT p.window_start, e.n_exact, p.zeros, p.z_int,
+       {_SQL_HLL_EST} AS hll_estimate
+FROM per_day p JOIN exact_d e ON e.window_start = p.window_start
+ORDER BY p.window_start
+""",
+)
+def stream_hll_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING distinct-user counting via daily HLL registers —
+    batch twin of ``streaming/sketches.run_hll_stream`` (stream ≡
+    batch pinned by
+    tests/test_streaming_multimodal.py::test_stream_hll_registers_equal_batch).
+    The STREAM maintains only the (day, bucket) → term-MIN register
+    table — a streaming-legal aggregate with watermark-bounded state ≤
+    open-windows × m rows, NEVER ∝ distinct keys (the reason
+    production pipelines stream sketches instead of COUNT(DISTINCT));
+    the estimate is computed from stored registers at read time, which
+    is what this registered query does, plus the exact audit column.
+
+    Exactness: same integer register/term construction and estimate
+    arithmetic as `sketch_hll_relational` (term CASE, BIGINT Z·2^53,
+    linear-counting branch on exact integers).
+
+    Scale shape: map-side hashing, one (day, bucket) grouped MIN with
+    partial aggregation (shuffle ≤ days × m rows), day-grain estimate
+    arithmetic; the COUNT(DISTINCT) audit is batch-side only."""
+    from ..streaming.sketches import hll_daily_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    reg = hll_daily_registers(
+        ev, _HLL_M, _hll_term_case("w"), ordered=False
+    )
+    z = F.sum("term") + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(1 << 53)
+    zeros = (F.lit(_HLL_M) - F.count(F.lit(1))).cast("long")
+    per_day = reg.groupBy("window_start").agg(
+        z.cast("long").alias("z_int"), zeros.alias("zeros")
+    )
+    exact_d = ev.groupBy(
+        F.window("ts", "1 day").alias("wnd")
+    ).agg(F.countDistinct("user_id").alias("n_exact")).select(
+        F.col("wnd.start").alias("window_start"), "n_exact"
+    )
+    est = F.expr(_SQL_HLL_EST)
+    return (
+        per_day.join(exact_d, "window_start")
+        .select(
+            "window_start",
+            "n_exact",
+            "zeros",
+            "z_int",
+            est.alias("hll_estimate"),
+        )
+        .orderBy("window_start")
+    )

@@ -178,6 +178,24 @@ _BOUNDED_SINGLE_PARTITION = {
     "dedup_detector_ensemble",  # same cap scalar (minhash side)
     "dedup_rewrite_yield",  # same cap scalar (cached spans plan)
     "dedup_minhash_estimate_accuracy",  # same cap scalar (sig + shingle plans)
+    # round-6 session-3 additions, each with a written cardinality bound:
+    # unpartitioned windows over the STRATUM table — ≤ _ATT_CAP+1 = 6 rows
+    # by construction (activity band is capped at 5)
+    "eval_att_stratified",
+    # one-row report aggregates over the ≤ |langs|² = 25-cell confusion
+    # table (the corpus-sized pass is the grouped cell count upstream,
+    # partial-agg map-side)
+    "eval_cohens_kappa",
+    # one-row hour-spine min/max bounds agg (partial agg upstream,
+    # O(#tasks) rows cross the final exchange) broadcast into the
+    # generated sequence
+    "eval_conformal_coverage",
+    # union-register estimate: one-row agg over the ≤ m = 256-row merged
+    # register table, plus the global COUNT(DISTINCT user) audit column
+    # (two-phase distinct, partial agg upstream — user-dimension-bounded)
+    "sketch_hll_relational",
+    # one-row total-moment agg over the k = 5-row fold-moment table
+    "eval_kfold_cv_ols",
     # distinct-score running count: the unpartitioned window runs over
     # per-SCORE groups — score is rounded to 6 decimals in [0,1], so
     # ≤ 10^6+1 rows at ANY corpus size — plus the final one-row agg

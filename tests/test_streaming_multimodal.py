@@ -1106,3 +1106,57 @@ def test_stream_srm_monitor_equals_batch(spark, tmp_path):
     assert all(
         (max_start - k).total_seconds() <= 2 * 3600 for k in missing
     )
+
+
+def test_stream_hll_registers_equal_batch(spark, tmp_path):
+    """Daily HLL register maintenance under readStream(availableNow)
+    must equal the batch register table for every watermark-closed
+    window — the mergeable-sketch streaming stance: state ≤ windows×m,
+    estimate computed from stored registers at read time."""
+    from stock_data_warehouse_analytics_spark.plans.sketches2 import (
+        _HLL_M,
+        _hll_term_case,
+    )
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+    from stock_data_warehouse_analytics_spark.streaming.sketches import (
+        hll_daily_registers,
+        run_hll_stream,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "src")
+    events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).coalesce(4).write.mode("overwrite").json(src)
+
+    q = run_hll_stream(
+        spark,
+        src,
+        _HLL_M,
+        _hll_term_case("w"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    s = {
+        (r.window_start, r.bucket): r.term
+        for r in spark.table("hll_stream_out").collect()
+    }
+    b = {
+        (r.window_start, r.bucket): r.term
+        for r in hll_daily_registers(
+            events, _HLL_M, _hll_term_case("w")
+        ).collect()
+    }
+    assert len(s) > 0
+    for key, val in s.items():
+        assert b[key] == val, key
+    # only the windows at/after the final watermark may be missing
+    missing_days = {k[0] for k in set(b) - set(s)}
+    if missing_days:
+        max_day = max(k[0] for k in b)
+        assert missing_days == {max_day}, missing_days

@@ -238,3 +238,78 @@ def test_holt_linear_matches_explicit_recurrence(spark, tmp_path, monkeypatch):
                     assert abs(gl - wl) < 1e-9, (eid, gl, wl)
                     assert abs(gt - wt) < 1e-9, (eid, gt, wt)
                     assert abs(gf - (wl + wt)) < 1e-9, eid
+
+
+def test_holt_winters_matches_explicit_recurrence(spark, monkeypatch):
+    """win_holt_winters_forecast vs an independent replay of the
+    additive Holt–Winters recurrence (classic two-week init) on the
+    daily count series the query derives — independent code path from
+    the applyInPandas kernel."""
+    import datetime
+
+    import stock_data_warehouse_analytics_spark.plans.forecast_eval as fe
+    from stock_data_warehouse_analytics_spark.plans.forecast_eval import (
+        win_holt_winters_forecast,
+    )
+
+    rng = random.Random(7)
+    rows, eid = [], 0
+    base = datetime.datetime(2024, 1, 1)
+    counts = {}  # (etype, day) -> n
+    for etype in ("aa", "bb"):
+        for day in range(21):  # 3 full weeks
+            n = rng.randint(1, 9)
+            counts[(etype, day)] = n
+            for _ in range(n):
+                rows.append(
+                    (
+                        eid,
+                        base + datetime.timedelta(days=day, seconds=eid % 7),
+                        1,
+                        etype,
+                        1.0,
+                        "{}",
+                    )
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(fe, "load_table", lambda _s, _d, _n: df)
+    got = {
+        (r.event_type, r.h): (r.forecast, r.level, r.trend)
+        for r in win_holt_winters_forecast(spark, "ignored").collect()
+    }
+
+    m, a, b, g = 7, 0.3, 0.1, 0.2
+    for etype in ("aa", "bb"):
+        y = [float(counts[(etype, d)]) for d in range(21)]
+        lvl = sum(y[:m]) / m
+        trd = (sum(y[m : 2 * m]) / m - sum(y[:m]) / m) / m
+        season = [y[i] - lvl for i in range(m)]
+        for t in range(m, len(y)):
+            s_prev = season[t % m]
+            l_prev = lvl
+            lvl = a * (y[t] - s_prev) + (1 - a) * (lvl + trd)
+            trd = b * (lvl - l_prev) + (1 - b) * trd
+            season[t % m] = g * (y[t] - lvl) + (1 - g) * s_prev
+        n = len(y)
+        for h in range(1, 8):
+            want = lvl + h * trd + season[(n + h - 1) % m]
+            f, lv, tr = got[(etype, h)]
+            assert abs(f - want) < 1e-9, (etype, h, f, want)
+            assert abs(lv - lvl) < 1e-9 and abs(tr - trd) < 1e-9
+
+    # too-short series (< 2 periods) must emit no rows, not crash
+    short = spark.createDataFrame(
+        [
+            (i, base + datetime.timedelta(days=i), 1, "cc", 1.0, "{}")
+            for i in range(10)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(fe, "load_table", lambda _s, _d, _n: short)
+    assert win_holt_winters_forecast(spark, "ignored").count() == 0
