@@ -470,7 +470,9 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     are confusion-table-sized, never corpus-sized."""
     from ..functions.text import predicted_lang
 
-    d = load_table(spark, sf_dir, "documents")
+    # single-file local scans are ONE partition (round-5 gotcha) — fan
+    # the regex-heavy predicted_lang across tasks before evaluating it
+    d = load_table(spark, sf_dir, "documents").repartition(32)
     cells = (
         d.select(
             F.col("lang").alias("a"),

@@ -366,8 +366,9 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     are single double divisions of those sums.
 
     Scale shape: map-side token counting (no explode — counts only),
-    one grouped agg by lang."""
-    d = load_table(spark, sf_dir, "documents")
+    one grouped agg by lang; repartitioned scan for single-file local
+    parallelism (round-5 gotcha)."""
+    d = load_table(spark, sf_dir, "documents").repartition(32)
     t = F.col("text")
     norm = F.lower(F.trim(t))
     chars = F.length(F.regexp_replace(norm, r"\s+", ""))
@@ -477,3 +478,69 @@ def stream_hll_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+# ----------------------------------------------------- freshness SLA
+
+_SLA_HOURS = 2  # per-type freshness SLA relative to warehouse high-water
+
+
+@register(
+    "dq_freshness_sla",
+    tags=("dq", "freshness", "sla", "ops"),
+    oracle=f"""
+WITH hw AS (SELECT MAX(ts) AS wm FROM events),
+per AS (
+  SELECT event_type, MAX(ts) AS last_ts, COUNT(*) AS n_rows
+  FROM events GROUP BY event_type
+)
+SELECT p.event_type, p.n_rows, p.last_ts,
+       date_diff('microsecond', p.last_ts, hw.wm) // 1000000
+         AS lag_seconds,
+       date_diff('microsecond', p.last_ts, hw.wm) // 1000000
+         <= {_SLA_HOURS} * 3600 AS within_sla
+FROM per p CROSS JOIN hw
+ORDER BY p.event_type
+""",
+)
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-FRESHNESS SLA audit: per-stream lag behind the warehouse
+    high-water mark, with a {h}-hour SLA flag — the first dashboard
+    any ingestion on-call looks at (a stream whose MAX(ts) trails the
+    others' indicates a stalled upstream; the SLA is measured against
+    the warehouse's own high-water, not wall-clock, so the audit is
+    reproducible and backfill-safe).
+
+    Exactness: MAX over timestamps and an exact integer MICROSECOND
+    difference floor-divided to seconds — Spark's timestampdiff(SECOND)
+    counts complete seconds while DuckDB's date_diff('second') counts
+    boundary crossings, so the second-grain forms disagree by one when
+    the fractional parts straddle a boundary; the microsecond grain is
+    exact on both.
+
+    Scale shape: one grouped MAX with map-side partials (shuffle ∝
+    types) plus a one-row high-water agg broadcast back — the same
+    bounded-scalar pattern as `mining_churn_features`'s watermark
+    row."""
+    ev = load_table(spark, sf_dir, "events")
+    hw = ev.agg(F.max("ts").alias("wm"))
+    per = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n_rows")
+    )
+    lag = F.expr(
+        "timestampdiff(MICROSECOND, last_ts, wm) div 1000000"
+    ).cast("long")
+    return (
+        per.crossJoin(F.broadcast(hw))
+        .select(
+            "event_type",
+            "n_rows",
+            "last_ts",
+            lag.alias("lag_seconds"),
+            (lag <= F.lit(_SLA_HOURS * 3600)).alias("within_sla"),
+        )
+        .orderBy("event_type")
+    )
+
+
+dq_freshness_sla.__doc__ = dq_freshness_sla.__doc__.format(h=_SLA_HOURS)

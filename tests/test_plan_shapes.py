@@ -196,6 +196,9 @@ _BOUNDED_SINGLE_PARTITION = {
     "sketch_hll_relational",
     # one-row total-moment agg over the k = 5-row fold-moment table
     "eval_kfold_cv_ols",
+    # one-row warehouse high-water MAX(ts) broadcast back (the
+    # mining_churn_features watermark pattern)
+    "dq_freshness_sla",
     # distinct-score running count: the unpartitioned window runs over
     # per-SCORE groups — score is rounded to 6 decimals in [0,1], so
     # ≤ 10^6+1 rows at ANY corpus size — plus the final one-row agg
