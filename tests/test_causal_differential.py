@@ -1,0 +1,321 @@
+"""Independent pure-Python/numpy differentials for the session-3
+statistics (Shapley MTA, stratified ATT, Cohen's kappa, split
+conformal, k-fold CV, DP noise, relational HLL).
+
+Same stance as tests/test_ab_differential.py: the DuckDB oracle
+mirrors share each query's FORMULA, so a formula error would pass the
+oracle gate on both engines.  These tests recompute every statistic
+from the raw parquet with an unrelated implementation (dict-based
+journey enumeration, hashlib HLL, numpy lstsq, a plain-Python
+recurrence) and compare — exactly for the integer-quantized columns,
+to 1e-9 for the closed-form doubles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import math
+
+import numpy as np
+import pandas as pd
+
+from tests.conftest import SF_SMALL
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _events() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_SMALL}/events.parquet")
+
+
+def _run(spark, name):
+    from stock_data_warehouse_analytics_spark.plans.registry import (
+        QUERIES,
+        _ensure_loaded,
+    )
+
+    _ensure_loaded()
+    return QUERIES[name].fn(spark, SF_SMALL).collect()
+
+
+# ------------------------------------------------------------- Shapley
+
+
+def _journeys(ev: pd.DataFrame):
+    j = {}
+    for r in ev.itertuples():
+        key = (r.user_id, r.ts.date())
+        sig, conv = j.setdefault(key, (set(), [0]))
+        if r.event_type == "purchase":
+            conv[0] = 1
+        else:
+            sig.add(r.event_type)
+    return j
+
+
+def test_attribution_shapley_matches_pure_python(spark):
+    ev = _events()
+    j = _journeys(ev)
+    stats = {}  # sig -> [n, conv]
+    for sig_set, conv in j.values():
+        sig = ",".join(sorted(sig_set))
+        n, c = stats.setdefault(sig, [0, 0])
+        stats[sig][0] = n + 1
+        stats[sig][1] = c + conv[0]
+    v = {s: (c * 1_000_000_000) // n for s, (n, c) in stats.items()}
+    channels = ["click", "error", "signup", "view"]
+    want = {}
+    for ch in channels:
+        others = [c for c in channels if c != ch]
+        total = 0
+        for r in range(4):
+            for s in itertools.combinations(others, r):
+                w = math.factorial(len(s)) * math.factorial(3 - len(s))
+                sig_wo = ",".join(sorted(s))
+                sig_w = ",".join(sorted(s + (ch,)))
+                total += w * (v.get(sig_w, 0) - v.get(sig_wo, 0))
+        want[ch] = total
+    got = {r.channel: r.shapley_nano24 for r in _run(spark, "attribution_shapley")}
+    assert got == want
+    # Shapley EFFICIENCY (exact integer identity, holds for any v with
+    # the v(unobserved)=0 convention since the weighted sum telescopes):
+    # Σ_i φ_i·24 = 24·(v(grand) − v(∅))
+    grand = ",".join(sorted(channels))
+    assert sum(got.values()) == 24 * (v.get(grand, 0) - v.get("", 0))
+
+
+# ------------------------------------------------------- stratified ATT
+
+
+def test_att_stratified_matches_pandas(spark):
+    ev = _events()
+    cut = pd.Timestamp("2024-01-08")
+    ev = ev.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    pre = ev[ev["ts"] < cut]
+    n_pre = pre.groupby("user_id").size()
+    err_pre = pre[pre["event_type"] == "error"].groupby("user_id").size()
+    post = ev[(ev["ts"] >= cut) & (ev["event_type"] == "purchase")]
+    y = post.groupby("user_id")["cents"].sum()
+    users = pd.DataFrame({"user_id": ev["user_id"].unique()})
+    users["n_pre"] = users["user_id"].map(n_pre).fillna(0).astype(int)
+    users["err"] = users["user_id"].map(err_pre).fillna(0).astype(int)
+    users["y"] = users["user_id"].map(y).fillna(0).astype("int64")
+    users["treated"] = (users["err"] >= 3).astype(int)
+    users["stratum"] = np.minimum(users["n_pre"] // 4, 5)
+    rows = {}
+    for s, g in users.groupby("stratum"):
+        t, c = g[g.treated == 1], g[g.treated == 0]
+        if len(t) and len(c):
+            rows[int(s)] = (len(t), len(c), t["y"].sum(), c["y"].sum())
+    n_t_total = sum(r[0] for r in rows.values())
+    got = {r.stratum: r for r in _run(spark, "eval_att_stratified")}
+    assert set(got) == set(rows)
+    att_nano = 0
+    for s, (nt, nc, st, sc) in rows.items():
+        mt = st / 100.0 / nt
+        mc = sc / 100.0 / nc
+        diff = mt - mc
+        contrib = math.floor(diff * (nt / n_t_total) * 1e9)
+        att_nano += contrib
+        g = got[s]
+        assert (g.n_treated, g.n_control) == (nt, nc)
+        assert abs(g.mean_treated - mt) < 1e-9
+        assert abs(g.mean_control - mc) < 1e-9
+        assert g.contrib_nano == contrib
+    for g in got.values():
+        assert abs(g.att - att_nano / 1e9) < 1e-12
+
+
+# --------------------------------------------------------- Cohen's kappa
+
+
+def test_cohens_kappa_matches_pure_python(spark):
+    # independent heuristic-langid replica (same SPEC as
+    # functions.text.predicted_lang, re-implemented with Python re)
+    import re
+
+    from stock_data_warehouse_analytics_spark.functions.text import (
+        LANG_STOPWORDS,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    langs = sorted(LANG_STOPWORDS)
+
+    def predict(text: str) -> str:
+        t = text.strip().lower()
+        n = len(re.split(r"\s+", t))
+        best, best_score = langs[0], None
+        for lg in langs:
+            rx = r"\b(" + "|".join(LANG_STOPWORDS[lg]) + r")\b"
+            score = len(re.findall(rx, t)) / n
+            if best_score is None or score > best_score:
+                best, best_score = lg, score
+        return best
+
+    conf = {}
+    for r in docs.itertuples():
+        key = (r.lang, predict(r.text))
+        conf[key] = conf.get(key, 0) + 1
+    n = sum(conf.values())
+    agree = sum(v for (a, b), v in conf.items() if a == b)
+    rows = {}
+    cols = {}
+    for (a, b), v in conf.items():
+        rows[a] = rows.get(a, 0) + v
+        cols[b] = cols.get(b, 0) + v
+    pe_num = sum(rows[k] * cols.get(k, 0) for k in rows)
+    po = agree / n
+    pe = pe_num / n / n
+    kappa = (po - pe) / (1 - pe)
+    [g] = _run(spark, "eval_cohens_kappa")
+    assert (g.n_docs, g.n_agree, g.pe_num) == (n, agree, pe_num)
+    assert abs(g.kappa - kappa) < 1e-12
+
+
+# ------------------------------------------------------- split conformal
+
+
+def test_conformal_coverage_matches_pure_python(spark):
+    ev = _events()
+    ev = ev.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    ev["h"] = ev["ts"].astype("int64") // 1_000_000 // 3600
+    hmin, hmax = int(ev["h"].min()), int(ev["h"].max())
+    got = {r.event_type: r for r in _run(spark, "eval_conformal_coverage")}
+    for etype, g in ev.groupby("event_type"):
+        ys = g.groupby("h")["cents"].sum().to_dict()
+        series = [(h, ys.get(h, 0)) for h in range(hmin, hmax + 1)]
+        resid = [
+            (h, abs(y - series[i - 24][1]), ((h - hmin) // 24) % 2)
+            for i, (h, y) in enumerate(series)
+            if i >= 24
+        ]
+        cal = sorted(
+            [(r, h) for h, r, p in resid if p == 0]
+        )  # (residual, hour) — rank ties broken by hour like the query
+        n_cal = len(cal)
+        k = (9 * (n_cal + 1) + 9) // 10
+        q_hat = cal[k - 1][0]
+        ev_side = [r for h, r, p in resid if p == 1]
+        cov = sum(1 for r in ev_side if r <= q_hat) / len(ev_side)
+        w = got[etype]
+        assert (w.n_cal, w.n_eval, w.q_hat_cents) == (
+            n_cal,
+            len(ev_side),
+            q_hat,
+        ), etype
+        assert abs(w.coverage - cov) < 1e-12
+
+
+# ----------------------------------------------------------- k-fold CV
+
+
+def test_kfold_cv_matches_numpy_lstsq(spark):
+    ev = _events()
+    ev = ev.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    x = ev.groupby("user_id").size()
+    y = (
+        ev[ev["event_type"] == "purchase"]
+        .groupby("user_id")["cents"]
+        .sum()
+    )
+    users = pd.DataFrame({"user_id": x.index})
+    users["x"] = users["user_id"].map(x).astype("int64")
+    users["y"] = users["user_id"].map(y).fillna(0).astype("int64")
+    users["fold"] = users["user_id"].map(lambda u: _h60(f"cv:{u}") % 5)
+    got = {r.fold: r for r in _run(spark, "eval_kfold_cv_ols")}
+    for f in sorted(users["fold"].unique()):
+        tr = users[users.fold != f]
+        te = users[users.fold == f]
+        A = np.vstack([tr["x"].to_numpy(float), np.ones(len(tr))]).T
+        slope, intercept = np.linalg.lstsq(
+            A, tr["y"].to_numpy(float), rcond=None
+        )[0]
+        g = got[int(f)]
+        assert (g.n_train, g.n_test) == (len(tr), len(te))
+        assert abs(g.slope - slope) < 1e-6 * max(1.0, abs(slope))
+        assert abs(g.intercept - intercept) < 1e-6 * max(1.0, abs(intercept))
+        # RMSE replica uses the QUERY's quantization contract
+        res = te["y"].to_numpy(float) - g.intercept - g.slope * te[
+            "x"
+        ].to_numpy(float)
+        sq = np.round(res * res * 1e6).astype("int64").sum()
+        rmse = math.sqrt(sq / 1e6 / len(te))
+        assert abs(g.rmse_cents - rmse) < 1e-9
+
+
+# ------------------------------------------------------------- DP noise
+
+
+def test_dp_noise_matches_pure_python(spark):
+    ev = _events()
+    counts = ev.groupby("event_type").size().to_dict()
+    got = {r.event_type: r for r in _run(spark, "dq_dp_noisy_counts")}
+    den = 1 << 48
+    for etype, n in counts.items():
+        h = _h60(f"dp:{etype}") % den
+        u_centered = (h + 0.5) / den - 0.5
+        sgn = 1.0 if u_centered >= 0 else -1.0
+        lap = -2.0 * sgn * math.log(1.0 - 2.0 * abs(u_centered))
+        noise_nano = int(round(lap * 1e9))
+        g = got[etype]
+        assert g.n_true == n
+        assert g.noise_nano == noise_nano, (etype, g.noise_nano, noise_nano)
+        assert abs(g.noisy_count - (n * 1_000_000_000 + noise_nano) / 1e9) < 1e-12
+
+
+# -------------------------------------------------------- relational HLL
+
+
+def _hll_replica(keys):
+    m, wbits = 256, 52
+    reg = {}
+    for key in keys:
+        h = _h60(f"hll:{key}")
+        bucket, w = h % m, h // m
+        rho = wbits + 1
+        for i in range(1, wbits + 1):
+            if w >= (1 << (wbits - i)):
+                rho = i
+                break
+        term = 1 << (53 - rho)
+        reg[bucket] = min(reg.get(bucket, 1 << 62), term)
+    z_int = sum(reg.values()) + (m - len(reg)) * (1 << 53)
+    zeros = m - len(reg)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(1 << 53)
+    e_raw = num / z_int
+    if e_raw <= 2.5 * m and zeros > 0:
+        est = round(m * math.log(m / zeros), 6)
+    else:
+        est = round(e_raw, 6)
+    return z_int, zeros, est
+
+
+def test_hll_relational_matches_pure_python(spark):
+    ev = _events()
+    got = {r.event_type: r for r in _run(spark, "sketch_hll_relational")}
+    all_users = set()
+    for etype, g in ev.groupby("event_type"):
+        users = set(g["user_id"].tolist())
+        all_users |= users
+        z, zeros, est = _hll_replica(users)
+        w = got[etype]
+        assert (w.z_int, w.zeros, w.n_exact) == (z, zeros, len(users))
+        assert abs(w.hll_estimate - est) < 1e-9
+    z, zeros, est = _hll_replica(all_users)
+    u = got["__union__"]
+    assert (u.z_int, u.zeros, u.n_exact) == (z, zeros, len(all_users))
+    assert abs(u.hll_estimate - est) < 1e-9
+    # union monotonicity: merged registers can only lower terms, so the
+    # union estimate is ≥ every per-type estimate (same-branch regime)
+    assert all(
+        u.hll_estimate >= got[t].hll_estimate - 1e-9
+        for t in got
+        if t != "__union__"
+    )
