@@ -1031,3 +1031,141 @@ def eval_ab_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
 eval_ab_msprt.__doc__ = eval_ab_msprt.__doc__.format(
     alpha=_MSPRT_ALPHA, tau2=_MSPRT_TAU2
 )
+
+
+# ---------------------------------------------------------------------
+# GROUP-SEQUENTIAL readout (O'Brien-Fleming-shaped alpha spending): the
+# committee-style complement to eval_ab_msprt's always-valid p-value.
+# ---------------------------------------------------------------------
+
+_OBF_Z = 1.959964  # z_{alpha/2} at alpha = 0.05 (the naive-flag literal)
+# Abramowitz & Stegun 26.2.17 polynomial for the standard normal CDF
+# tail (|err| < 7.5e-8): one fixed sequence of double ops, evaluated on
+# the 6-dp-quantized boundary, so both engines see identical inputs and
+# run the identical expression tree (the mSPRT LN/EXP precedent).
+_PHI_P = 0.2316419
+_PHI_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_SQRT_2PI = 2.5066282746310002
+
+_SQL_PHI_TAIL_POLY = (
+    f"(EXP(-(obf_bound * obf_bound) / 2.0) / {_SQRT_2PI}) * "
+    f"((((({_PHI_B[4]} * u + {_PHI_B[3]}) * u + {_PHI_B[2]}) * u"
+    f" + {_PHI_B[1]}) * u + {_PHI_B[0]}) * u)"
+)
+
+
+@register(
+    "eval_ab_obf_spending",
+    tags=("eval", "ab", "sequential", "group-sequential", "spending"),
+    oracle=f"""
+WITH {_SQL_DAILY_MOMENTS},
+tr AS (
+  SELECT d,
+         ROUND((mt - mc) / SQRT(vt / n_t + vc / n_c), 6) AS t_stat,
+         CAST(ROW_NUMBER() OVER (ORDER BY d) AS INTEGER) AS look_idx,
+         CAST(COUNT(*) OVER () AS INTEGER) AS n_looks
+  FROM v
+),
+bd AS (
+  SELECT d, t_stat, look_idx, n_looks,
+         ROUND(CAST(look_idx AS DOUBLE) / n_looks, 6) AS info_frac,
+         ROUND({_OBF_Z} / SQRT(CAST(look_idx AS DOUBLE) / n_looks), 6)
+           AS obf_bound
+  FROM tr
+),
+sp AS (
+  SELECT d, t_stat, look_idx, n_looks, info_frac, obf_bound,
+         1.0 / (1.0 + {_PHI_P} * obf_bound) AS u
+  FROM bd
+)
+SELECT d, t_stat, look_idx, n_looks, info_frac, obf_bound,
+       ROUND(2.0 * {_SQL_PHI_TAIL_POLY}, 9) AS alpha_spent,
+       ABS(t_stat) >= obf_bound AS stop_obf,
+       MAX(CASE WHEN ABS(t_stat) >= obf_bound THEN 1 ELSE 0 END)
+         OVER (ORDER BY d) = 1 AS stopped_by_now
+FROM sp
+ORDER BY d
+""",
+)
+def eval_ab_obf_spending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-SEQUENTIAL monitoring trajectory with an O'Brien-Fleming-
+    SHAPED boundary (Lan & DeMets 1983 spending style) — the committee
+    answer to the peeking problem, next to ``eval_ab_msprt``'s
+    always-valid answer: at every day-D look the cumulative Welch t is
+    compared against z_{{α/2}}/√t_D, the OBF-shape bound that is very
+    conservative early and relaxes to the fixed-horizon critical value
+    at the final look.  The information fraction t_D is CALENDAR
+    fraction look_idx/n_looks — the standard Lan-DeMets choice when
+    per-look statistical information is not pre-specifiable (here the
+    user universe is fixed and zero-filled, so variance-based
+    information is not monotone by construction).  ``alpha_spent`` is
+    the two-sided spending value 2(1 − Φ(bound)) — the boundary-shape
+    trajectory, NOT a recursively-integrated exact Lan-DeMets bound
+    (that requires numerical integration; the honest relational form
+    reports the shape and the crossing flags).
+
+    Cross-engine exactness: t_stat is the eval_ab_cumulative_tstat
+    expression (6 dp); the boundary is z/√(k/K) on exact integer
+    ranks, 6 dp; Φ uses the A&S 26.2.17 polynomial — one identical
+    double expression on the 6-dp-quantized boundary in both engines,
+    rounded at 9 dp; the stop flags compare already-quantized doubles.
+
+    Scale shape: inherits ``_daily_cum_moments`` (ONE pass over the
+    (user, day) grain); everything after is expressions plus two
+    windows over the CALENDAR-bounded daily table (≤ days rows)."""
+    from pyspark.sql import Window
+
+    v = _daily_cum_moments(spark, sf_dir)
+    t_stat = F.round(
+        (F.col("mt") - F.col("mc"))
+        / F.sqrt(F.col("vt") / F.col("n_t") + F.col("vc") / F.col("n_c")),
+        6,
+    )
+    w_all = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tr = v.select(
+        "d",
+        t_stat.alias("t_stat"),
+        F.row_number().over(Window.orderBy("d")).cast("int").alias("look_idx"),
+        F.count(F.lit(1)).over(w_all).cast("int").alias("n_looks"),
+    )
+    frac_raw = F.col("look_idx").cast("double") / F.col("n_looks")
+    bd = tr.select(
+        "d",
+        "t_stat",
+        "look_idx",
+        "n_looks",
+        F.round(frac_raw, 6).alias("info_frac"),
+        F.round(F.lit(_OBF_Z) / F.sqrt(frac_raw), 6).alias("obf_bound"),
+    )
+    z = F.col("obf_bound")
+    u = F.lit(1.0) / (F.lit(1.0) + F.lit(_PHI_P) * z)
+    poly = (
+        (
+            (
+                (F.lit(_PHI_B[4]) * u + F.lit(_PHI_B[3])) * u
+                + F.lit(_PHI_B[2])
+            )
+            * u
+            + F.lit(_PHI_B[1])
+        )
+        * u
+        + F.lit(_PHI_B[0])
+    ) * u
+    phi_tail = (F.exp(-(z * z) / F.lit(2.0)) / F.lit(_SQRT_2PI)) * poly
+    stop = F.abs(F.col("t_stat")) >= z
+    w_run = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return bd.select(
+        "d",
+        "t_stat",
+        "look_idx",
+        "n_looks",
+        "info_frac",
+        "obf_bound",
+        F.round(F.lit(2.0) * phi_tail, 9).alias("alpha_spent"),
+        stop.alias("stop_obf"),
+        (
+            F.max(F.when(stop, 1).otherwise(0)).over(w_run) == 1
+        ).alias("stopped_by_now"),
+    ).orderBy("d")

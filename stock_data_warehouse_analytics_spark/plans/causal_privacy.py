@@ -817,3 +817,335 @@ def eval_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 eval_kfold_cv_ols.__doc__ = eval_kfold_cv_ols.__doc__.format(k=_CV_FOLDS)
+
+
+# ------------------------------------------------------- DP family depth
+
+_DP_SUM_CLAMP = 5000  # per-event contribution bound, cents ($50)
+_DP_HIST_EPS = 0.5  # per-release budget; parallel composition over cells
+
+
+def _lap_noise_nano(key: F.Column, scale: float) -> F.Column:
+    """Deterministic Laplace(scale) draw in integer nano-units from a
+    48-bit md5 hash uniform of ``key`` — the ``dq_dp_noisy_counts``
+    primitive factored for reuse by the clamped-sum and histogram
+    releases (inverse CDF x = −b·sgn(u−½)·ln(1−2|u−½|), u offset by
+    ½ lsb so the ln argument stays in (0, 1])."""
+    h = (hash_int60(key) % _DP_DEN).cast("double")
+    u_centered = (h + 0.5) / float(_DP_DEN) - 0.5
+    lap = (
+        F.lit(-scale)
+        * F.when(u_centered >= 0.0, 1.0).otherwise(-1.0)
+        * F.log(1.0 - 2.0 * F.abs(u_centered))
+    )
+    return F.round(lap * 1_000_000_000.0, 0).cast("long")
+
+
+def _sql_lap_nano(key_sql: str, scale: str) -> str:
+    """DuckDB mirror of :func:`_lap_noise_nano` (same op order)."""
+    return f"""CAST(ROUND(
+           -({scale}) *
+           (CASE WHEN (({_SQL_H60.format(x=key_sql)}) % {_DP_DEN} + 0.5)
+                        / {_DP_DEN}.0 - 0.5 >= 0.0
+                 THEN 1.0 ELSE -1.0 END) *
+           LN(1.0 - 2.0 * ABS((({_SQL_H60.format(x=key_sql)}) % {_DP_DEN}
+                               + 0.5) / {_DP_DEN}.0 - 0.5))
+           * 1000000000.0, 0) AS BIGINT)"""
+
+
+@register(
+    "dq_dp_clamped_sum",
+    tags=("dq", "privacy", "differential-privacy", "release", "sum"),
+    oracle=f"""
+WITH base AS (
+  SELECT event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(LEAST(GREATEST(CAST(ROUND(value * 100, 0) AS BIGINT), 0),
+                        {_DP_SUM_CLAMP})) AS BIGINT) AS true_sum_cents,
+         CAST(SUM(CASE WHEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                            > {_DP_SUM_CLAMP} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clamped
+  FROM events GROUP BY event_type
+),
+lap AS (
+  SELECT event_type, n_events, true_sum_cents, n_clamped,
+         {_sql_lap_nano("'dpsum:' || event_type",
+                        f"{_DP_SUM_CLAMP}.0 / {_DP_EPS}")} AS noise_nano
+  FROM base
+)
+SELECT event_type, n_events, true_sum_cents, n_clamped, noise_nano,
+       CAST(true_sum_cents * 1000000000 + noise_nano AS DOUBLE)
+         / 1000000000.0 AS noisy_sum_cents,
+       {_DP_EPS} AS epsilon, {_DP_SUM_CLAMP} AS l1_sensitivity_cents
+FROM lap ORDER BY event_type
+""",
+)
+def dq_dp_clamped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private CLAMPED-SUM release — the second member
+    of the DP publication family after ``dq_dp_noisy_counts``: revenue
+    cents per event type, each event's contribution clamped to
+    [0, C = {clamp}] so the query's L1 sensitivity is the KNOWN bound C
+    (the clamp is what makes a sum releasable at all — unbounded
+    contributions have unbounded sensitivity), then Laplace(C/ε) noise
+    from the deterministic hash-uniform primitive.  ``n_clamped``
+    audits how much signal the bound bites off — the bias/privacy
+    trade-off dial an analyst tunes.
+
+    Exactness: clamping, the true sum and the clamp census are pure
+    BIGINT arithmetic; the noise draw is the shared
+    ``_lap_noise_nano`` op sequence quantized to integer nano-units
+    before the release is assembled.
+
+    Scale shape: one grouped agg with map-side partials (clamp is a
+    per-row expression); noise is per-GROUP (|event types| rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    clamped = F.least(F.greatest(cents, F.lit(0)), F.lit(_DP_SUM_CLAMP))
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(clamped).cast("long").alias("true_sum_cents"),
+        F.sum(F.when(cents > _DP_SUM_CLAMP, 1).otherwise(0))
+        .cast("long")
+        .alias("n_clamped"),
+    )
+    noise = _lap_noise_nano(
+        F.concat(F.lit("dpsum:"), F.col("event_type")),
+        float(_DP_SUM_CLAMP) / _DP_EPS,
+    )
+    return (
+        base.withColumn("noise_nano", noise)
+        .select(
+            "event_type",
+            "n_events",
+            "true_sum_cents",
+            "n_clamped",
+            "noise_nano",
+            (
+                (
+                    F.col("true_sum_cents") * F.lit(1_000_000_000)
+                    + F.col("noise_nano")
+                )
+                .cast("double")
+                / 1_000_000_000.0
+            ).alias("noisy_sum_cents"),
+            F.lit(_DP_EPS).alias("epsilon"),
+            F.lit(_DP_SUM_CLAMP).alias("l1_sensitivity_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+dq_dp_clamped_sum.__doc__ = dq_dp_clamped_sum.__doc__.format(
+    clamp=_DP_SUM_CLAMP
+)
+
+
+@register(
+    "dq_dp_daily_histogram",
+    tags=("dq", "privacy", "differential-privacy", "release", "histogram"),
+    oracle=f"""
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS dmin, MAX(CAST(ts AS DATE)) AS dmax
+  FROM events
+),
+spine AS (
+  SELECT t.event_type, dmin + CAST(g.i AS INTEGER) AS d
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN bounds
+  CROSS JOIN UNNEST(generate_series(0, date_diff('day', dmin, dmax)))
+    AS g(i)
+),
+base AS (
+  SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+cells AS (
+  SELECT s.d, s.event_type, CAST(COALESCE(b.n, 0) AS BIGINT) AS n_true
+  FROM spine s
+  LEFT JOIN base b ON b.d = s.d AND b.event_type = s.event_type
+),
+lap AS (
+  SELECT d, event_type, n_true,
+         {_sql_lap_nano("'dph:' || CAST(d AS VARCHAR) || ':' || event_type",
+                        f"1.0 / {_DP_HIST_EPS}")} AS noise_nano
+  FROM cells
+)
+SELECT d, event_type, n_true, noise_nano,
+       CAST(n_true * 1000000000 + noise_nano AS DOUBLE) / 1000000000.0
+         AS noisy_count,
+       GREATEST(0.0, CAST(n_true * 1000000000 + noise_nano AS DOUBLE)
+                       / 1000000000.0) AS released_count,
+       {_DP_HIST_EPS} AS epsilon_per_cell,
+       {_DP_HIST_EPS} AS epsilon_total
+FROM lap ORDER BY d, event_type
+""",
+)
+def dq_dp_daily_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private DAILY HISTOGRAM release with PARALLEL
+    composition accounting: per (day × event type) counts, Laplace(1/ε)
+    noise on EVERY cell of the full calendar × type grid — including
+    empty ones, because releasing only non-empty cells leaks presence —
+    and ``epsilon_total = epsilon_per_cell`` because the cells
+    partition the event space (each event falls in exactly ONE day×type
+    cell, so the per-cell budgets compose in PARALLEL, not
+    sequentially — the accounting fact that makes fine-grained DP
+    histograms affordable).  ``released_count`` clamps at 0: a
+    post-processing step, free under DP.
+
+    Exactness: the grid is a broadcast min/max + generated integer day
+    offsets (the conformal-spine construction at day grain); counts and
+    noise quantization are exact integers; the only doubles are the two
+    released columns, assembled from integer nano-units identically in
+    both engines.
+
+    Scale shape: one grouped count with partial aggregation; the spine
+    is calendar × |types| (bounded, not fact-sized) built from a
+    one-row broadcast bounds agg; noise is per-CELL expressions, no
+    extra shuffle past the left join onto the spine."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("dmin"),
+        F.max(F.col("ts").cast("date")).alias("dmax"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            "dmin",
+            F.explode(
+                F.sequence(F.lit(0), F.datediff(F.col("dmax"), F.col("dmin")))
+            ).alias("i"),
+        )
+        .select(
+            "event_type", F.date_add(F.col("dmin"), F.col("i")).alias("d")
+        )
+    )
+    base = ev.groupBy(
+        F.col("ts").cast("date").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cells = spine.join(base, ["d", "event_type"], "left").select(
+        "d",
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_true"),
+    )
+    noise = _lap_noise_nano(
+        F.concat(
+            F.lit("dph:"),
+            F.col("d").cast("string"),
+            F.lit(":"),
+            F.col("event_type"),
+        ),
+        1.0 / _DP_HIST_EPS,
+    )
+    noisy = (
+        (F.col("n_true") * F.lit(1_000_000_000) + F.col("noise_nano"))
+        .cast("double")
+        / 1_000_000_000.0
+    )
+    return (
+        cells.withColumn("noise_nano", noise)
+        .select(
+            "d",
+            "event_type",
+            "n_true",
+            "noise_nano",
+            noisy.alias("noisy_count"),
+            F.greatest(F.lit(0.0), noisy).alias("released_count"),
+            F.lit(_DP_HIST_EPS).alias("epsilon_per_cell"),
+            F.lit(_DP_HIST_EPS).alias("epsilon_total"),
+        )
+        .orderBy("d", "event_type")
+    )
+
+
+# ------------------------------------------------- streaming conformal gate
+# (batch twin; the true readStream path shares the same plan builders —
+# streaming/guardrails.py::conformal_qhat / conformal_gate)
+
+
+@register(
+    "stream_conformal_gate",
+    tags=("stream", "conformal", "admission", "guardrail"),
+    oracle=f"""
+WITH sc AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS score,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 2
+           AS parity
+  FROM events
+),
+cal AS (
+  SELECT event_type, score,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY score, event_id) AS rk
+  FROM sc WHERE parity = 0
+),
+ncal AS (SELECT event_type, COUNT(*) AS n_cal FROM cal GROUP BY event_type),
+qhat AS (
+  SELECT c.event_type, n.n_cal, c.score AS q_hat_cents
+  FROM cal c JOIN ncal n USING (event_type)
+  WHERE c.rk = (9 * (n.n_cal + 1) + 9) // 10
+),
+ev AS (SELECT event_type, score FROM sc WHERE parity = 1)
+SELECT e.event_type, q.n_cal, q.q_hat_cents,
+       COUNT(*) AS n_eval,
+       CAST(COUNT(*) FILTER (WHERE e.score <= q.q_hat_cents) AS BIGINT)
+         AS n_admitted,
+       ROUND(CAST(COUNT(*) FILTER (WHERE e.score <= q.q_hat_cents)
+                  AS DOUBLE) / COUNT(*), 6) AS admit_rate
+FROM ev e JOIN qhat q USING (event_type)
+GROUP BY 1, 2, 3
+ORDER BY 1
+""",
+)
+def stream_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CONFORMAL ADMISSION — the stateless production twin of
+    ``eval_conformal_coverage``: a batch job fits the per-type
+    one-sided conformal threshold q̂ (the ⌈0.9(n+1)⌉-th smallest
+    calibration score, even epoch-day parity) and BROADCASTS it into a
+    stream-static join; each evaluation event (odd parity) is flagged
+    by ``score ≤ q̂`` with NO state store and no watermark — the reason
+    platforms split conformal this way is exactly that the online half
+    becomes a per-row expression.  This registered twin aggregates the
+    gate's per-event flags to the per-type admission summary; the true
+    ``readStream`` path runs the IDENTICAL ``conformal_gate`` plan
+    (stream ≡ batch pinned by tests/test_streaming_multimodal.py::
+    test_stream_conformal_gate_equals_batch).
+
+    Exactness: scores are integer cents; the rank is the exact integer
+    (9(n+1)+9)//10 (no float ceil); counts are BIGINT and the only
+    double is the final admit_rate ratio, rounded at 6 dp.
+
+    Scale shape: the calibration fit is one per-type window rank over
+    the calibration half (partitioned, no global sort) → a |types|-row
+    broadcast; the gate itself is map-side only (broadcast join + row
+    expressions) — at stream scale, per-event cost is O(1) with zero
+    shuffle, which is the property being certified."""
+    from ..streaming.guardrails import conformal_gate, conformal_qhat
+
+    ev = load_table(spark, sf_dir, "events")
+    gate = conformal_gate(ev, conformal_qhat(ev))
+    return (
+        gate.groupBy("event_type", "n_cal", "q_hat_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.count(F.when(F.col("admitted"), 1))
+            .cast("long")
+            .alias("n_admitted"),
+            F.round(
+                F.count(F.when(F.col("admitted"), 1)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("admit_rate"),
+        )
+        .select(
+            "event_type",
+            "n_cal",
+            "q_hat_cents",
+            "n_eval",
+            "n_admitted",
+            "admit_rate",
+        )
+        .orderBy("event_type")
+    )

@@ -563,9 +563,6 @@ def chunk_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hybrid RAG index.  No RNG, no Python UDF; vectors are integer
     counts cast to double, so downstream cosine ranking is
     reproducible everywhere."""
-    from ..functions.text import shingles
-    from ..operators.dedup import hash_int60
-
     d = load_table(spark, sf_dir, "documents")
     # single-split local scan: fan the map-side chunk+shingle work out
     # before the explode (at scale the corpus is already multi-split)
@@ -575,6 +572,17 @@ def chunk_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         overlap=OVERLAP,
         keep_text=True,
     )
+    return hashed_chunk_vectors(ch)
+
+
+def hashed_chunk_vectors(ch: DataFrame) -> DataFrame:
+    """(chunk_key, embedding) over an arbitrary chunk frame — the
+    densify core factored from ``chunk_hashed_vectors`` (identical
+    plan; that query's substitute tests pin it) for reuse by the
+    end-to-end RAG composition over a DEDUPED chunk table."""
+    from ..functions.text import shingles
+    from ..operators.dedup import hash_int60
+
     sh = ch.select(
         (F.col("doc_id") * CHUNK_KEY_MUL + F.col("chunk_id")).alias(
             "chunk_key"
@@ -795,13 +803,26 @@ def chunk_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (candidates only where a shingle is shared); the dense leg's
     bucket join is a HASH_DIM-key equi-join whose q-side is the BOUNDED
     query set; fusion joins two depth-_HY_DEPTH lists per query chunk."""
-    from ..functions.text import shingles
-    from ..operators.dedup import hash_int60
-
     d = load_table(spark, sf_dir, "documents")
     ch = chunk_documents(
         d, chunk_tokens=CHUNK_TOKENS, overlap=OVERLAP, keep_text=True
     )
+    return hybrid_fused_candidates(ch).orderBy("q_doc", "q_chunk", "rrf_rank")
+
+
+def hybrid_fused_candidates(
+    ch: DataFrame, *, leg_depth: int = _HY_DEPTH, out_depth: int = _HY_OUT
+) -> DataFrame:
+    """The hybrid-retrieval CORE over an arbitrary chunk frame (must
+    carry doc_id, chunk_id, chunk_text): sparse + dense legs at
+    ``leg_depth`` fused by RRF and cut to ``out_depth`` per query
+    chunk.  Factored from ``chunk_hybrid_rrf_topk`` (identical plan at
+    the defaults — that query's oracle pins this function) so the
+    end-to-end RAG composition (``plans/rag_e2e.py``) can run the SAME
+    retriever over a DEDUPED chunk table at a deeper fused cut."""
+    from ..functions.text import shingles
+    from ..operators.dedup import hash_int60
+
     tf = (
         ch.select(
             "doc_id",
@@ -869,7 +890,7 @@ def chunk_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
         .withColumn("s_rnk", F.row_number().over(w_sp))
-        .filter(F.col("s_rnk") <= _HY_DEPTH)
+        .filter(F.col("s_rnk") <= leg_depth)
         .select("q_doc", "q_chunk", "c_doc", "c_chunk", "s_rnk")
     )
 
@@ -928,7 +949,7 @@ def chunk_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
         .withColumn("d_rnk", F.row_number().over(w_d))
-        .filter(F.col("d_rnk") <= _HY_DEPTH)
+        .filter(F.col("d_rnk") <= leg_depth)
         .select("q_doc", "q_chunk", "c_doc", "c_chunk", "d_rnk")
     )
 
@@ -948,13 +969,12 @@ def chunk_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         fused.withColumn("rrf_rank", F.row_number().over(w_f))
-        .filter(F.col("rrf_rank") <= _HY_OUT)
+        .filter(F.col("rrf_rank") <= out_depth)
         .select(
             *keys,
             "rrf_rank",
             F.round(F.col("score"), 9).alias("rrf_score"),
         )
-        .orderBy("q_doc", "q_chunk", "rrf_rank")
     )
 
 

@@ -86,3 +86,92 @@ def run_srm_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------------------------- streaming conformal gate
+
+_CONF_GATE_NUM = 9  # one-sided conformal level 9/10 (admit ~90%)
+_EPOCH = "1970-01-01"
+
+
+def conformal_qhat(events: DataFrame) -> DataFrame:
+    """BATCH-FIT per-type conformal threshold: q̂ is the
+    ⌈(1−α)(n+1)⌉-th smallest per-event cents score among CALIBRATION
+    events (even epoch-day parity — the deterministic split of
+    ``eval_conformal_coverage``, applied at event grain), computed with
+    the exact integer rank (9(n+1)+9)//10.  This is the static side a
+    production gate refits on a batch cadence and broadcasts into the
+    stream."""
+    from pyspark.sql.window import Window
+
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    parity = (
+        F.datediff(F.col("ts").cast("date"), F.to_date(F.lit(_EPOCH))) % 2
+    )
+    cal = events.filter(parity == 0).select(
+        "event_type", cents.alias("score"), "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("score", "event_id")
+    rk = cal.withColumn("rk", F.row_number().over(w))
+    n = cal.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_cal"))
+    return (
+        rk.join(F.broadcast(n), "event_type")
+        .filter(
+            F.col("rk")
+            == F.expr(
+                f"({_CONF_GATE_NUM} * (n_cal + 1) + {_CONF_GATE_NUM}) div 10"
+            )
+        )
+        .select("event_type", "n_cal", F.col("score").alias("q_hat_cents"))
+    )
+
+
+def conformal_gate(events: DataFrame, qhat: DataFrame) -> DataFrame:
+    """STATELESS conformal admission gate — the streaming twin of
+    ``eval_conformal_coverage``'s interval check: broadcast the
+    batch-fit q̂ table into a stream-static equi-join and flag each
+    EVALUATION event (odd epoch-day parity) by whether its score is
+    within the conformal bound.  No state store, no watermark needed:
+    a per-row expression + broadcast join is streaming-legal in append
+    mode at any rate, which is the point of fitting q̂ in batch."""
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    parity = (
+        F.datediff(F.col("ts").cast("date"), F.to_date(F.lit(_EPOCH))) % 2
+    )
+    return (
+        events.filter(parity == 1)
+        .select("event_id", "event_type", cents.alias("score_cents"))
+        .join(F.broadcast(qhat), "event_type")
+        .withColumn(
+            "admitted", F.col("score_cents") <= F.col("q_hat_cents")
+        )
+    )
+
+
+def run_conformal_gate_stream(
+    spark: SparkSession,
+    source_dir: str,
+    qhat: DataFrame,
+    *,
+    checkpoint_dir: str,
+    out_table: str = "conformal_gate_out",
+):
+    """True readStream conformal gate over a JSON event dump: the
+    stateless ``conformal_gate`` plan under append mode with an
+    availableNow trigger — every evaluation event emits exactly one
+    flagged row (stream ≡ batch pinned by
+    tests/test_streaming_multimodal.py::test_stream_conformal_gate_equals_batch)."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = spark.readStream.schema(schema).json(source_dir)
+    out = conformal_gate(stream, qhat)
+    return (
+        out.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

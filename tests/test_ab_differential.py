@@ -505,3 +505,58 @@ def test_msprt_matches_bruteforce(spark):
         # always-valid p must be monotone non-increasing
         assert r["p_always_valid"] <= prev_p + 1e-12
         prev_p = r["p_always_valid"]
+
+
+def test_obf_spending_matches_scipy_free_normal(spark):
+    """The OBF-shaped trajectory must match an independent
+    recomputation: per-day brute-force Welch t, calendar-fraction
+    boundary z/sqrt(k/K), and alpha_spent within the A&S polynomial's
+    published error bound of the EXACT normal tail
+    (statistics.NormalDist — an implementation unrelated to the
+    polynomial both engines evaluate)."""
+    from statistics import NormalDist
+
+    from stock_data_warehouse_analytics_spark.plans.ab_testing2 import (
+        _OBF_Z,
+        eval_ab_obf_spending,
+    )
+
+    rows = eval_ab_obf_spending(spark, SF_SMALL).collect()
+    got = {r["d"]: r for r in rows}
+    ev = _events().copy()
+    ev["d"] = ev["ts"].dt.normalize().dt.date
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    users = pd.DataFrame({"user_id": ev["user_id"].unique()})
+    users["variant"] = users["user_id"].map(lambda u: _h60(str(u)) % 2)
+    purch = ev[ev["event_type"] == "purchase"]
+    days = sorted(got)
+    kk = len(days)
+    nd = NormalDist()
+    crossed = False
+    for k, day in enumerate(days, start=1):
+        upto = purch[purch["d"] <= day]
+        y = (
+            users["user_id"]
+            .map(upto.groupby("user_id")["cents"].sum())
+            .fillna(0)
+        )
+        c = y[users["variant"] == 0].to_numpy(dtype=float)
+        t = y[users["variant"] == 1].to_numpy(dtype=float)
+        t_ref = (t.mean() - c.mean()) / math.sqrt(
+            t.var(ddof=1) / len(t) + c.var(ddof=1) / len(c)
+        )
+        bound_ref = _OBF_Z / math.sqrt(k / kk)
+        alpha_ref = 2.0 * (1.0 - nd.cdf(bound_ref))
+        r = got[day]
+        assert r["look_idx"] == k and r["n_looks"] == kk
+        assert r["t_stat"] == pytest.approx(t_ref, abs=1e-5), day
+        assert r["info_frac"] == pytest.approx(k / kk, abs=1e-6)
+        assert r["obf_bound"] == pytest.approx(bound_ref, abs=1e-5), day
+        # A&S 26.2.17 |err| < 7.5e-8 on Phi; 2x on the two-sided value
+        assert r["alpha_spent"] == pytest.approx(alpha_ref, abs=2e-7), day
+        assert r["stop_obf"] == (abs(r["t_stat"]) >= r["obf_bound"])
+        crossed = crossed or r["stop_obf"]
+        assert r["stopped_by_now"] == crossed
+        # the boundary must RELAX monotonically to the fixed-horizon z
+        assert r["obf_bound"] >= _OBF_Z - 1e-9
+    assert rows[-1]["obf_bound"] == pytest.approx(_OBF_Z, abs=1e-6)

@@ -1160,3 +1160,50 @@ def test_stream_hll_registers_equal_batch(spark, tmp_path):
     if missing_days:
         max_day = max(k[0] for k in b)
         assert missing_days == {max_day}, missing_days
+
+
+def test_stream_conformal_gate_equals_batch(spark, tmp_path):
+    """The stateless conformal admission gate under
+    readStream(availableNow) must emit exactly the batch gate's rows —
+    no watermark-open caveat: the plan is a broadcast stream-static
+    join plus per-row expressions, so EVERY evaluation event appears."""
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+    from stock_data_warehouse_analytics_spark.streaming.guardrails import (
+        conformal_gate,
+        conformal_qhat,
+        run_conformal_gate_stream,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "src")
+    events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).coalesce(4).write.mode("overwrite").json(src)
+
+    qhat = conformal_qhat(events)
+    q = run_conformal_gate_stream(
+        spark,
+        src,
+        qhat,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        out_table="conformal_gate_out",
+    )
+    q.awaitTermination()
+    s = {
+        r.event_id: (r.event_type, r.score_cents, r.q_hat_cents, r.admitted)
+        for r in spark.table("conformal_gate_out").collect()
+    }
+    b = {
+        r.event_id: (r.event_type, r.score_cents, r.q_hat_cents, r.admitted)
+        for r in conformal_gate(events, qhat).collect()
+    }
+    assert len(s) > 0
+    assert s == b
+    # the gate must actually separate: both admitted and rejected exist
+    flags = {v[3] for v in s.values()}
+    assert flags == {True, False}
