@@ -1149,3 +1149,296 @@ def stream_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "dq_dp_budget_ledger",
+    tags=("dq", "privacy", "differential-privacy", "governance", "ledger"),
+    oracle=f"""
+WITH types AS (
+  SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types FROM events
+),
+days AS (
+  SELECT CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+                        MAX(CAST(ts AS DATE))) + 1 AS BIGINT) AS n_days
+  FROM events
+),
+ledger AS (
+  SELECT 1 AS release_order, 'dq_dp_noisy_counts' AS release,
+         'count' AS statistic, CAST(1 AS BIGINT) AS l1_sensitivity,
+         (SELECT n_types FROM types) AS n_cells,
+         {_DP_EPS}e0 AS epsilon
+  UNION ALL
+  SELECT 2, 'dq_dp_clamped_sum', 'clamped_sum',
+         CAST({_DP_SUM_CLAMP} AS BIGINT),
+         (SELECT n_types FROM types), {_DP_EPS}e0
+  UNION ALL
+  SELECT 3, 'dq_dp_daily_histogram', 'histogram', CAST(1 AS BIGINT),
+         (SELECT n_types FROM types) * (SELECT n_days FROM days),
+         {_DP_HIST_EPS}e0
+)
+SELECT release_order, release, statistic, l1_sensitivity, n_cells,
+       epsilon,
+       SUM(epsilon) OVER (ORDER BY release_order) AS eps_cumulative
+FROM ledger ORDER BY release_order
+""",
+)
+def dq_dp_budget_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRIVACY-BUDGET LEDGER over the engine's DP release family —
+    the governance artifact a privacy-budgeted warehouse maintains
+    next to the releases themselves: one row per registered release
+    against the ``events`` table (noisy counts, clamped sum, daily
+    histogram), its mechanism/sensitivity literals, the DATA-derived
+    number of released cells, and the SEQUENTIAL-composition running
+    total Σε — the number the data-protection officer compares against
+    the table's budget cap.  Within each histogram release the cells
+    compose in PARALLEL (disjoint partitions of the event space, see
+    ``dq_dp_daily_histogram``), so each release contributes its
+    per-release ε ONCE to the sequential total — the two composition
+    rules this ledger makes explicit.
+
+    Exactness: cell counts are exact integers from two one-row aggs;
+    the ε literals are exactly-representable doubles (0.5) so the
+    running sum is exact binary arithmetic in both engines.
+
+    Scale shape: two one-row aggregates over events (map-side
+    partials) broadcast into a 3-row literal relation; the window runs
+    over 3 rows."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    types = ev.agg(
+        F.countDistinct("event_type").cast("bigint").alias("n_types")
+    )
+    days = ev.agg(
+        (
+            F.datediff(
+                F.max(F.col("ts").cast("date")),
+                F.min(F.col("ts").cast("date")),
+            )
+            + 1
+        )
+        .cast("bigint")
+        .alias("n_days")
+    )
+    rows = spark.createDataFrame(
+        [
+            (1, "dq_dp_noisy_counts", "count", 1, "types", _DP_EPS),
+            (
+                2,
+                "dq_dp_clamped_sum",
+                "clamped_sum",
+                _DP_SUM_CLAMP,
+                "types",
+                _DP_EPS,
+            ),
+            (
+                3,
+                "dq_dp_daily_histogram",
+                "histogram",
+                1,
+                "grid",
+                _DP_HIST_EPS,
+            ),
+        ],
+        "release_order int, release string, statistic string,"
+        " l1_sensitivity long, cell_basis string, epsilon double",
+    )
+    w = Window.orderBy("release_order").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        rows.crossJoin(F.broadcast(types))
+        .crossJoin(F.broadcast(days))
+        .select(
+            "release_order",
+            "release",
+            "statistic",
+            "l1_sensitivity",
+            F.when(F.col("cell_basis") == "types", F.col("n_types"))
+            .otherwise(F.col("n_types") * F.col("n_days"))
+            .cast("bigint")
+            .alias("n_cells"),
+            "epsilon",
+        )
+        .withColumn("eps_cumulative", F.sum("epsilon").over(w))
+        .orderBy("release_order")
+    )
+
+
+# ------------------------------------------- DP median (exponential mech.)
+
+_DPM_DEN = 1 << 48
+
+
+@register(
+    "dq_dp_exponential_median",
+    tags=("dq", "privacy", "differential-privacy", "exponential", "median"),
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100, 0) AS BIGINT) // 100 AS band
+  FROM events
+),
+bands AS (SELECT DISTINCT band FROM ev),
+n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1),
+cnt AS (SELECT event_type, band, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+grid AS (
+  SELECT t.event_type, b.band, COALESCE(c.c, 0) AS c, t.n
+  FROM n t CROSS JOIN bands b
+  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.band = b.band
+),
+cum AS (
+  SELECT event_type, band, n,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY band)
+              AS BIGINT) AS cle
+  FROM grid
+),
+scored AS (
+  SELECT event_type, band, n, cle,
+         -ABS(2 * cle - n) AS u,
+         -LN(-LN((({_SQL_H60.format(
+             x="'dpmed:' || event_type || ':' || CAST(band AS VARCHAR)")})
+            % {_DPM_DEN} + 0.5) / {_DPM_DEN}.0)) AS g
+  FROM cum
+),
+ranked AS (
+  SELECT event_type, band, n, u,
+         CAST(ROUND((({_DP_EPS} / 2.0) * CAST(u AS DOUBLE) + g)
+                    * 1000000000, 0) AS BIGINT) AS score_nano,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(ROUND((({_DP_EPS} / 2.0) * CAST(u AS DOUBLE) + g)
+                               * 1000000000, 0) AS BIGINT) DESC, band
+         ) AS rk
+  FROM scored
+),
+truemed AS (
+  SELECT event_type, MIN(band) AS true_median_band
+  FROM cum WHERE 2 * cle >= n GROUP BY event_type
+)
+SELECT r.event_type, r.n, r.band AS released_band, r.u AS utility,
+       r.score_nano, t.true_median_band, {_DP_EPS} AS epsilon
+FROM ranked r JOIN truemed t ON t.event_type = r.event_type
+WHERE r.rk = 1
+ORDER BY r.event_type
+""",
+)
+def dq_dp_exponential_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private MEDIAN release via the EXPONENTIAL
+    MECHANISM (McSherry & Talwar 2007) — the third mechanism class in
+    the DP family after the two Laplace releases, for statistics where
+    adding noise to the VALUE is meaningless: the released object is a
+    SELECTION among candidate outputs (dollar bands of per-event
+    value), drawn with P(b) ∝ exp(ε·u(b)/(2Δu)).  Utility is the
+    integer rank error u(b) = −|2·#{{x ≤ b}} − n| (sensitivity Δu = 1:
+    one added/removed record moves 2·cnt−n by exactly ±1), and the
+    draw uses the GUMBEL-MAX trick — argmax of score + Gumbel noise
+    g = −ln(−ln(U)) IS an exact sample from the softmax — with the
+    deterministic hash-uniform U of the (type, band) key, the same
+    reproducibility stance as the Laplace releases.  The exact median
+    band rides along as the utility audit.
+
+    Exactness: utilities and cumulative counts are BIGINT on the
+    zero-filled type × band grid; the score is one identically-ordered
+    double expression (LN twice, one multiply-add) quantized to
+    integer nano-units BEFORE the per-type argmax rank, with band as
+    the full tiebreak.
+
+    Scale shape: one grouped count to (type, band) grain (map-side
+    partials, never fact-sized output), a per-type cumsum window over
+    the bounded band domain, and a per-type top-1 rank — the same
+    bounded-grid discipline as `dq_dp_daily_histogram`."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(ROUND(value * 100, 0) AS BIGINT) div 100"
+        ).alias("band"),
+    )
+    bands = ev.select("band").distinct()
+    n = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cnt = ev.groupBy("event_type", "band").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    grid = (
+        n.crossJoin(F.broadcast(bands))
+        .join(cnt, ["event_type", "band"], "left")
+        .select(
+            "event_type",
+            "band",
+            "n",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "event_type",
+        "band",
+        "n",
+        F.sum("c").over(wc).cast("bigint").alias("cle"),
+    )
+    u = -F.abs(2 * F.col("cle") - F.col("n"))
+    u01 = (
+        hash_int60(
+            F.concat(
+                F.lit("dpmed:"),
+                F.col("event_type"),
+                F.lit(":"),
+                F.col("band").cast("string"),
+            )
+        )
+        % _DPM_DEN
+        + 0.5
+    ) / float(_DPM_DEN)
+    g = -F.log(-F.log(u01))
+    score_nano = F.round(
+        ((F.lit(_DP_EPS) / 2.0) * u.cast("double") + g) * 1_000_000_000, 0
+    ).cast("bigint")
+    scored = cum.select(
+        "event_type",
+        "band",
+        "n",
+        u.alias("u"),
+        score_nano.alias("score_nano"),
+        F.col("cle"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc("score_nano"), "band"
+    )
+    picked = (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "n",
+            F.col("band").alias("released_band"),
+            F.col("u").alias("utility"),
+            "score_nano",
+        )
+    )
+    truemed = (
+        cum.filter(2 * F.col("cle") >= F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("band").alias("true_median_band"))
+    )
+    return (
+        picked.join(F.broadcast(truemed), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "released_band",
+            "utility",
+            "score_nano",
+            "true_median_band",
+            F.lit(_DP_EPS).alias("epsilon"),
+        )
+        .orderBy("event_type")
+    )

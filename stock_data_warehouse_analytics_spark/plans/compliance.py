@@ -198,3 +198,164 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_classes_l_lt_3"),
     )
+
+
+# --------------------------------------------------------------- t-closeness
+
+_TCL_T = 0.2  # the audit threshold (Li, Li & Venkatasubramanian 2007)
+
+
+@register(
+    "dq_t_closeness",
+    tags=("compliance", "privacy", "dq", "t-closeness", "emd"),
+    oracle=f"""
+WITH cust AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000.0e0) AS INT) AS b
+  FROM customer
+),
+bands AS (SELECT DISTINCT b FROM cust),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_bands FROM bands),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cust),
+classes AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS k
+  FROM cust GROUP BY 1, 2
+),
+gcum AS (
+  SELECT b, CAST(SUM(COUNT(*)) OVER (ORDER BY b) AS BIGINT) AS cg
+  FROM cust GROUP BY b
+),
+ccnt AS (
+  SELECT c_nationkey, c_mktsegment, b, COUNT(*) AS cnt
+  FROM cust GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT cl.c_nationkey, cl.c_mktsegment, cl.k, bd.b,
+         COALESCE(cc.cnt, 0) AS cnt
+  FROM classes cl
+  CROSS JOIN bands bd
+  LEFT JOIN ccnt cc ON cc.c_nationkey = cl.c_nationkey
+                   AND cc.c_mktsegment = cl.c_mktsegment
+                   AND cc.b = bd.b
+),
+cum AS (
+  SELECT c_nationkey, c_mktsegment, k, b,
+         CAST(SUM(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment
+                             ORDER BY b) AS BIGINT) AS cc
+  FROM grid
+),
+per_class AS (
+  SELECT c.c_nationkey, c.c_mktsegment, c.k,
+         CAST(SUM(ABS(c.cc * t.n - g.cg * c.k)) AS BIGINT) AS t_num
+  FROM cum c
+  JOIN gcum g ON g.b = c.b
+  CROSS JOIN tot t
+  GROUP BY 1, 2, 3
+)
+SELECT p.c_nationkey, p.c_mktsegment, p.k, m.m_bands, p.t_num,
+       ROUND(CAST(p.t_num AS DOUBLE) / p.k / t.n / (m.m_bands - 1), 9)
+         AS t_closeness,
+       CAST(p.t_num AS DOUBLE) / p.k / t.n / (m.m_bands - 1) > {_TCL_T}e0
+         AS breaches_t
+FROM per_class p CROSS JOIN m CROSS JOIN tot t
+ORDER BY p.c_nationkey, p.c_mktsegment
+""",
+)
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-CLOSENESS audit (Li, Li & Venkatasubramanian 2007) — the
+    third rung of the release-readiness ladder after `dq_k_anonymity`'s
+    k/l census: per QI equivalence class (c_nationkey, c_mktsegment),
+    the Earth-Mover's Distance between the class's distribution of the
+    ORDERED sensitive attribute (account-balance band
+    floor(acctbal/1000)) and the GLOBAL distribution, with unit ground
+    distance normalized by (m−1):
+    EMD = Σ_i |CDF_class(i) − CDF_global(i)| / (m−1) — the measure
+    that catches classes k-anonymity and l-diversity both pass but
+    whose sensitive values still skew revealingly.
+
+    Exactness: per-band CDF differences are computed over the COMMON
+    denominator k·N as integer numerators |cc_i·N − cg_i·k| (BIGINT —
+    bounded by N² per band, ≈ 2.3e16 even at 1.5e8 customers), summed
+    exactly, with ONE double division chain t_num/k/N/(m−1) at the end
+    (identical op order both engines, 9 dp).
+
+    Scale shape: one (QI, band) grouped count + one QI class census +
+    one global band census (all partial-agg map-side); the zero-fill
+    grid is classes × bands (bounded ≤ |nations|·|segments|·|bands|,
+    never customer-sized); cumulative sums are windows over that
+    bounded grid partitioned per class; output ≤ |classes| rows."""
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("int").alias("b"),
+    )
+    bands = cust.select("b").distinct()
+    m = bands.agg(F.count(F.lit(1)).cast("bigint").alias("m_bands"))
+    tot = cust.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    wg = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    gcum = (
+        cust.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("_gc"))
+        .select("b", F.sum("_gc").over(wg).cast("bigint").alias("cg"))
+    )
+    ccnt = cust.groupBy("c_nationkey", "c_mktsegment", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    grid = (
+        classes.crossJoin(F.broadcast(bands))
+        .join(ccnt, ["c_nationkey", "c_mktsegment", "b"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "k",
+            "b",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+    wc = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "k",
+        "b",
+        F.sum("cnt").over(wc).cast("bigint").alias("cc"),
+    )
+    per_class = (
+        cum.join(F.broadcast(gcum), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("c_nationkey", "c_mktsegment", "k")
+        .agg(
+            F.sum(F.abs(F.col("cc") * F.col("n") - F.col("cg") * F.col("k")))
+            .cast("bigint")
+            .alias("t_num")
+        )
+    )
+    t_val = (
+        F.col("t_num").cast("double")
+        / F.col("k")
+        / F.col("n")
+        / (F.col("m_bands") - 1)
+    )
+    return (
+        per_class.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "k",
+            "m_bands",
+            "t_num",
+            F.round(t_val, 9).alias("t_closeness"),
+            (t_val > F.lit(_TCL_T)).alias("breaches_t"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

@@ -111,13 +111,24 @@ def rag_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join) — stage the deduped chunk table once, the round-6 staged-
     # frame discipline (ROUND_NOTES session-2)
     ch2 = dedup_chunk_table(ch).localCheckpoint(eager=True)
+    # staged: consumed by the candidate-key semi-join AND the final
+    # cand join — without this the whole two-leg retriever runs twice
     fused = hybrid_fused_candidates(
         ch2, leg_depth=_RAG_FUSED, out_depth=_RAG_FUSED
-    )
-    vec = hashed_chunk_vectors(ch2).select(
+    ).localCheckpoint(eager=True)
+    # vector/token work is QUERY-sized, not corpus-sized: only the
+    # fused candidates (≤ query-chunks × _RAG_FUSED rows) ever reach
+    # the MMR stage, so restrict the chunk table BEFORE the densify —
+    # the ×10 growth point dropped from 9.5× (corpus-linear) to the
+    # retriever core's own curve once this semi-join landed (PERF §7)
+    cand_keys = fused.select(
+        F.col("c_doc").alias("doc_id"), F.col("c_chunk").alias("chunk_id")
+    ).distinct()
+    ch_cand = ch2.join(cand_keys, ["doc_id", "chunk_id"], "left_semi")
+    vec = hashed_chunk_vectors(ch_cand).select(
         F.col("chunk_key"), F.col("embedding").alias("emb")
     )
-    toks = ch2.select(
+    toks = ch_cand.select(
         F.col("doc_id").alias("c_doc"),
         F.col("chunk_id").alias("c_chunk"),
         F.col("n_tokens").cast("int").alias("n_tokens"),

@@ -175,3 +175,60 @@ def run_conformal_gate_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------- streaming DP histogram cells
+
+
+def daily_type_counts(events: DataFrame, *, ordered: bool = True) -> DataFrame:
+    """(d, event_type, n) at day grain via the event-time tumbling
+    window — the streaming-legal form of the
+    ``dq_dp_daily_histogram`` base census (watermark bounds state at
+    open-days × |types| rows).  The DP release itself (grid fill +
+    noise) runs at READ time over these stored cells — noise must
+    never be added incrementally, because re-noising a cell on every
+    update would destroy the Laplace calibration; maintain true
+    counts, noise once at publication (the store-then-release split
+    every DP warehouse uses)."""
+    g = (
+        events.groupBy(
+            F.window("ts", "1 day").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.col("w.start").cast("date").alias("d"), "event_type", "n"
+        )
+    )
+    return g.orderBy("d", "event_type") if ordered else g
+
+
+def run_dp_histogram_stream(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    checkpoint_dir: str,
+    out_table: str = "dp_hist_stream_out",
+    watermark: str = "2 hours",
+):
+    """True readStream maintenance of the DP histogram's base cells
+    over a JSON event dump — watermark + tumbling-day counts, append
+    mode (cells emit on window close); stream ≡ batch pinned by
+    tests/test_streaming_multimodal.py::test_stream_dp_histogram_cells_equal_batch."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .json(source_dir)
+        .withWatermark("ts", watermark)
+    )
+    out = daily_type_counts(stream, ordered=False)
+    return (
+        out.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -319,3 +319,139 @@ def test_hll_relational_matches_pure_python(spark):
         for t in got
         if t != "__union__"
     )
+
+
+# ------------------------------------------------- t-closeness (EMD)
+
+
+def test_t_closeness_matches_pure_python(spark):
+    """Per-class EMD against a dict-based recomputation: build each
+    class's band histogram and the global one in plain Python, take
+    the ordered-distance EMD as the mean absolute CDF gap, and compare
+    the integer numerator exactly and the double to 1e-9."""
+    rows = {
+        (r["c_nationkey"], r["c_mktsegment"]): r
+        for r in _run(spark, "dq_t_closeness")
+    }
+    cust = pd.read_parquet(f"{SF_SMALL}/customer.parquet")
+    cust["b"] = np.floor(cust["c_acctbal"] / 1000.0).astype(int)
+    bands = sorted(cust["b"].unique())
+    n_total = len(cust)
+    gl = cust.groupby("b").size().to_dict()
+    for (nk, seg), grp in cust.groupby(["c_nationkey", "c_mktsegment"]):
+        k = len(grp)
+        cl = grp.groupby("b").size().to_dict()
+        cc = cg = 0
+        t_num = 0
+        for b in bands:
+            cc += cl.get(b, 0)
+            cg += gl.get(b, 0)
+            t_num += abs(cc * n_total - cg * k)
+        r = rows[(nk, seg)]
+        assert r["k"] == k
+        assert r["m_bands"] == len(bands)
+        assert r["t_num"] == t_num, (nk, seg)
+        t_ref = t_num / k / n_total / (len(bands) - 1)
+        assert abs(r["t_closeness"] - t_ref) < 1e-9
+        assert r["breaches_t"] == (t_ref > 0.2)
+    assert len(rows) == cust.groupby(["c_nationkey", "c_mktsegment"]).ngroups
+
+
+# ------------------------------------- exponential-mechanism DP median
+
+
+def test_dp_exponential_median_matches_pure_python(spark):
+    """The Gumbel-max selection must equal a dict-based replay:
+    per-type band CDF, integer utility, hashlib-uniform Gumbel, argmax
+    on the nano-quantized score with band tiebreak; the exact-median
+    audit column must be the true ⌈n/2⌉ band."""
+    got = {r["event_type"]: r for r in _run(spark, "dq_dp_exponential_median")}
+    ev = _events().copy()
+    ev["band"] = ((ev["value"] * 100).round().astype("int64")) // 100
+    bands = sorted(ev["band"].unique())
+    den = 1 << 48
+    eps = 0.5
+    for et, grp in ev.groupby("event_type"):
+        n = len(grp)
+        cnt = grp.groupby("band").size().to_dict()
+        cle = 0
+        best = None
+        true_med = None
+        for b in bands:
+            cle += cnt.get(b, 0)
+            if true_med is None and 2 * cle >= n:
+                true_med = b
+            u = -abs(2 * cle - n)
+            h = _h60(f"dpmed:{et}:{b}") % den
+            u01 = (h + 0.5) / den
+            g = -math.log(-math.log(u01))
+            score_nano = int(round(((eps / 2.0) * u + g) * 1e9))
+            key = (-score_nano, b)
+            if best is None or key < best[0]:
+                best = (key, b, u, score_nano)
+        r = got[et]
+        assert r["n"] == n
+        assert r["released_band"] == best[1], et
+        assert r["utility"] == best[2]
+        assert r["score_nano"] == best[3]
+        assert r["true_median_band"] == true_med
+        assert r["epsilon"] == eps
+
+
+# -------------------------------------------------- DP sum + histogram
+
+
+def test_dp_clamped_sum_matches_pure_python(spark):
+    """Clamp census, true sum and the Laplace draw replayed with
+    hashlib + math.log — exact integer equality on every column."""
+    got = {r["event_type"]: r for r in _run(spark, "dq_dp_clamped_sum")}
+    ev = _events().copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    den = 1 << 48
+    for et, grp in ev.groupby("event_type"):
+        clamped = grp["cents"].clip(lower=0, upper=5000)
+        h = _h60(f"dpsum:{et}") % den
+        uc = (h + 0.5) / den - 0.5
+        lap = -(5000.0 / 0.5) * (1.0 if uc >= 0 else -1.0) * math.log(
+            1.0 - 2.0 * abs(uc)
+        )
+        noise_nano = int(round(lap * 1e9))
+        r = got[et]
+        assert r["n_events"] == len(grp)
+        assert r["true_sum_cents"] == int(clamped.sum())
+        assert r["n_clamped"] == int((grp["cents"] > 5000).sum())
+        assert r["noise_nano"] == noise_nano
+        assert r["noisy_sum_cents"] == (
+            int(clamped.sum()) * 10**9 + noise_nano
+        ) / 1e9
+
+
+def test_dp_daily_histogram_matches_pure_python(spark):
+    """Grid construction (empty cells included), counts and per-cell
+    noise replayed in plain Python; released clamp checked."""
+    got = {
+        (r["d"], r["event_type"]): r
+        for r in _run(spark, "dq_dp_daily_histogram")
+    }
+    ev = _events().copy()
+    ev["d"] = ev["ts"].dt.normalize().dt.date
+    days = pd.date_range(ev["d"].min(), ev["d"].max()).date
+    types = sorted(ev["event_type"].unique())
+    counts = ev.groupby(["d", "event_type"]).size().to_dict()
+    den = 1 << 48
+    assert len(got) == len(days) * len(types)
+    for d in days:
+        for et in types:
+            n_true = counts.get((d, et), 0)
+            h = _h60(f"dph:{d.isoformat()}:{et}") % den
+            uc = (h + 0.5) / den - 0.5
+            lap = -(1.0 / 0.5) * (1.0 if uc >= 0 else -1.0) * math.log(
+                1.0 - 2.0 * abs(uc)
+            )
+            noise_nano = int(round(lap * 1e9))
+            r = got[(d, et)]
+            assert r["n_true"] == n_true
+            assert r["noise_nano"] == noise_nano
+            noisy = (n_true * 10**9 + noise_nano) / 1e9
+            assert r["noisy_count"] == noisy
+            assert r["released_count"] == max(0.0, noisy)

@@ -1207,3 +1207,51 @@ def test_stream_conformal_gate_equals_batch(spark, tmp_path):
     # the gate must actually separate: both admitted and rejected exist
     flags = {v[3] for v in s.values()}
     assert flags == {True, False}
+
+
+def test_stream_dp_histogram_cells_equal_batch(spark, tmp_path):
+    """The DP daily histogram's base cells maintained under
+    readStream(availableNow) must equal the registered batch release's
+    n_true for every watermark-closed day — the store-then-release
+    split: the stream keeps TRUE counts, the noise is applied once at
+    publication by ``dq_dp_daily_histogram`` over the stored cells."""
+    from stock_data_warehouse_analytics_spark.plans.causal_privacy import (
+        dq_dp_daily_histogram,
+    )
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+    from stock_data_warehouse_analytics_spark.streaming.guardrails import (
+        run_dp_histogram_stream,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "src")
+    events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).coalesce(4).write.mode("overwrite").json(src)
+
+    q = run_dp_histogram_stream(
+        spark, src, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    s = {
+        (r.d, r.event_type): r.n
+        for r in spark.table("dp_hist_stream_out").collect()
+    }
+    batch = {
+        (r.d, r.event_type): r.n_true
+        for r in dq_dp_daily_histogram(spark, SF_SMALL).collect()
+        if r.n_true > 0  # the stream stores observed cells; the
+        # release adds the zero-filled grid at publication
+    }
+    assert len(s) > 0
+    for key, val in s.items():
+        assert batch[key] == val
+    # only the final (watermark-open) day may be missing
+    missing = set(batch) - set(s)
+    max_day = max(k[0] for k in batch)
+    assert all(k[0] == max_day for k in missing), missing
