@@ -484,6 +484,65 @@ def _bonf_crit_col() -> F.Column:
     return expr
 
 
+def _panel_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_c, n_t, mc, mt, vc, vt) — the per-metric Welch
+    moments over the zero-filled user × type grid, factored from
+    ``eval_ab_metric_panel`` (whose oracle pins this plan) so the
+    multiple-testing corrections (Bonferroni there, BH-FDR in
+    ``eval_ab_fdr_bh``) share one implementation."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    types = cnt.select("event_type").distinct()
+    users = cnt.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(types)).withColumn(
+        "variant", _variant()
+    )
+    metric = grid.join(cnt, ["user_id", "event_type"], "left").select(
+        "event_type",
+        "variant",
+        F.coalesce(F.col("k"), F.lit(0)).alias("k"),
+    )
+    from .ab_testing import _dec
+
+    k = F.col("k")
+    is_c, is_t = F.col("variant") == 0, F.col("variant") == 1
+    m = metric.groupBy("event_type").agg(
+        F.count(F.when(is_c, 1)).alias("n_c"),
+        F.count(F.when(is_t, 1)).alias("n_t"),
+        F.coalesce(F.sum(F.when(is_c, k)), F.lit(0))
+        .cast("double")
+        .alias("s_c"),
+        F.coalesce(F.sum(F.when(is_t, k)), F.lit(0))
+        .cast("double")
+        .alias("s_t"),
+        F.coalesce(F.sum(F.when(is_c, _dec(k) * _dec(k))), F.lit(0))
+        .cast("double")
+        .alias("q_c"),
+        F.coalesce(F.sum(F.when(is_t, _dec(k) * _dec(k))), F.lit(0))
+        .cast("double")
+        .alias("q_t"),
+    )
+    return m.select(
+        "event_type",
+        "n_c",
+        "n_t",
+        (F.col("s_c") / F.col("n_c")).alias("mc"),
+        (F.col("s_t") / F.col("n_t")).alias("mt"),
+        (
+            (F.col("q_c") - F.col("s_c") * F.col("s_c") / F.col("n_c"))
+            / (F.col("n_c") - F.lit(1))
+        ).alias("vc"),
+        (
+            (F.col("q_t") - F.col("s_t") * F.col("s_t") / F.col("n_t"))
+            / (F.col("n_t") - F.lit(1))
+        ).alias("vt"),
+    )
+
+
 @register(
     "eval_ab_metric_panel",
     tags=("eval", "ab", "guardrails", "multiple-testing"),
@@ -557,60 +616,7 @@ def eval_ab_metric_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression per row.  Zero-filling matters: omitting non-engaged
     users biases every mean upward and breaks the variant comparison
     whenever engagement itself responds to treatment."""
-    ev = load_table(spark, sf_dir, "events")
-    # one corpus scan: the (user, type) count table is the metric
-    # store here; user/type universes derive from the SMALL table
-    # (localCheckpoint so the three consumers don't rescan the facts)
-    cnt = (
-        ev.groupBy("user_id", "event_type")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .localCheckpoint(eager=True)
-    )
-    types = cnt.select("event_type").distinct()
-    users = cnt.select("user_id").distinct()
-    grid = users.crossJoin(F.broadcast(types)).withColumn(
-        "variant", _variant()
-    )
-    metric = grid.join(cnt, ["user_id", "event_type"], "left").select(
-        "event_type",
-        "variant",
-        F.coalesce(F.col("k"), F.lit(0)).alias("k"),
-    )
-    from .ab_testing import _dec
-
-    k = F.col("k")
-    is_c, is_t = F.col("variant") == 0, F.col("variant") == 1
-    m = metric.groupBy("event_type").agg(
-        F.count(F.when(is_c, 1)).alias("n_c"),
-        F.count(F.when(is_t, 1)).alias("n_t"),
-        F.coalesce(F.sum(F.when(is_c, k)), F.lit(0))
-        .cast("double")
-        .alias("s_c"),
-        F.coalesce(F.sum(F.when(is_t, k)), F.lit(0))
-        .cast("double")
-        .alias("s_t"),
-        F.coalesce(F.sum(F.when(is_c, _dec(k) * _dec(k))), F.lit(0))
-        .cast("double")
-        .alias("q_c"),
-        F.coalesce(F.sum(F.when(is_t, _dec(k) * _dec(k))), F.lit(0))
-        .cast("double")
-        .alias("q_t"),
-    )
-    v = m.select(
-        "event_type",
-        "n_c",
-        "n_t",
-        (F.col("s_c") / F.col("n_c")).alias("mc"),
-        (F.col("s_t") / F.col("n_t")).alias("mt"),
-        (
-            (F.col("q_c") - F.col("s_c") * F.col("s_c") / F.col("n_c"))
-            / (F.col("n_c") - F.lit(1))
-        ).alias("vc"),
-        (
-            (F.col("q_t") - F.col("s_t") * F.col("s_t") / F.col("n_t"))
-            / (F.col("n_t") - F.lit(1))
-        ).alias("vt"),
-    )
+    v = _panel_v(spark, sf_dir)
     t_stat = F.round(
         (F.col("mt") - F.col("mc"))
         / F.sqrt(F.col("vt") / F.col("n_t") + F.col("vc") / F.col("n_c")),
@@ -1169,3 +1175,472 @@ def eval_ab_obf_spending(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(stop, 1).otherwise(0)).over(w_run) == 1
         ).alias("stopped_by_now"),
     ).orderBy("d")
+
+
+# ---------------------------------------------------------------------
+# Signed normal CDF via the same A&S 26.2.17 polynomial (the OBF
+# helper handles only the positive boundary; futility/p-value args can
+# be negative).  One identical op sequence in both engines.
+# ---------------------------------------------------------------------
+
+
+def _phi_cdf_col(z: F.Column) -> F.Column:
+    a = F.abs(z)
+    u = F.lit(1.0) / (F.lit(1.0) + F.lit(_PHI_P) * a)
+    poly = (
+        (
+            (
+                (F.lit(_PHI_B[4]) * u + F.lit(_PHI_B[3])) * u
+                + F.lit(_PHI_B[2])
+            )
+            * u
+            + F.lit(_PHI_B[1])
+        )
+        * u
+        + F.lit(_PHI_B[0])
+    ) * u
+    tail = (F.exp(-(a * a) / F.lit(2.0)) / F.lit(_SQRT_2PI)) * poly
+    return F.when(z >= 0.0, F.lit(1.0) - tail).otherwise(tail)
+
+
+def _sql_phi_cdf(z: str) -> str:
+    """DuckDB mirror of :func:`_phi_cdf_col` — ``z`` must be a simple
+    column reference (it is referenced several times)."""
+    u = f"(1.0 / (1.0 + {_PHI_P} * ABS({z})))"
+    poly = (
+        f"((((({_PHI_B[4]} * {u} + {_PHI_B[3]}) * {u} + {_PHI_B[2]}) * {u}"
+        f" + {_PHI_B[1]}) * {u} + {_PHI_B[0]}) * {u})"
+    )
+    tail = f"((EXP(-(ABS({z}) * ABS({z})) / 2.0) / {_SQRT_2PI}) * {poly})"
+    return f"(CASE WHEN {z} >= 0.0 THEN 1.0 - {tail} ELSE {tail} END)"
+
+
+# the metric-panel moments chain, shared verbatim by the BH-FDR oracle
+# (identical text to the eval_ab_metric_panel oracle up to `v`)
+_SQL_PANEL_V = f"""
+types AS (SELECT DISTINCT event_type FROM events),
+users AS (SELECT DISTINCT user_id FROM events),
+grid AS (
+  SELECT u.user_id, t.event_type,
+         {_SQL_VARIANT} AS variant
+  FROM users u CROSS JOIN types t
+),
+cnt AS (
+  SELECT user_id, event_type, COUNT(*) AS k
+  FROM events GROUP BY user_id, event_type
+),
+metric AS (
+  SELECT g.event_type, g.variant,
+         COALESCE(c.k, 0) AS k
+  FROM grid g LEFT JOIN cnt c
+    ON g.user_id = c.user_id AND g.event_type = c.event_type
+),
+m AS (
+  SELECT event_type,
+    COUNT(*) FILTER (WHERE variant = 0) AS n_c,
+    COUNT(*) FILTER (WHERE variant = 1) AS n_t,
+    CAST(COALESCE(SUM(k) FILTER (WHERE variant = 0), 0) AS DOUBLE) AS s_c,
+    CAST(COALESCE(SUM(k) FILTER (WHERE variant = 1), 0) AS DOUBLE) AS s_t,
+    CAST(COALESCE(SUM(CAST(k AS DECIMAL(19,0)) * CAST(k AS DECIMAL(19,0)))
+                  FILTER (WHERE variant = 0), 0) AS DOUBLE) AS q_c,
+    CAST(COALESCE(SUM(CAST(k AS DECIMAL(19,0)) * CAST(k AS DECIMAL(19,0)))
+                  FILTER (WHERE variant = 1), 0) AS DOUBLE) AS q_t
+  FROM metric GROUP BY event_type
+),
+v AS (
+  SELECT event_type, n_c, n_t,
+         s_c / n_c AS mc, s_t / n_t AS mt,
+         (q_c - s_c * s_c / n_c) / (n_c - 1) AS vc,
+         (q_t - s_t * s_t / n_t) / (n_t - 1) AS vt
+  FROM m
+)"""
+
+_BH_Q = 0.05  # FDR level
+
+
+@register(
+    "eval_ab_fdr_bh",
+    tags=("eval", "ab", "multiple-testing", "fdr"),
+    oracle=f"""
+WITH {_SQL_PANEL_V},
+ts AS (
+  SELECT event_type,
+         ROUND((mt - mc) / SQRT(vt / n_t + vc / n_c), 6) AS t_stat
+  FROM v
+),
+pv AS (
+  SELECT event_type, t_stat, ABS(t_stat) AS az FROM ts
+),
+pq AS (
+  SELECT event_type, t_stat,
+         ROUND(2.0 * (1.0 - {_sql_phi_cdf("az")}), 9) AS p_value
+  FROM pv
+),
+rk AS (
+  SELECT event_type, t_stat, p_value,
+         CAST(ROW_NUMBER() OVER (ORDER BY p_value, event_type) AS INTEGER)
+           AS bh_rank,
+         CAST(COUNT(*) OVER () AS INTEGER) AS n_metrics
+  FROM pq
+),
+fl AS (
+  SELECT *, ROUND(CAST(bh_rank AS DOUBLE) * {_BH_Q} / n_metrics, 9)
+              AS bh_threshold
+  FROM rk
+),
+km AS (
+  SELECT *,
+         MAX(CASE WHEN p_value <= bh_threshold THEN bh_rank END) OVER ()
+           AS k_max
+  FROM fl
+)
+SELECT event_type, n_metrics, t_stat, p_value, bh_rank, bh_threshold,
+       p_value <= 0.05e0 AS sig_raw,
+       COALESCE(bh_rank <= k_max, FALSE) AS sig_bh
+FROM km ORDER BY bh_rank
+""",
+)
+def eval_ab_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-HOCHBERG FDR control over the multi-metric guardrail
+    panel — the modern multiple-testing correction next to
+    ``eval_ab_metric_panel``'s Bonferroni (BH controls the EXPECTED
+    false-discovery rate instead of the family-wise error, the
+    standard platform choice when a readout has many non-guardrail
+    metrics): two-sided p from the Welch t via the shared A&S 26.2.17
+    normal CDF, p-values ranked ascending, and the step-up rule
+    sig_bh ⇔ rank ≤ max{{i : p_(i) ≤ i·q/m}} at q = 0.05.
+
+    Cross-engine exactness: t is the panel's 6-dp statistic, p is one
+    identical polynomial expression rounded at 9 dp, the BH threshold
+    i·q/m is rounded at 9 dp before the comparison, and the step-up
+    cutoff is an integer window MAX — every comparison happens between
+    already-quantized values.
+
+    Scale shape: inherits ``_panel_v`` (one (user, type)-grain shuffle
+    with partial aggregation); everything after runs on the ≤ |types|
+    row panel (two windows over ≤ 5 rows)."""
+    from pyspark.sql.window import Window
+
+    v = _panel_v(spark, sf_dir)
+    t_stat = F.round(
+        (F.col("mt") - F.col("mc"))
+        / F.sqrt(F.col("vt") / F.col("n_t") + F.col("vc") / F.col("n_c")),
+        6,
+    )
+    ts = v.select("event_type", t_stat.alias("t_stat")).withColumn(
+        "az", F.abs(F.col("t_stat"))
+    )
+    pq = ts.select(
+        "event_type",
+        "t_stat",
+        F.round(
+            2.0 * (F.lit(1.0) - _phi_cdf_col(F.col("az"))), 9
+        ).alias("p_value"),
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rk = pq.select(
+        "event_type",
+        "t_stat",
+        "p_value",
+        F.row_number()
+        .over(Window.orderBy("p_value", "event_type"))
+        .cast("int")
+        .alias("bh_rank"),
+        F.count(F.lit(1)).over(w_all).cast("int").alias("n_metrics"),
+    )
+    fl = rk.withColumn(
+        "bh_threshold",
+        F.round(
+            F.col("bh_rank").cast("double") * _BH_Q / F.col("n_metrics"), 9
+        ),
+    )
+    km = fl.withColumn(
+        "k_max",
+        F.max(
+            F.when(F.col("p_value") <= F.col("bh_threshold"), F.col("bh_rank"))
+        ).over(w_all),
+    )
+    return km.select(
+        "event_type",
+        "n_metrics",
+        "t_stat",
+        "p_value",
+        "bh_rank",
+        "bh_threshold",
+        (F.col("p_value") <= F.lit(0.05)).alias("sig_raw"),
+        F.coalesce(F.col("bh_rank") <= F.col("k_max"), F.lit(False)).alias(
+            "sig_bh"
+        ),
+    ).orderBy("bh_rank")
+
+
+_FUT_GAMMA = 0.1  # futility threshold on conditional power
+
+
+@register(
+    "eval_ab_futility_power",
+    tags=("eval", "ab", "sequential", "futility", "conditional-power"),
+    oracle=f"""
+WITH {_SQL_DAILY_MOMENTS},
+tr AS (
+  SELECT d,
+         ROUND((mt - mc) / SQRT(vt / n_t + vc / n_c), 6) AS t_stat,
+         CAST(ROW_NUMBER() OVER (ORDER BY d) AS INTEGER) AS look_idx,
+         CAST(COUNT(*) OVER () AS INTEGER) AS n_looks
+  FROM v
+),
+bv AS (
+  SELECT d, t_stat, look_idx, n_looks,
+         ROUND(CAST(look_idx AS DOUBLE) / n_looks, 6) AS info_frac,
+         ROUND(t_stat * SQRT(CAST(look_idx AS DOUBLE) / n_looks), 6)
+           AS b_value,
+         CASE WHEN look_idx >= n_looks THEN NULL
+              ELSE ROUND((t_stat / SQRT(CAST(look_idx AS DOUBLE) / n_looks)
+                          - {_OBF_Z})
+                         / SQRT(1.0 - CAST(look_idx AS DOUBLE) / n_looks),
+                         6)
+         END AS cp_arg
+  FROM tr
+),
+cp AS (
+  SELECT d, t_stat, look_idx, n_looks, info_frac, b_value,
+         CASE WHEN cp_arg IS NULL
+              THEN CASE WHEN t_stat > {_OBF_Z} THEN 1.0 ELSE 0.0 END
+              ELSE ROUND({_sql_phi_cdf("cp_arg")}, 9)
+         END AS cp_trend
+  FROM bv
+)
+SELECT d, t_stat, look_idx, n_looks, info_frac, b_value, cp_trend,
+       cp_trend < {_FUT_GAMMA}e0 AS futility_stop,
+       MAX(CASE WHEN cp_trend < {_FUT_GAMMA}e0 THEN 1 ELSE 0 END)
+         OVER (ORDER BY d) = 1 AS stopped_by_now
+FROM cp
+ORDER BY d
+""",
+)
+def eval_ab_futility_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUTILITY monitoring via CONDITIONAL POWER under the current
+    trend — the efficacy boundary's symmetric half (``eval_ab_obf_
+    spending`` stops for success; this stops for hopelessness): at
+    every look the B-value B(t) = z_t·√t is extrapolated as Brownian
+    motion with the current drift, giving
+    CP = Φ((z_t/√t − z_{{α/2}}) / √(1−t)) — the probability the trial
+    still ends significant if the observed trend continues (Lan &
+    Wittes 1988).  CP below γ = 0.1 flags the experiment for an early
+    futility stop — the platform lever that frees traffic weeks before
+    a doomed readout's horizon.  At the final look (t = 1) CP
+    degenerates to the decision itself (1 if z > z_{{α/2}} else 0).
+
+    Cross-engine exactness: t_stat and the CP argument are quantized
+    at 6 dp before the shared signed A&S Φ polynomial (9 dp); the stop
+    flags compare quantized values; calendar information fraction as
+    in the OBF trajectory.
+
+    Scale shape: inherits ``_daily_cum_moments`` — one (user, day)
+    pass; per-look expressions + two tiny windows over the
+    calendar-bounded daily table."""
+    from pyspark.sql import Window
+
+    v = _daily_cum_moments(spark, sf_dir)
+    t_stat = F.round(
+        (F.col("mt") - F.col("mc"))
+        / F.sqrt(F.col("vt") / F.col("n_t") + F.col("vc") / F.col("n_c")),
+        6,
+    )
+    w_all = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tr = v.select(
+        "d",
+        t_stat.alias("t_stat"),
+        F.row_number().over(Window.orderBy("d")).cast("int").alias("look_idx"),
+        F.count(F.lit(1)).over(w_all).cast("int").alias("n_looks"),
+    )
+    frac_raw = F.col("look_idx").cast("double") / F.col("n_looks")
+    cp_arg = F.when(
+        F.col("look_idx") >= F.col("n_looks"), F.lit(None).cast("double")
+    ).otherwise(
+        F.round(
+            (F.col("t_stat") / F.sqrt(frac_raw) - F.lit(_OBF_Z))
+            / F.sqrt(F.lit(1.0) - frac_raw),
+            6,
+        )
+    )
+    bv = tr.select(
+        "d",
+        "t_stat",
+        "look_idx",
+        "n_looks",
+        F.round(frac_raw, 6).alias("info_frac"),
+        F.round(F.col("t_stat") * F.sqrt(frac_raw), 6).alias("b_value"),
+        cp_arg.alias("cp_arg"),
+    )
+    cp_trend = F.when(
+        F.col("cp_arg").isNull(),
+        F.when(F.col("t_stat") > F.lit(_OBF_Z), 1.0).otherwise(0.0),
+    ).otherwise(F.round(_phi_cdf_col(F.col("cp_arg")), 9))
+    cp = bv.select(
+        "d",
+        "t_stat",
+        "look_idx",
+        "n_looks",
+        "info_frac",
+        "b_value",
+        cp_trend.alias("cp_trend"),
+    )
+    stop = F.col("cp_trend") < F.lit(_FUT_GAMMA)
+    w_run = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return cp.select(
+        "d",
+        "t_stat",
+        "look_idx",
+        "n_looks",
+        "info_frac",
+        "b_value",
+        "cp_trend",
+        stop.alias("futility_stop"),
+        (F.max(F.when(stop, 1).otherwise(0)).over(w_run) == 1).alias(
+            "stopped_by_now"
+        ),
+    ).orderBy("d")
+
+
+@register(
+    "eval_ab_cluster_icc",
+    tags=("eval", "ab", "cluster-randomization", "icc", "design-effect"),
+    oracle="""
+WITH o AS (
+  SELECT o_custkey AS c,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS y
+  FROM orders
+),
+per_c AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS n_c,
+         CAST(SUM(y) AS BIGINT) AS s_c
+  FROM o GROUP BY c
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS g,
+         SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS yy
+  FROM o
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(CAST((CAST(s_c AS DECIMAL(38,0)) * CAST(s_c AS DECIMAL(38,0)))
+                  // n_c AS DECIMAL(38,0))) AS sb_int,
+         CAST(SUM(n_c * n_c) AS BIGINT) AS nn2
+  FROM per_c
+),
+mo AS (
+  SELECT a.k, t.n,
+         CAST(a.sb_int AS DOUBLE)
+           - CAST(t.g AS DOUBLE) * CAST(t.g AS DOUBLE) / t.n AS ssb,
+         CAST(t.yy AS DOUBLE) - CAST(a.sb_int AS DOUBLE) AS ssw,
+         (CAST(t.n AS DOUBLE) - CAST(a.nn2 AS DOUBLE) / t.n)
+           / (a.k - 1) AS n0,
+         CAST(t.n AS DOUBLE) / a.k AS mbar
+  FROM agg a CROSS JOIN tot t
+),
+ms AS (
+  SELECT k, n, mbar, n0,
+         ssb / (k - 1) AS msb,
+         ssw / (n - k) AS msw
+  FROM mo
+)
+SELECT k AS n_clusters, n AS n_orders,
+       ROUND(mbar, 6) AS mean_cluster_size,
+       ROUND(n0, 6) AS n0,
+       ROUND((msb - msw) / (msb + (n0 - 1) * msw), 9) AS icc,
+       ROUND(1.0 + (mbar - 1)
+                   * ((msb - msw) / (msb + (n0 - 1) * msw)), 9)
+         AS design_effect
+FROM ms
+""",
+)
+def eval_ab_cluster_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-RANDOMIZATION diagnostic: the intraclass correlation of
+    order value within customer (one-way random-effects ANOVA
+    estimator with the unequal-cluster-size n₀ correction) and the
+    resulting DESIGN EFFECT 1 + (m̄−1)·ICC — the variance-inflation
+    number that says how much a customer-randomized experiment
+    analyzed at ORDER grain under-counts its variance (the
+    unit-of-analysis error every platform hits when metrics live at a
+    finer grain than the randomization unit).
+
+    Cross-engine exactness: y is integer cents; Σy² and per-cluster
+    S_c² are DECIMAL(38,0); the per-cluster S_c²/n_c terms are
+    INTEGER-DIVIDED before summation (order-free, deterministic — the
+    ≤1-unit-per-cluster floor bias is ~1e-14 relative here and
+    documented, vs a nondeterministic float summation order); the ICC
+    and design effect are short single-row double expressions at 9 dp.
+
+    Scale shape: one grouped agg to customer grain + one grand agg,
+    both with map-side partials; moments meet in a one-row cross
+    join — nothing after the two aggs exceeds a handful of rows."""
+    from ..operators.dedup import hash_int60 as _h  # noqa: F401 (family)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("y"),
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    per_c = o.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+        F.sum("y").cast("long").alias("s_c"),
+    )
+    tot = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("g"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("yy"),
+    )
+    agg = per_c.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.expr(
+                "CAST((CAST(s_c AS DECIMAL(38,0)) * CAST(s_c AS"
+                " DECIMAL(38,0))) div n_c AS DECIMAL(38,0))"
+            )
+        ).alias("sb_int"),
+        F.sum(F.col("n_c") * F.col("n_c")).cast("long").alias("nn2"),
+    )
+    mo = agg.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "n",
+        (
+            F.col("sb_int").cast("double")
+            - F.col("g").cast("double") * F.col("g").cast("double")
+            / F.col("n")
+        ).alias("ssb"),
+        (F.col("yy").cast("double") - F.col("sb_int").cast("double")).alias(
+            "ssw"
+        ),
+        (
+            (F.col("n").cast("double") - F.col("nn2").cast("double") / F.col("n"))
+            / (F.col("k") - 1)
+        ).alias("n0"),
+        (F.col("n").cast("double") / F.col("k")).alias("mbar"),
+    )
+    ms = mo.select(
+        "k",
+        "n",
+        "mbar",
+        "n0",
+        (F.col("ssb") / (F.col("k") - 1)).alias("msb"),
+        (F.col("ssw") / (F.col("n") - F.col("k"))).alias("msw"),
+    )
+    icc = (F.col("msb") - F.col("msw")) / (
+        F.col("msb") + (F.col("n0") - 1) * F.col("msw")
+    )
+    return ms.select(
+        F.col("k").alias("n_clusters"),
+        F.col("n").alias("n_orders"),
+        F.round(F.col("mbar"), 6).alias("mean_cluster_size"),
+        F.round(F.col("n0"), 6).alias("n0"),
+        F.round(icc, 9).alias("icc"),
+        F.round(F.lit(1.0) + (F.col("mbar") - 1) * icc, 9).alias(
+            "design_effect"
+        ),
+    )

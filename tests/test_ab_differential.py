@@ -560,3 +560,138 @@ def test_obf_spending_matches_scipy_free_normal(spark):
         # the boundary must RELAX monotonically to the fixed-horizon z
         assert r["obf_bound"] >= _OBF_Z - 1e-9
     assert rows[-1]["obf_bound"] == pytest.approx(_OBF_Z, abs=1e-6)
+
+
+def test_fdr_bh_matches_pure_python(spark):
+    """The BH step-up decision must match an independent replay:
+    per-metric Welch t from pandas moments, exact normal p-values
+    (statistics.NormalDist — not the A&S polynomial the engines run),
+    and the textbook max{i: p_(i) <= i*q/m} rule."""
+    from statistics import NormalDist
+
+    from stock_data_warehouse_analytics_spark.plans.ab_testing2 import (
+        eval_ab_fdr_bh,
+    )
+
+    rows = eval_ab_fdr_bh(spark, SF_SMALL).collect()
+    got = {r["event_type"]: r for r in rows}
+    ev = _events().copy()
+    users = pd.DataFrame({"user_id": ev["user_id"].unique()})
+    users["variant"] = users["user_id"].map(lambda u: _h60(str(u)) % 2)
+    nd = NormalDist()
+    pvals = {}
+    for et in sorted(ev["event_type"].unique()):
+        k = (
+            users["user_id"]
+            .map(ev[ev["event_type"] == et].groupby("user_id").size())
+            .fillna(0)
+        )
+        c = k[users["variant"] == 0].to_numpy(dtype=float)
+        t = k[users["variant"] == 1].to_numpy(dtype=float)
+        t_ref = (t.mean() - c.mean()) / math.sqrt(
+            t.var(ddof=1) / len(t) + c.var(ddof=1) / len(c)
+        )
+        p_ref = 2.0 * (1.0 - nd.cdf(abs(t_ref)))
+        pvals[et] = p_ref
+        r = got[et]
+        assert r["t_stat"] == pytest.approx(t_ref, abs=1e-5), et
+        # A&S polynomial |err| < 7.5e-8 per tail (2x two-sided) plus
+        # the 6-dp t quantization through the pdf slope (<= 2*0.4*5e-7)
+        assert r["p_value"] == pytest.approx(p_ref, abs=1e-6), et
+    m = len(pvals)
+    order = sorted(pvals, key=lambda e: (pvals[e], e))
+    k_max = 0
+    for i, et in enumerate(order, start=1):
+        if pvals[et] <= i * 0.05 / m:
+            k_max = i
+    for i, et in enumerate(order, start=1):
+        r = got[et]
+        assert r["bh_rank"] == i and r["n_metrics"] == m
+        assert r["bh_threshold"] == pytest.approx(i * 0.05 / m, abs=1e-9)
+        assert r["sig_bh"] == (i <= k_max), et
+        assert r["sig_raw"] == (r["p_value"] <= 0.05)
+
+
+def test_futility_power_matches_bruteforce(spark):
+    """Conditional power under the current trend must equal the
+    per-day brute force: scratch Welch t, B-value, the Lan-Wittes
+    extrapolation with the exact normal CDF, and the degenerate final
+    look."""
+    from statistics import NormalDist
+
+    from stock_data_warehouse_analytics_spark.plans.ab_testing2 import (
+        _FUT_GAMMA,
+        _OBF_Z,
+        eval_ab_futility_power,
+    )
+
+    rows = eval_ab_futility_power(spark, SF_SMALL).collect()
+    got = {r["d"]: r for r in rows}
+    ev = _events().copy()
+    ev["d"] = ev["ts"].dt.normalize().dt.date
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    users = pd.DataFrame({"user_id": ev["user_id"].unique()})
+    users["variant"] = users["user_id"].map(lambda u: _h60(str(u)) % 2)
+    purch = ev[ev["event_type"] == "purchase"]
+    nd = NormalDist()
+    days = sorted(got)
+    kk = len(days)
+    crossed = False
+    for k, day in enumerate(days, start=1):
+        upto = purch[purch["d"] <= day]
+        y = (
+            users["user_id"]
+            .map(upto.groupby("user_id")["cents"].sum())
+            .fillna(0)
+        )
+        c = y[users["variant"] == 0].to_numpy(dtype=float)
+        t = y[users["variant"] == 1].to_numpy(dtype=float)
+        z = (t.mean() - c.mean()) / math.sqrt(
+            t.var(ddof=1) / len(t) + c.var(ddof=1) / len(c)
+        )
+        frac = k / kk
+        if k >= kk:
+            cp_ref = 1.0 if z > _OBF_Z else 0.0
+        else:
+            arg = (z / math.sqrt(frac) - _OBF_Z) / math.sqrt(1.0 - frac)
+            cp_ref = nd.cdf(arg)
+        r = got[day]
+        assert r["t_stat"] == pytest.approx(z, abs=1e-5), day
+        assert r["b_value"] == pytest.approx(z * math.sqrt(frac), abs=1e-5)
+        # 6-dp arg quantization + polynomial error; the CDF slope is
+        # <= 0.4, so 1e-6 arg error -> <= 4e-7 CP error, plus 7.5e-8
+        assert r["cp_trend"] == pytest.approx(cp_ref, abs=5e-6), day
+        assert r["futility_stop"] == (r["cp_trend"] < _FUT_GAMMA)
+        crossed = crossed or r["futility_stop"]
+        assert r["stopped_by_now"] == crossed
+
+
+def test_cluster_icc_matches_numpy(spark):
+    """ICC / design effect against a scratch numpy one-way ANOVA over
+    float cents (the engine uses exact decimal moments with
+    floor-divided per-cluster terms; agreement to 1e-6 absolute covers
+    the documented <= 1-unit-per-cluster floor bias)."""
+    from stock_data_warehouse_analytics_spark.plans.ab_testing2 import (
+        eval_ab_cluster_icc,
+    )
+
+    r = eval_ab_cluster_icc(spark, SF_SMALL).collect()[0]
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    y = (orders["o_totalprice"] * 100).round().astype("int64")
+    c = orders["o_custkey"]
+    df = pd.DataFrame({"c": c, "y": y.astype(float)})
+    k = df["c"].nunique()
+    n = len(df)
+    g = df.groupby("c")["y"]
+    ssb = (g.sum() ** 2 / g.size()).sum() - df["y"].sum() ** 2 / n
+    ssw = (df["y"] ** 2).sum() - (g.sum() ** 2 / g.size()).sum()
+    n0 = (n - (g.size() ** 2).sum() / n) / (k - 1)
+    msb, msw = ssb / (k - 1), ssw / (n - k)
+    icc = (msb - msw) / (msb + (n0 - 1) * msw)
+    assert r["n_clusters"] == k and r["n_orders"] == n
+    assert r["mean_cluster_size"] == pytest.approx(n / k, abs=1e-6)
+    assert r["n0"] == pytest.approx(n0, abs=1e-6)
+    assert r["icc"] == pytest.approx(icc, abs=1e-6)
+    assert r["design_effect"] == pytest.approx(
+        1.0 + (n / k - 1) * icc, abs=1e-6
+    )
