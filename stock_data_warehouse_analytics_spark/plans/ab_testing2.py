@@ -1644,3 +1644,174 @@ def eval_ab_cluster_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "design_effect"
         ),
     )
+
+
+_HTE_CUT = "2024-01-08"  # pre-period = week 1 (the eval_att_stratified pin)
+_HTE_BUCKETS = 10
+
+
+@register(
+    "eval_ab_hte_deciles",
+    tags=("eval", "ab", "hte", "heterogeneity", "deciles"),
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         {_SQL_VARIANT} AS variant,
+         COUNT(*) FILTER (WHERE ts < TIMESTAMP '{_HTE_CUT}') AS n_pre,
+         CAST(COALESCE(SUM({_SQL_CENTS})
+              FILTER (WHERE ts >= TIMESTAMP '{_HTE_CUT}'
+                        AND event_type = 'purchase'), 0) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+rk AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY n_pre, user_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM u
+),
+dec AS (
+  SELECT CAST(((rn - 1) * {_HTE_BUCKETS}) // n AS INTEGER) AS decile,
+         variant, y
+  FROM rk
+),
+m AS (
+  SELECT decile,
+    COUNT(*) FILTER (WHERE variant = 0) AS n_c,
+    COUNT(*) FILTER (WHERE variant = 1) AS n_t,
+    CAST(COALESCE(SUM(y) FILTER (WHERE variant = 0), 0) AS DOUBLE) AS s_c,
+    CAST(COALESCE(SUM(y) FILTER (WHERE variant = 1), 0) AS DOUBLE) AS s_t,
+    CAST(COALESCE(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  FILTER (WHERE variant = 0), 0) AS DOUBLE) AS q_c,
+    CAST(COALESCE(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  FILTER (WHERE variant = 1), 0) AS DOUBLE) AS q_t
+  FROM dec GROUP BY decile
+),
+v AS (
+  SELECT decile, n_c, n_t,
+         CASE WHEN n_c > 0 THEN s_c / n_c END AS mc,
+         CASE WHEN n_t > 0 THEN s_t / n_t END AS mt,
+         CASE WHEN n_c > 1
+              THEN (q_c - s_c * s_c / n_c) / (n_c - 1) END AS vc,
+         CASE WHEN n_t > 1
+              THEN (q_t - s_t * s_t / n_t) / (n_t - 1) END AS vt
+  FROM m
+)
+SELECT decile, n_c AS n_control, n_t AS n_treatment,
+       ROUND(mc / 100, 6) AS mean_control,
+       ROUND(mt / 100, 6) AS mean_treatment,
+       ROUND((mt - mc) / 100, 6) AS effect,
+       CASE WHEN vc IS NOT NULL AND vt IS NOT NULL
+             AND vt / n_t + vc / n_c > 0
+            THEN ROUND((mt - mc) / SQRT(vt / n_t + vc / n_c), 6)
+       END AS t_stat
+FROM v
+ORDER BY decile
+""",
+)
+def eval_ab_hte_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HETEROGENEOUS-treatment-effect readout by PRE-EXPOSURE decile —
+    the platform's first HTE exploration, no fitted model required:
+    users are ranked by a pre-period covariate (week-1 event count,
+    the `eval_att_stratified` cutoff) into 10 EXACT integer deciles
+    ((rn−1)·10 div n over a deterministic (covariate, user_id) order —
+    not engine NTILE, whose remainder placement differs), and the
+    Welch effect on post-period purchase cents is reported per decile.
+    A flat effect column says ship-to-all; a monotone one says target.
+    Pre-period covariates are treatment-independent by construction,
+    so conditioning on them cannot introduce post-treatment bias.
+
+    Exactness: covariate ranks and decile boundaries are pure integer
+    arithmetic; per-decile moments are the panel's exact
+    decimal-quantized six-moment rows; the only doubles are the final
+    per-decile means/t.  SMALL-CELL GUARD: a decile side with < 1
+    user yields NULL means, < 2 users or zero pooled variance yields
+    NULL t — identical CASE pins in both engines (at sf0.001 the
+    15-user universe exercises every guard).
+
+    Scale shape: ONE pass over events to user grain (conditional
+    aggregates — no self-join for pre/post); the global covariate rank
+    is the BUCKETED exact rank (operators/ranking.bucketed_global_rank
+    — an n-way partitioned sort plus two bounded driver round-trips,
+    the win_ntile_deciles discipline, never a single-partition
+    window); one 10-group moment agg with map-side partials."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    from .ab_testing import _cents, _dec
+
+    u = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("ts") < F.lit(_HTE_CUT).cast("timestamp"), 1))
+        .alias("n_pre"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("ts") >= F.lit(_HTE_CUT).cast("timestamp"))
+                    & (F.col("event_type") == "purchase"),
+                    _cents(),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("y"),
+    ).withColumn("variant", _variant())
+    from ..operators.ranking import bucketed_global_rank
+
+    ranked, n_rows = bucketed_global_rank(
+        u, ["n_pre", "user_id"], rank_col="rn"
+    )
+    dec = ranked.select(
+        F.expr(
+            f"CAST(((rn - 1) * {_HTE_BUCKETS}) div {n_rows} AS INT)"
+        ).alias("decile"),
+        "variant",
+        "y",
+    )
+    y = F.col("y")
+    is_c, is_t = F.col("variant") == 0, F.col("variant") == 1
+    m = dec.groupBy("decile").agg(
+        F.count(F.when(is_c, 1)).alias("n_c"),
+        F.count(F.when(is_t, 1)).alias("n_t"),
+        F.coalesce(F.sum(F.when(is_c, y)), F.lit(0))
+        .cast("double")
+        .alias("s_c"),
+        F.coalesce(F.sum(F.when(is_t, y)), F.lit(0))
+        .cast("double")
+        .alias("s_t"),
+        F.coalesce(F.sum(F.when(is_c, _dec(y) * _dec(y))), F.lit(0))
+        .cast("double")
+        .alias("q_c"),
+        F.coalesce(F.sum(F.when(is_t, _dec(y) * _dec(y))), F.lit(0))
+        .cast("double")
+        .alias("q_t"),
+    )
+    v = m.select(
+        "decile",
+        "n_c",
+        "n_t",
+        F.when(F.col("n_c") > 0, F.col("s_c") / F.col("n_c")).alias("mc"),
+        F.when(F.col("n_t") > 0, F.col("s_t") / F.col("n_t")).alias("mt"),
+        F.when(
+            F.col("n_c") > 1,
+            (F.col("q_c") - F.col("s_c") * F.col("s_c") / F.col("n_c"))
+            / (F.col("n_c") - F.lit(1)),
+        ).alias("vc"),
+        F.when(
+            F.col("n_t") > 1,
+            (F.col("q_t") - F.col("s_t") * F.col("s_t") / F.col("n_t"))
+            / (F.col("n_t") - F.lit(1)),
+        ).alias("vt"),
+    )
+    vv = F.col("vt") / F.col("n_t") + F.col("vc") / F.col("n_c")
+    return v.select(
+        "decile",
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.round(F.col("mc") / 100, 6).alias("mean_control"),
+        F.round(F.col("mt") / 100, 6).alias("mean_treatment"),
+        F.round((F.col("mt") - F.col("mc")) / 100, 6).alias("effect"),
+        F.when(
+            F.col("vc").isNotNull() & F.col("vt").isNotNull() & (vv > 0),
+            F.round((F.col("mt") - F.col("mc")) / F.sqrt(vv), 6),
+        ).alias("t_stat"),
+    ).orderBy("decile")

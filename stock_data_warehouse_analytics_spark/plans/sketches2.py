@@ -544,3 +544,136 @@ def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 dq_freshness_sla.__doc__ = dq_freshness_sla.__doc__.format(h=_SLA_HOURS)
+
+
+# ----------------------------------------------- AMS F2 (second moment)
+
+_AMS_K = 16  # independent ±1 estimators (4 groups × 4 for mean-median)
+
+
+@register(
+    "sketch_ams_f2",
+    tags=("sketch", "ams", "f2", "join-size", "mergeable"),
+    oracle=f"""
+WITH f AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM events GROUP BY user_id
+),
+est AS (
+  SELECT j.j,
+         CAST(SUM((1 - 2 * (({_SQL_H60.format(
+             x="'ams:' || CAST(j.j AS VARCHAR) || ':' || CAST(f.user_id AS VARCHAR)")})
+             % 2)) * f.freq) AS BIGINT) AS z
+  FROM f CROSS JOIN (SELECT unnest(generate_series(0, {_AMS_K - 1})) AS j) j
+  GROUP BY j.j
+),
+x AS (
+  SELECT j, CAST(CAST(z AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))
+                 AS DECIMAL(38,0)) AS xj
+  FROM est
+),
+grp AS (
+  SELECT j // 4 AS g,
+         CAST(SUM(xj) // 4 AS DECIMAL(38,0)) AS grp_mean
+  FROM x GROUP BY j // 4
+),
+med AS (
+  SELECT grp_mean,
+         ROW_NUMBER() OVER (ORDER BY grp_mean, g) AS rk
+  FROM grp
+),
+exact AS (
+  SELECT CAST(SUM(CAST(freq AS DECIMAL(38,0))
+               * CAST(freq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS f2
+  FROM f
+)
+SELECT CAST(e.f2 AS BIGINT) AS f2_exact,
+       CAST(m.grp_mean AS BIGINT) AS f2_estimate,
+       {_AMS_K} AS n_estimators,
+       ROUND(ABS(CAST(m.grp_mean AS DOUBLE) - CAST(e.f2 AS DOUBLE))
+             / CAST(e.f2 AS DOUBLE), 6) AS rel_error
+FROM med m CROSS JOIN exact e
+WHERE m.rk = 2
+""",
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS SECOND-MOMENT sketch (Alon, Matias & Szegedy 1996): estimate
+    F₂ = Σ_u f_u² of the per-user event frequencies — the
+    SELF-JOIN-SIZE statistic a cost-based optimizer wants before
+    picking a join strategy on a skewed key (companion to
+    `sketch_join_size_estimate`'s cross-table estimate and
+    `dq_key_skew_profile`'s exact census).  Each of the {k} estimators
+    projects the frequency vector onto deterministic ±1 signs
+    (1 − 2·(h60('ams:j:'||user) mod 2)) and squares the sum;
+    median-of-means (4 groups × 4) tames the heavy-tailed estimator
+    the classic way.  At stream/100 TB scale the {k} running Z_j sums
+    are the ENTIRE state — mergeable across partitions and batches by
+    addition, which is why this sketch (not the exact census) is the
+    production shape.
+
+    Exactness: signs and frequencies are integers, Z_j are BIGINT
+    sums, squares and the group means are DECIMAL(38,0) (floor-divided
+    by the group size — exact, order-free); the lower median (rank 2
+    of 4) is an integer window pick; the only double is the final
+    relative-error audit column.
+
+    Scale shape: one grouped count to user grain, a bounded ×{k}
+    explode (estimator axis), one {k}-group sum with map-side
+    partials; everything after runs on {k} rows."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    f = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    js = spark.range(_AMS_K).select(F.col("id").cast("int").alias("j"))
+    sign = 1 - 2 * (
+        hash_int60(
+            F.concat(
+                F.lit("ams:"),
+                F.col("j").cast("string"),
+                F.lit(":"),
+                F.col("user_id").cast("string"),
+            )
+        )
+        % 2
+    )
+    est = (
+        f.crossJoin(F.broadcast(js))
+        .groupBy("j")
+        .agg(F.sum(sign * F.col("freq")).cast("long").alias("z"))
+    )
+    x = est.select(
+        "j",
+        F.expr(
+            "CAST(CAST(z AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))"
+            " AS DECIMAL(38,0))"
+        ).alias("xj"),
+    )
+    grp = x.groupBy(F.expr("j div 4").alias("g")).agg(
+        F.expr("CAST(SUM(xj) div 4 AS DECIMAL(38,0))").alias("grp_mean")
+    )
+    med = grp.withColumn(
+        "rk", F.row_number().over(Window.orderBy("grp_mean", "g"))
+    ).filter(F.col("rk") == 2)
+    exact = f.agg(
+        F.expr(
+            "CAST(SUM(CAST(freq AS DECIMAL(38,0)) * CAST(freq AS"
+            " DECIMAL(38,0))) AS DECIMAL(38,0))"
+        ).alias("f2")
+    )
+    return med.crossJoin(F.broadcast(exact)).select(
+        F.col("f2").cast("long").alias("f2_exact"),
+        F.col("grp_mean").cast("long").alias("f2_estimate"),
+        F.lit(_AMS_K).alias("n_estimators"),
+        F.round(
+            F.abs(
+                F.col("grp_mean").cast("double") - F.col("f2").cast("double")
+            )
+            / F.col("f2").cast("double"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+sketch_ams_f2.__doc__ = sketch_ams_f2.__doc__.format(k=_AMS_K)

@@ -267,3 +267,158 @@ def dq_approx_vs_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------- incremental view maintenance
+
+_IVM_CUT = "1997-01-01"  # base = orders before, delta = the new batch
+
+
+@register(
+    "warehouse_ivm_delta_join",
+    tags=("warehouse", "ivm", "incremental", "materialized-view", "join"),
+    oracle=f"""
+WITH enr AS (
+  SELECT n.n_name AS nation,
+         strftime(o.o_orderdate, '%Y-%m') AS month,
+         CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o.o_orderdate < DATE '{_IVM_CUT}' AS is_base
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+full_v AS (
+  SELECT nation, month,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS revenue_cents
+  FROM enr GROUP BY nation, month
+),
+base_v AS (
+  SELECT nation, month,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS revenue_cents
+  FROM enr WHERE is_base GROUP BY nation, month
+),
+delta_v AS (
+  SELECT nation, month,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS revenue_cents
+  FROM enr WHERE NOT is_base GROUP BY nation, month
+),
+merged AS (
+  SELECT COALESCE(b.nation, d.nation) AS nation,
+         COALESCE(b.month, d.month) AS month,
+         COALESCE(b.n_orders, 0) + COALESCE(d.n_orders, 0) AS n_orders,
+         COALESCE(b.revenue_cents, 0) + COALESCE(d.revenue_cents, 0)
+           AS revenue_cents
+  FROM base_v b FULL OUTER JOIN delta_v d
+    ON b.nation = d.nation AND b.month = d.month
+)
+SELECT f.nation, f.month, f.n_orders, f.revenue_cents,
+       m.n_orders AS n_orders_ivm,
+       m.revenue_cents AS revenue_cents_ivm,
+       f.n_orders = m.n_orders
+         AND f.revenue_cents = m.revenue_cents AS ivm_consistent
+FROM full_v f JOIN merged m
+  ON m.nation = f.nation AND m.month = f.month
+ORDER BY f.nation, f.month
+""",
+)
+def warehouse_ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE over a join view — the
+    delta-propagation identity every warehouse's MV refresh relies on:
+    for the materialized view V = π_{{nation, month}} γ_{{count, sum}}
+    (orders ⋈ customer ⋈ nation), a new order batch Δ (orders on/after
+    {cut}) refreshes V WITHOUT rescanning the base fact because
+    count/sum are additive: V(base ∪ Δ) = V(base) ⊕ V(Δ), where ⊕ is a
+    full-outer merge with coalesced addition.  The query materializes
+    BOTH paths — the full recompute and the base-view-plus-delta
+    merge — and emits the per-group consistency flag, i.e. the IVM
+    correctness certificate itself (every `ivm_consistent` must be
+    true; the driver's hash compare pins it cross-engine).
+
+    Exactness: revenue in integer cents throughout; the merge is
+    COALESCE + BIGINT addition; the flag compares exact integers.
+
+    Scale shape: ONE enriched scan feeds all three views (the join
+    runs once; base/delta are partial-agg filters over it — at
+    refresh time only Δ is scanned, the point of IVM); the merge is a
+    full-outer join at (nation, month) grain — dimension-bounded, not
+    fact-sized; customer→nation joins broadcast the dimensions."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    enr = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o["o_custkey"] == c["c_custkey"],
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+            (F.col("o_orderdate") < F.lit(_IVM_CUT).cast("date")).alias(
+                "is_base"
+            ),
+        )
+        # three consumers (full/base/delta) — stage the enriched scan
+        # once; at refresh time a real pipeline reads only the delta
+        .localCheckpoint(eager=True)
+    )
+
+    def view(df: DataFrame) -> DataFrame:
+        return df.groupBy("nation", "month").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+
+    full_v = view(enr)
+    base_v = view(enr.filter(F.col("is_base")))
+    delta_v = view(enr.filter(~F.col("is_base")))
+    b = base_v.select(
+        "nation",
+        "month",
+        F.col("n_orders").alias("bn"),
+        F.col("revenue_cents").alias("br"),
+    )
+    d = delta_v.select(
+        "nation",
+        "month",
+        F.col("n_orders").alias("dn"),
+        F.col("revenue_cents").alias("dr"),
+    )
+    merged = b.join(d, ["nation", "month"], "full_outer").select(
+        "nation",
+        "month",
+        (F.coalesce(F.col("bn"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
+        .alias("n_orders_ivm"),
+        (F.coalesce(F.col("br"), F.lit(0)) + F.coalesce(F.col("dr"), F.lit(0)))
+        .alias("revenue_cents_ivm"),
+    )
+    return (
+        full_v.join(merged, ["nation", "month"])
+        .select(
+            "nation",
+            "month",
+            "n_orders",
+            "revenue_cents",
+            "n_orders_ivm",
+            "revenue_cents_ivm",
+            (
+                (F.col("n_orders") == F.col("n_orders_ivm"))
+                & (F.col("revenue_cents") == F.col("revenue_cents_ivm"))
+            ).alias("ivm_consistent"),
+        )
+        .orderBy("nation", "month")
+    )
+
+
+warehouse_ivm_delta_join.__doc__ = warehouse_ivm_delta_join.__doc__.format(
+    cut=_IVM_CUT
+)

@@ -695,3 +695,52 @@ def test_cluster_icc_matches_numpy(spark):
     assert r["design_effect"] == pytest.approx(
         1.0 + (n / k - 1) * icc, abs=1e-6
     )
+
+
+def test_hte_deciles_matches_pandas(spark):
+    """Exact decile boundaries and per-decile Welch effects against a
+    pandas replay, including the small-cell NULL guards (the sf0.001
+    15-user universe exercises them)."""
+    from stock_data_warehouse_analytics_spark.plans.ab_testing2 import (
+        eval_ab_hte_deciles,
+    )
+
+    rows = {r["decile"]: r for r in eval_ab_hte_deciles(spark, SF_SMALL).collect()}
+    ev = _events().copy()
+    cut = pd.Timestamp("2024-01-08")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    pre = ev[ev["ts"] < cut].groupby("user_id").size()
+    post = (
+        ev[(ev["ts"] >= cut) & (ev["event_type"] == "purchase")]
+        .groupby("user_id")["cents"]
+        .sum()
+    )
+    users = pd.DataFrame({"user_id": sorted(ev["user_id"].unique())})
+    users["n_pre"] = users["user_id"].map(pre).fillna(0).astype(int)
+    users["y"] = users["user_id"].map(post).fillna(0).astype("int64")
+    users["variant"] = users["user_id"].map(lambda u: _h60(str(u)) % 2)
+    users = users.sort_values(["n_pre", "user_id"]).reset_index(drop=True)
+    n = len(users)
+    users["decile"] = (users.index * 10) // n
+    assert set(rows) == set(users["decile"].unique())
+    for d, grp in users.groupby("decile"):
+        c = grp.loc[grp["variant"] == 0, "y"].to_numpy(dtype=float)
+        t = grp.loc[grp["variant"] == 1, "y"].to_numpy(dtype=float)
+        r = rows[d]
+        assert (r["n_control"], r["n_treatment"]) == (len(c), len(t))
+        if len(c) == 0:
+            assert r["mean_control"] is None
+        else:
+            assert r["mean_control"] == pytest.approx(
+                c.mean() / 100, abs=1e-5
+            )
+        if len(c) >= 2 and len(t) >= 2:
+            vv = t.var(ddof=1) / len(t) + c.var(ddof=1) / len(c)
+            if vv > 0:
+                assert r["t_stat"] == pytest.approx(
+                    (t.mean() - c.mean()) / math.sqrt(vv), abs=1e-5
+                )
+            else:
+                assert r["t_stat"] is None
+        else:
+            assert r["t_stat"] is None

@@ -455,3 +455,31 @@ def test_dp_daily_histogram_matches_pure_python(spark):
             noisy = (n_true * 10**9 + noise_nano) / 1e9
             assert r["noisy_count"] == noisy
             assert r["released_count"] == max(0.0, noisy)
+
+
+# ------------------------------------------------------ AMS F2 sketch
+
+
+def test_ams_f2_matches_pure_python(spark):
+    """The 16-estimator AMS pipeline replayed with hashlib + dicts:
+    signs, Z sums, squares, floor-divided group means, lower median —
+    exact integer equality, and the estimate must actually estimate
+    (rel_error sanity-bounded)."""
+    r = _run(spark, "sketch_ams_f2")[0]
+    ev = _events()
+    freq = ev.groupby("user_id").size().to_dict()
+    zs = []
+    for j in range(16):
+        z = sum(
+            (1 - 2 * (_h60(f"ams:{j}:{u}") % 2)) * f
+            for u, f in freq.items()
+        )
+        zs.append(z)
+    xs = [z * z for z in zs]
+    grp_means = [sum(xs[g * 4:(g + 1) * 4]) // 4 for g in range(4)]
+    est = sorted(grp_means)[1]  # lower median (rank 2 of 4)
+    f2 = sum(f * f for f in freq.values())
+    assert r["f2_exact"] == f2
+    assert r["f2_estimate"] == est
+    assert r["rel_error"] == round(abs(est - f2) / f2, 6)
+    assert r["rel_error"] < 1.0  # sanity: the sketch is in the ballpark

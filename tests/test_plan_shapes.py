@@ -349,6 +349,39 @@ _BOUNDED_SINGLE_PARTITION = {
     # vocabulary-sized, partial aggs upstream; same bound as
     # text_lm_perplexity's vocab scalar)
     "text_lm_kneser_ney",
+    # round-6 session-4 additions, each with a written cardinality
+    # bound:
+    # shared _daily_cum_moments shapes (one-row universe scalar +
+    # CALENDAR-bounded daily windows, the eval_ab_cumulative_tstat
+    # bound) plus look-index/boundary/CP windows over the SAME
+    # day-grain table — ≤ study span in days at ANY fact scale
+    "eval_ab_obf_spending",
+    "eval_ab_futility_power",
+    # BH step-up windows run over the ALREADY-AGGREGATED per-metric
+    # panel (≤ #distinct event types rows, the eval_ab_metric_panel
+    # bound): rank, count, and the k_max window are all panel-sized
+    "eval_ab_fdr_bh",
+    # two one-row grand-moment aggregates (orders total + cluster
+    # census), partial aggregation upstream of both; everything after
+    # is a one-row cross join
+    "eval_ab_cluster_icc",
+    # one-row calendar-bounds agg (MIN/MAX date, partial-agg upstream)
+    # broadcast into the generated day spine — the conformal-spine
+    # construction at day grain; noise is per-cell expressions
+    "dq_dp_daily_histogram",
+    # two one-row census scalars (distinct types, calendar span)
+    # broadcast into a 3-row literal ledger; the running-epsilon
+    # window runs over those 3 rows
+    "dq_dp_budget_ledger",
+    # global band-domain cumsum: the unpartitioned window runs over
+    # the DISTINCT acctbal/1000 bands — a fixed value domain (TPC-H
+    # acctbal in [-999.99, 9999.99] ⇒ ≤ 12 bands at ANY row count) —
+    # plus one-row m/N scalars, partial aggs upstream
+    "dq_t_closeness",
+    # estimator-axis shapes: the 16-row Z table, its 4-row group-mean
+    # table and the rank-2 median window, plus the one-row exact-F2
+    # audit agg (partial aggregation upstream) — all literal-bounded
+    "sketch_ams_f2",
 }
 
 
