@@ -677,3 +677,140 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sketch_ams_f2.__doc__ = sketch_ams_f2.__doc__.format(k=_AMS_K)
+
+
+@register(
+    "stream_ams_f2_daily",
+    tags=("stream", "sketch", "ams", "f2", "mergeable"),
+    oracle=f"""
+WITH fan AS (
+  SELECT make_timestamp((epoch_us(ts) // {_DAY_US}) * {_DAY_US})
+           AS window_start,
+         j.j,
+         1 - 2 * (({_SQL_H60.format(
+             x="'ams:' || CAST(j.j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")})
+             % 2) AS s
+  FROM events
+  CROSS JOIN (SELECT unnest(generate_series(0, {_AMS_K - 1})) AS j) j
+),
+z AS (
+  SELECT window_start, j, CAST(SUM(s) AS BIGINT) AS z
+  FROM fan GROUP BY window_start, j
+),
+x AS (
+  SELECT window_start, j,
+         CAST(CAST(z AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))
+              AS DECIMAL(38,0)) AS xj
+  FROM z
+),
+grp AS (
+  SELECT window_start, j // 4 AS g,
+         CAST(SUM(xj) // 4 AS DECIMAL(38,0)) AS gm
+  FROM x GROUP BY window_start, j // 4
+),
+med AS (
+  SELECT window_start, gm,
+         ROW_NUMBER() OVER (PARTITION BY window_start
+                            ORDER BY gm, g) AS rk
+  FROM grp
+),
+perday AS (
+  SELECT make_timestamp((epoch_us(ts) // {_DAY_US}) * {_DAY_US})
+           AS window_start,
+         user_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+exact AS (
+  SELECT window_start,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+              AS BIGINT) AS f2_exact
+  FROM perday GROUP BY window_start
+)
+SELECT m.window_start, e.f2_exact,
+       CAST(m.gm AS BIGINT) AS f2_estimate,
+       ROUND(ABS(CAST(m.gm AS DOUBLE) - CAST(e.f2_exact AS DOUBLE))
+             / CAST(e.f2_exact AS DOUBLE), 6) AS rel_error
+FROM med m JOIN exact e ON e.window_start = m.window_start
+WHERE m.rk = 2
+ORDER BY m.window_start
+""",
+)
+def stream_ams_f2_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING second-moment monitoring via daily AMS sums — batch
+    twin of ``streaming/sketches.run_ams_stream`` (stream ≡ batch
+    pinned by tests/test_streaming_multimodal.py::
+    test_stream_ams_sums_equal_batch): the STREAM maintains only the
+    (day, estimator) → Σ±1 table — a streaming-legal SUM with state
+    ≤ open-windows × {k} rows at ANY event rate or key cardinality
+    (the reason a daily skew/self-join-size monitor streams the AMS
+    state, never the per-key census) — and this registered twin
+    computes the read-time estimate (square → floor-divided group
+    means → lower median) from the stored sums, with the exact per-day
+    F₂ as the audit column.
+
+    Exactness: signs at EVENT grain sum per day to the
+    frequency-weighted Σ s·f of ``sketch_ams_f2``'s user-grain
+    formulation (same hash spec — the identity that makes the stream
+    and the warehouse sketch interchangeable); all state and estimate
+    arithmetic is BIGINT/DECIMAL with the one double audit ratio.
+
+    Scale shape: map-side ×{k} estimator fan-out, one (day, j) grouped
+    SUM with partial aggregation (shuffle ≤ days × {k} rows); the
+    estimate windows run over {k}-row per-day groups; the exact audit
+    is batch-side only (per-(day, user) grouped count)."""
+    from ..streaming.sketches import ams_daily_sums
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    z = ams_daily_sums(ev, ordered=False)
+    x = z.select(
+        "window_start",
+        "j",
+        F.expr(
+            "CAST(CAST(z AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))"
+            " AS DECIMAL(38,0))"
+        ).alias("xj"),
+    )
+    grp = x.groupBy(
+        "window_start", F.expr("j div 4").alias("g")
+    ).agg(F.expr("CAST(SUM(xj) div 4 AS DECIMAL(38,0))").alias("gm"))
+    med = grp.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("window_start").orderBy("gm", "g")
+        ),
+    ).filter(F.col("rk") == 2)
+    perday = ev.groupBy(
+        F.window("ts", "1 day").alias("wnd"), "user_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    exact = (
+        perday.select(
+            F.col("wnd.start").alias("window_start"),
+            F.expr(
+                "CAST(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))"
+                " AS DECIMAL(38,0))"
+            ).alias("cc"),
+        )
+        .groupBy("window_start")
+        .agg(F.sum("cc").cast("long").alias("f2_exact"))
+    )
+    return (
+        med.join(exact, "window_start")
+        .select(
+            "window_start",
+            "f2_exact",
+            F.col("gm").cast("long").alias("f2_estimate"),
+            F.round(
+                F.abs(
+                    F.col("gm").cast("double")
+                    - F.col("f2_exact").cast("double")
+                )
+                / F.col("f2_exact").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+        .orderBy("window_start")
+    )
+
+
+stream_ams_f2_daily.__doc__ = stream_ams_f2_daily.__doc__.format(k=_AMS_K)

@@ -1255,3 +1255,43 @@ def test_stream_dp_histogram_cells_equal_batch(spark, tmp_path):
     missing = set(batch) - set(s)
     max_day = max(k[0] for k in batch)
     assert all(k[0] == max_day for k in missing), missing
+
+
+def test_stream_ams_sums_equal_batch(spark, tmp_path):
+    """Daily AMS sign-sum maintenance under readStream(availableNow)
+    must equal the batch builder for every watermark-closed day — the
+    stream carries only the 16 mergeable sums; the F2 estimate is
+    read-time (see stream_ams_f2_daily)."""
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+    from stock_data_warehouse_analytics_spark.streaming.sketches import (
+        ams_daily_sums,
+        run_ams_stream,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "src")
+    events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).coalesce(4).write.mode("overwrite").json(src)
+
+    q = run_ams_stream(spark, src, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    s = {
+        (r.window_start, r.j): r.z
+        for r in spark.table("ams_stream_out").collect()
+    }
+    b = {
+        (r.window_start, r.j): r.z
+        for r in ams_daily_sums(events).collect()
+    }
+    assert len(s) > 0
+    for key, val in s.items():
+        assert b[key] == val
+    missing = set(b) - set(s)
+    max_start = max(k[0] for k in b)
+    assert all(k[0] == max_start for k in missing), missing
