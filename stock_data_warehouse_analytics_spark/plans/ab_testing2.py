@@ -1815,3 +1815,158 @@ def eval_ab_hte_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("mt") - F.col("mc")) / F.sqrt(vv), 6),
         ).alias("t_stat"),
     ).orderBy("decile")
+
+
+@register(
+    "eval_ab_sequential_panel",
+    tags=("eval", "ab", "sequential", "decision", "panel"),
+    oracle=f"""
+WITH {_SQL_DAILY_MOMENTS},
+tr AS (
+  SELECT d,
+         ROUND((mt - mc) / SQRT(vt / n_t + vc / n_c), 6) AS t_stat,
+         ROUND((mt - mc) / 100, 6) AS theta_hat,
+         (vt / n_t + vc / n_c) / 10000 AS vv,
+         CAST(ROW_NUMBER() OVER (ORDER BY d) AS INTEGER) AS look_idx,
+         CAST(COUNT(*) OVER () AS INTEGER) AS n_looks
+  FROM v
+),
+obf AS (
+  SELECT d, t_stat, look_idx, n_looks,
+         ABS(t_stat) >= ROUND({_OBF_Z}
+           / SQRT(CAST(look_idx AS DOUBLE) / n_looks), 6) AS eff_stop
+  FROM tr
+),
+futarg AS (
+  SELECT d, t_stat, look_idx, n_looks,
+         CASE WHEN look_idx >= n_looks THEN NULL
+              ELSE ROUND((t_stat / SQRT(CAST(look_idx AS DOUBLE) / n_looks)
+                          - {_OBF_Z})
+                         / SQRT(1.0 - CAST(look_idx AS DOUBLE) / n_looks),
+                         6)
+         END AS cp_arg
+  FROM tr
+),
+fut AS (
+  SELECT d, t_stat, look_idx, n_looks,
+         CASE WHEN cp_arg IS NULL
+              THEN CASE WHEN t_stat > {_OBF_Z} THEN 1.0 ELSE 0.0 END
+              ELSE ROUND({_sql_phi_cdf("cp_arg")}, 9)
+         END AS cp_trend
+  FROM futarg
+),
+lnl AS (
+  SELECT d,
+         CASE WHEN vv <= 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(ROUND(
+                (0.5 * LN(vv / (vv + {_MSPRT_TAU2}))
+                 + (theta_hat * theta_hat) * {_MSPRT_TAU2}
+                   / ((2 * vv) * (vv + {_MSPRT_TAU2})))
+                * 1000000000, 0) AS BIGINT)
+         END AS lnl_nano
+  FROM tr
+),
+msp AS (
+  SELECT d,
+         ROUND(LEAST(1.0,
+               EXP(-(CAST(MAX(lnl_nano) OVER (ORDER BY d) AS DOUBLE)
+                     / 1000000000))), 9) AS p_av
+  FROM lnl
+),
+firsts AS (
+  SELECT
+    MIN(CASE WHEN o.eff_stop THEN o.d END) AS first_efficacy_d,
+    MIN(CASE WHEN f.cp_trend < {_FUT_GAMMA}e0 THEN f.d END)
+      AS first_futility_d,
+    MIN(CASE WHEN m.p_av <= {_MSPRT_ALPHA} THEN m.d END)
+      AS first_msprt_d,
+    MAX_BY(o.t_stat, o.d) AS final_t_stat,
+    MAX_BY(f.cp_trend, f.d) AS final_cp,
+    MAX_BY(m.p_av, m.d) AS final_p_always_valid,
+    CAST(MAX(o.n_looks) AS INTEGER) AS n_looks
+  FROM obf o JOIN fut f ON f.d = o.d JOIN msp m ON m.d = o.d
+)
+SELECT n_looks, first_efficacy_d, first_futility_d, first_msprt_d,
+       final_t_stat, final_cp, final_p_always_valid,
+       CASE WHEN first_efficacy_d IS NOT NULL
+             AND (first_futility_d IS NULL
+                  OR first_efficacy_d <= first_futility_d)
+            THEN 'stop_efficacy'
+            WHEN first_futility_d IS NOT NULL THEN 'stop_futility'
+            WHEN ABS(final_t_stat) > {_OBF_Z}
+            THEN 'significant_at_horizon'
+            ELSE 'no_effect'
+       END AS decision
+FROM firsts
+""",
+)
+def eval_ab_sequential_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEQUENTIAL DECISION PANEL — the one-row summary a platform
+    renders above the trajectories: first-crossing days of the OBF
+    efficacy boundary, the conditional-power futility rule, and the
+    always-valid mSPRT rejection, the final-look statistics, and the
+    combined committee decision (efficacy-before-futility wins;
+    otherwise futility stops; otherwise the fixed-horizon test
+    decides).  Composes the three registered trajectories —
+    ``eval_ab_obf_spending``, ``eval_ab_futility_power``,
+    ``eval_ab_msprt`` — whose oracles each pin the shared expressions
+    this panel re-aggregates.
+
+    Exactness: every crossing flag compares already-quantized values
+    (the trajectories' own 6/9-dp pins); the first-crossing days are
+    MIN over dates; the final-look picks are MAX_BY on the calendar
+    key.
+
+    Scale shape: the three trajectory frames each inherit
+    ``_daily_cum_moments`` (one (user, day) pass each — a production
+    deployment would stage the moments once; the bench cost is three
+    day-grain pipelines); the panel join and aggregate run over ≤
+    days rows."""
+    obf = eval_ab_obf_spending(spark, sf_dir).select(
+        "d", "t_stat", "stop_obf", "n_looks"
+    )
+    fut = eval_ab_futility_power(spark, sf_dir).select(
+        "d", F.col("cp_trend"), F.col("futility_stop")
+    )
+    ms = eval_ab_msprt(spark, sf_dir).select(
+        "d", F.col("p_always_valid"), F.col("rejected")
+    )
+    joined = obf.join(fut, "d").join(ms, "d")
+    firsts = joined.agg(
+        F.min(F.when(F.col("stop_obf"), F.col("d"))).alias(
+            "first_efficacy_d"
+        ),
+        F.min(F.when(F.col("futility_stop"), F.col("d"))).alias(
+            "first_futility_d"
+        ),
+        F.min(F.when(F.col("rejected"), F.col("d"))).alias(
+            "first_msprt_d"
+        ),
+        F.max_by("t_stat", "d").alias("final_t_stat"),
+        F.max_by("cp_trend", "d").alias("final_cp"),
+        F.max_by("p_always_valid", "d").alias("final_p_always_valid"),
+        F.max("n_looks").cast("int").alias("n_looks"),
+    )
+    eff, futd = F.col("first_efficacy_d"), F.col("first_futility_d")
+    decision = (
+        F.when(
+            eff.isNotNull() & (futd.isNull() | (eff <= futd)),
+            "stop_efficacy",
+        )
+        .when(futd.isNotNull(), "stop_futility")
+        .when(
+            F.abs(F.col("final_t_stat")) > F.lit(_OBF_Z),
+            "significant_at_horizon",
+        )
+        .otherwise("no_effect")
+    )
+    return firsts.select(
+        "n_looks",
+        "first_efficacy_d",
+        "first_futility_d",
+        "first_msprt_d",
+        "final_t_stat",
+        "final_cp",
+        "final_p_always_valid",
+        decision.alias("decision"),
+    )

@@ -1442,3 +1442,107 @@ def dq_dp_exponential_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_DP_USER_CLAMP = 20000  # per-USER contribution bound, cents ($200)
+
+
+@register(
+    "dq_dp_user_level_sum",
+    tags=("dq", "privacy", "differential-privacy", "release", "user-level"),
+    oracle=f"""
+WITH per_user AS (
+  SELECT event_type, user_id,
+         LEAST(GREATEST(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                             AS BIGINT), 0), {_DP_USER_CLAMP}) AS contrib,
+         CASE WHEN CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                        AS BIGINT) > {_DP_USER_CLAMP}
+              THEN 1 ELSE 0 END AS clamped
+  FROM events GROUP BY event_type, user_id
+),
+base AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(contrib) AS BIGINT) AS true_sum_cents,
+         CAST(SUM(clamped) AS BIGINT) AS n_users_clamped
+  FROM per_user GROUP BY event_type
+),
+lap AS (
+  SELECT event_type, n_users, true_sum_cents, n_users_clamped,
+         {_sql_lap_nano("'dpusum:' || event_type",
+                        f"{_DP_USER_CLAMP}.0 / {_DP_EPS}")} AS noise_nano
+  FROM base
+)
+SELECT event_type, n_users, true_sum_cents, n_users_clamped, noise_nano,
+       CAST(true_sum_cents * 1000000000 + noise_nano AS DOUBLE)
+         / 1000000000.0 AS noisy_sum_cents,
+       {_DP_EPS} AS epsilon, {_DP_USER_CLAMP} AS user_l1_sensitivity_cents
+FROM lap ORDER BY event_type
+""",
+)
+def dq_dp_user_level_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER-LEVEL differentially-private sum — the variant of
+    ``dq_dp_clamped_sum`` whose privacy unit is the PERSON, not the
+    event: each user's TOTAL contribution per event type is clamped to
+    [0, C = {clamp}] BEFORE aggregation, so adding or removing one
+    user (all their events at once — the neighboring relation GDPR
+    semantics actually require) moves the sum by at most C, and
+    Laplace(C/ε) calibrates to that.  Event-level DP under-protects
+    anyone with many events; this is the release a privacy review
+    signs off on, with the clamp-bite census as the bias audit.
+
+    Exactness: per-user totals, clamping and the census are BIGINT;
+    the noise draw is the shared ``_lap_noise_nano`` sequence
+    quantized to nano-units before assembly.
+
+    Scale shape: one (type, user) grouped sum (map-side partials) —
+    the contribution-bounding pattern every user-level DP system runs
+    — then a |types|-row aggregate; noise is per-GROUP."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(cents).cast("long").alias("raw")
+    ).select(
+        "event_type",
+        F.least(
+            F.greatest(F.col("raw"), F.lit(0)), F.lit(_DP_USER_CLAMP)
+        ).alias("contrib"),
+        F.when(F.col("raw") > _DP_USER_CLAMP, 1).otherwise(0).alias(
+            "clamped"
+        ),
+    )
+    base = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("contrib").cast("long").alias("true_sum_cents"),
+        F.sum("clamped").cast("long").alias("n_users_clamped"),
+    )
+    noise = _lap_noise_nano(
+        F.concat(F.lit("dpusum:"), F.col("event_type")),
+        float(_DP_USER_CLAMP) / _DP_EPS,
+    )
+    return (
+        base.withColumn("noise_nano", noise)
+        .select(
+            "event_type",
+            "n_users",
+            "true_sum_cents",
+            "n_users_clamped",
+            "noise_nano",
+            (
+                (
+                    F.col("true_sum_cents") * F.lit(1_000_000_000)
+                    + F.col("noise_nano")
+                )
+                .cast("double")
+                / 1_000_000_000.0
+            ).alias("noisy_sum_cents"),
+            F.lit(_DP_EPS).alias("epsilon"),
+            F.lit(_DP_USER_CLAMP).alias("user_l1_sensitivity_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+dq_dp_user_level_sum.__doc__ = dq_dp_user_level_sum.__doc__.format(
+    clamp=_DP_USER_CLAMP
+)

@@ -981,3 +981,364 @@ def hybrid_fused_candidates(
 chunk_hybrid_rrf_topk.__doc__ = chunk_hybrid_rrf_topk.__doc__.format(
     depth=_HY_DEPTH, dim=HASH_DIM, k=_HY_K, out=_HY_OUT
 )
+
+
+# ------------------------------------------- retrieval recall panel
+
+_RC_K = 5  # recall depth
+
+
+@register(
+    "eval_rag_retrieval_recall",
+    tags=("llm", "chunking", "retrieval", "eval", "recall", "rag"),
+    oracle=f"""
+WITH {_SQL_CHUNKS},
+ctoks AS (
+  SELECT doc_id, chunk_id,
+         {_SQL_TOKS.replace('text', 'chunk_text')} AS t
+  FROM chunks
+),
+sh_all AS (
+  SELECT doc_id, chunk_id, unnest(
+    CASE WHEN len(t) >= {SHINGLE_K} THEN list_distinct(
+           list_transform(generate_series(1, len(t) - {SHINGLE_K - 1}),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         ELSE [array_to_string(t, ' ')] END) AS term
+  FROM ctoks
+),
+tf AS (
+  SELECT doc_id, chunk_id, term FROM sh_all WHERE len(term) > 0
+),
+df AS (
+  SELECT term FROM tf GROUP BY term HAVING COUNT(*) <= {MAX_DF}
+),
+tf2 AS (SELECT tf.* FROM tf JOIN df USING (term)),
+nrm AS (
+  SELECT doc_id, chunk_id, SQRT(CAST(COUNT(*) AS DOUBLE)) AS nn
+  FROM tf2 GROUP BY doc_id, chunk_id
+),
+dots AS (
+  SELECT q.doc_id AS q_doc, q.chunk_id AS q_chunk,
+         c.doc_id AS c_doc, c.chunk_id AS c_chunk,
+         CAST(COUNT(*) AS BIGINT) AS dp
+  FROM tf2 q JOIN tf2 c USING (term)
+  WHERE q.doc_id < {N_QUERY_DOCS} AND c.doc_id >= {N_QUERY_DOCS}
+  GROUP BY 1, 2, 3, 4
+),
+sparse AS (
+  SELECT q_doc, q_chunk, c_doc, c_chunk FROM (
+    SELECT d.q_doc, d.q_chunk, d.c_doc, d.c_chunk,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.q_doc, d.q_chunk
+             ORDER BY ROUND(CAST(d.dp AS DOUBLE) / (nq.nn * nc.nn), 6)
+                        DESC, d.c_doc, d.c_chunk) AS rnk
+    FROM dots d
+    JOIN nrm nq ON nq.doc_id = d.q_doc AND nq.chunk_id = d.q_chunk
+    JOIN nrm nc ON nc.doc_id = d.c_doc AND nc.chunk_id = d.c_chunk
+  ) WHERE rnk <= {_RC_K}
+),
+hb AS (
+  SELECT doc_id, chunk_id,
+         CAST({_SQL_HASH60} % {HASH_DIM} AS INTEGER) AS b,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tf GROUP BY 1, 2, 3
+),
+hn AS (
+  SELECT doc_id, chunk_id,
+         SQRT(CAST(SUM(cnt * cnt) AS DOUBLE)) AS nn
+  FROM hb GROUP BY 1, 2
+),
+hd AS (
+  SELECT q.doc_id AS q_doc, q.chunk_id AS q_chunk,
+         c.doc_id AS c_doc, c.chunk_id AS c_chunk,
+         CAST(SUM(q.cnt * c.cnt) AS BIGINT) AS dp
+  FROM hb q JOIN hb c USING (b)
+  WHERE q.doc_id < {N_QUERY_DOCS} AND c.doc_id >= {N_QUERY_DOCS}
+  GROUP BY 1, 2, 3, 4
+),
+dense AS (
+  SELECT q_doc, q_chunk, c_doc, c_chunk, rnk FROM (
+    SELECT d.q_doc, d.q_chunk, d.c_doc, d.c_chunk,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.q_doc, d.q_chunk
+             ORDER BY ROUND(CAST(d.dp AS DOUBLE) / (nq.nn * nc.nn), 6)
+                        DESC, d.c_doc, d.c_chunk) AS rnk
+    FROM hd d
+    JOIN hn nq ON nq.doc_id = d.q_doc AND nq.chunk_id = d.q_chunk
+    JOIN hn nc ON nc.doc_id = d.c_doc AND nc.chunk_id = d.c_chunk
+  ) WHERE rnk <= {_HY_DEPTH}
+),
+sparse10 AS (
+  SELECT q_doc, q_chunk, c_doc, c_chunk, rnk FROM (
+    SELECT d.q_doc, d.q_chunk, d.c_doc, d.c_chunk,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.q_doc, d.q_chunk
+             ORDER BY ROUND(CAST(d.dp AS DOUBLE) / (nq.nn * nc.nn), 6)
+                        DESC, d.c_doc, d.c_chunk) AS rnk
+    FROM dots d
+    JOIN nrm nq ON nq.doc_id = d.q_doc AND nq.chunk_id = d.q_chunk
+    JOIN nrm nc ON nc.doc_id = d.c_doc AND nc.chunk_id = d.c_chunk
+  ) WHERE rnk <= {_HY_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(d.q_doc, s.q_doc) AS q_doc,
+         COALESCE(d.q_chunk, s.q_chunk) AS q_chunk,
+         COALESCE(d.c_doc, s.c_doc) AS c_doc,
+         COALESCE(d.c_chunk, s.c_chunk) AS c_chunk,
+         COALESCE(1.0 / ({_HY_K} + d.rnk), 0)
+           + COALESCE(1.0 / ({_HY_K} + s.rnk), 0) AS score
+  FROM dense d
+  FULL OUTER JOIN sparse10 s
+    ON s.q_doc = d.q_doc AND s.q_chunk = d.q_chunk
+   AND s.c_doc = d.c_doc AND s.c_chunk = d.c_chunk
+),
+hybrid AS (
+  SELECT q_doc, q_chunk, c_doc, c_chunk FROM (
+    SELECT q_doc, q_chunk, c_doc, c_chunk,
+           ROW_NUMBER() OVER (
+             PARTITION BY q_doc, q_chunk
+             ORDER BY CAST(ROUND(score * 1000000000, 0) AS BIGINT) DESC,
+                      c_doc, c_chunk
+           ) AS rrf_rank
+    FROM fused
+  ) WHERE rrf_rank <= {_RC_K}
+),
+truth_n AS (
+  SELECT q_doc, q_chunk, CAST(COUNT(*) AS BIGINT) AS n_truth
+  FROM sparse GROUP BY q_doc, q_chunk
+),
+hits AS (
+  SELECT t.q_doc, t.q_chunk, t.n_truth,
+         CAST(COUNT(de.c_doc) AS BIGINT) AS dense_hits,
+         CAST(COUNT(hy.c_doc) AS BIGINT) AS hybrid_hits
+  FROM truth_n t
+  JOIN sparse s ON s.q_doc = t.q_doc AND s.q_chunk = t.q_chunk
+  LEFT JOIN dense de
+    ON de.q_doc = s.q_doc AND de.q_chunk = s.q_chunk
+   AND de.c_doc = s.c_doc AND de.c_chunk = s.c_chunk
+   AND de.rnk <= {_RC_K}
+  LEFT JOIN hybrid hy
+    ON hy.q_doc = s.q_doc AND hy.q_chunk = s.q_chunk
+   AND hy.c_doc = s.c_doc AND hy.c_chunk = s.c_chunk
+  GROUP BY t.q_doc, t.q_chunk, t.n_truth
+),
+per_chunk AS (
+  SELECT q_doc, q_chunk,
+         CAST(ROUND(CAST(dense_hits AS DOUBLE) / n_truth * 1000000000, 0)
+              AS BIGINT) AS rd_nano,
+         CAST(ROUND(CAST(hybrid_hits AS DOUBLE) / n_truth * 1000000000, 0)
+              AS BIGINT) AS rh_nano
+  FROM hits
+)
+SELECT q_doc, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       ROUND(CAST(SUM(rd_nano) AS DOUBLE) / (COUNT(*) * 1000000000.0), 6)
+         AS recall_dense_at{_RC_K},
+       ROUND(CAST(SUM(rh_nano) AS DOUBLE) / (COUNT(*) * 1000000000.0), 6)
+         AS recall_hybrid_at{_RC_K}
+FROM per_chunk
+GROUP BY q_doc
+ORDER BY q_doc
+""",
+)
+def eval_rag_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVAL-QUALITY panel for the RAG stack: per query document,
+    recall@{k} of the DENSE hashed-vector leg and of the HYBRID RRF
+    list against the exact sparse-cosine top-{k} baseline (the
+    retrieval family's reference ranking) — the eval a pipeline runs
+    before swapping retriever legs, quantifying what the hashing trick
+    loses and what the fusion buys back, per document.
+
+    ORACLE-EXACT end to end: every list derives from the same
+    BIGINT-dot-product + 6-dp-cosine + full-tiebreak rankings the
+    hybrid query pins; per-chunk recalls are nano-quantized BEFORE the
+    per-document mean so the mean is an exact integer sum with ONE
+    double division (no float summation-order hazard).
+
+    Scale shape: ONE chunk+shingle pass feeds truth, dense and hybrid
+    (the tf stage table, as in `chunk_hybrid_rrf_topk`); the recall
+    joins run on depth-bounded per-chunk lists (≤ {k}·chunks rows);
+    output is |query docs| rows."""
+    from ..functions.text import shingles
+    from ..operators.dedup import hash_int60
+
+    ch = chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        chunk_tokens=CHUNK_TOKENS,
+        overlap=OVERLAP,
+        keep_text=True,
+    )
+    # the hybrid list comes from the oracle-pinned core; the truth and
+    # dense-leg rankings are rebuilt at recall depth from the same
+    # chunk frame (the core does not expose its per-leg lists)
+    fused = hybrid_fused_candidates(ch, leg_depth=_HY_DEPTH, out_depth=_RC_K)
+
+    tf = (
+        ch.select(
+            "doc_id",
+            "chunk_id",
+            F.explode(shingles(F.col("chunk_text"), SHINGLE_K)).alias(
+                "term"
+            ),
+        )
+        .filter(F.length("term") > 0)
+        .localCheckpoint(eager=True)
+    )
+    surviving = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= MAX_DF)
+        .select("term")
+    )
+    tf2 = tf.join(surviving, "term")
+    nrm = tf2.groupBy("doc_id", "chunk_id").agg(
+        F.sqrt(F.count(F.lit(1)).cast("double")).alias("nn")
+    )
+    q = tf2.filter(F.col("doc_id") < N_QUERY_DOCS).select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("chunk_id").alias("q_chunk"),
+        "term",
+    )
+    c = tf2.filter(F.col("doc_id") >= N_QUERY_DOCS).select(
+        F.col("doc_id").alias("c_doc"),
+        F.col("chunk_id").alias("c_chunk"),
+        "term",
+    )
+    dots = (
+        q.join(c, "term")
+        .groupBy("q_doc", "q_chunk", "c_doc", "c_chunk")
+        .agg(F.count(F.lit(1)).cast("long").alias("dp"))
+    )
+    nq = nrm.select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("chunk_id").alias("q_chunk"),
+        F.col("nn").alias("_qn"),
+    )
+    nc = nrm.select(
+        F.col("doc_id").alias("c_doc"),
+        F.col("chunk_id").alias("c_chunk"),
+        F.col("nn").alias("_cn"),
+    )
+    w = Window.partitionBy("q_doc", "q_chunk").orderBy(
+        F.desc("cosine"), "c_doc", "c_chunk"
+    )
+    truth = (
+        dots.join(F.broadcast(nq), ["q_doc", "q_chunk"])
+        .join(nc, ["c_doc", "c_chunk"])
+        .select(
+            "q_doc",
+            "q_chunk",
+            "c_doc",
+            "c_chunk",
+            F.round(
+                F.col("dp").cast("double") / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _RC_K)
+        .drop("cosine", "rnk")
+    )
+    hb = tf.groupBy(
+        "doc_id",
+        "chunk_id",
+        (hash_int60(F.col("term")) % HASH_DIM).cast("int").alias("b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    hn = hb.groupBy("doc_id", "chunk_id").agg(
+        F.sqrt(F.sum(F.col("cnt") * F.col("cnt")).cast("double")).alias("nn")
+    )
+    hq = hb.filter(F.col("doc_id") < N_QUERY_DOCS).select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("chunk_id").alias("q_chunk"),
+        "b",
+        F.col("cnt").alias("qcnt"),
+    )
+    hc = hb.filter(F.col("doc_id") >= N_QUERY_DOCS).select(
+        F.col("doc_id").alias("c_doc"),
+        F.col("chunk_id").alias("c_chunk"),
+        "b",
+        F.col("cnt").alias("ccnt"),
+    )
+    hd = (
+        hq.join(hc, "b")
+        .groupBy("q_doc", "q_chunk", "c_doc", "c_chunk")
+        .agg(F.sum(F.col("qcnt") * F.col("ccnt")).cast("long").alias("dp"))
+    )
+    hnq = hn.select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("chunk_id").alias("q_chunk"),
+        F.col("nn").alias("_qn"),
+    )
+    hnc = hn.select(
+        F.col("doc_id").alias("c_doc"),
+        F.col("chunk_id").alias("c_chunk"),
+        F.col("nn").alias("_cn"),
+    )
+    dense5 = (
+        hd.join(F.broadcast(hnq), ["q_doc", "q_chunk"])
+        .join(hnc, ["c_doc", "c_chunk"])
+        .select(
+            "q_doc",
+            "q_chunk",
+            "c_doc",
+            "c_chunk",
+            F.round(
+                F.col("dp").cast("double") / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _RC_K)
+        .drop("cosine", "rnk")
+    )
+    hybrid5 = fused.select("q_doc", "q_chunk", "c_doc", "c_chunk")
+    keys = ["q_doc", "q_chunk", "c_doc", "c_chunk"]
+    truth_n = truth.groupBy("q_doc", "q_chunk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth")
+    )
+    hits = (
+        truth.join(
+            dense5.withColumn("_d", F.lit(1)), keys, "left"
+        )
+        .join(hybrid5.withColumn("_h", F.lit(1)), keys, "left")
+        .groupBy("q_doc", "q_chunk")
+        .agg(
+            F.count(F.col("_d")).cast("long").alias("dense_hits"),
+            F.count(F.col("_h")).cast("long").alias("hybrid_hits"),
+        )
+        .join(truth_n, ["q_doc", "q_chunk"])
+    )
+    per_chunk = hits.select(
+        "q_doc",
+        "q_chunk",
+        F.round(
+            F.col("dense_hits").cast("double") / F.col("n_truth")
+            * 1_000_000_000,
+            0,
+        )
+        .cast("long")
+        .alias("rd_nano"),
+        F.round(
+            F.col("hybrid_hits").cast("double") / F.col("n_truth")
+            * 1_000_000_000,
+            0,
+        )
+        .cast("long")
+        .alias("rh_nano"),
+    )
+    return (
+        per_chunk.groupBy("q_doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.round(
+                F.sum("rd_nano").cast("double")
+                / (F.count(F.lit(1)) * 1_000_000_000.0),
+                6,
+            ).alias(f"recall_dense_at{_RC_K}"),
+            F.round(
+                F.sum("rh_nano").cast("double")
+                / (F.count(F.lit(1)) * 1_000_000_000.0),
+                6,
+            ).alias(f"recall_hybrid_at{_RC_K}"),
+        )
+        .orderBy("q_doc")
+    )

@@ -744,3 +744,46 @@ def test_hte_deciles_matches_pandas(spark):
                 assert r["t_stat"] is None
         else:
             assert r["t_stat"] is None
+
+
+def test_sequential_panel_consistent_with_trajectories(spark):
+    """The one-row decision panel must equal a pandas replay of the
+    aggregation over the three (independently differential-tested)
+    trajectory queries: first crossing days, final-look picks, and the
+    committee decision rule."""
+    from stock_data_warehouse_analytics_spark.plans.ab_testing2 import (
+        _OBF_Z,
+        eval_ab_futility_power,
+        eval_ab_msprt,
+        eval_ab_obf_spending,
+        eval_ab_sequential_panel,
+    )
+
+    r = eval_ab_sequential_panel(spark, SF_SMALL).collect()[0]
+    obf = sorted(
+        eval_ab_obf_spending(spark, SF_SMALL).collect(), key=lambda x: x["d"]
+    )
+    fut = sorted(
+        eval_ab_futility_power(spark, SF_SMALL).collect(),
+        key=lambda x: x["d"],
+    )
+    ms = sorted(eval_ab_msprt(spark, SF_SMALL).collect(), key=lambda x: x["d"])
+    first_eff = next((x["d"] for x in obf if x["stop_obf"]), None)
+    first_fut = next((x["d"] for x in fut if x["futility_stop"]), None)
+    first_ms = next((x["d"] for x in ms if x["rejected"]), None)
+    assert r["first_efficacy_d"] == first_eff
+    assert r["first_futility_d"] == first_fut
+    assert r["first_msprt_d"] == first_ms
+    assert r["n_looks"] == len(obf)
+    assert r["final_t_stat"] == obf[-1]["t_stat"]
+    assert r["final_cp"] == fut[-1]["cp_trend"]
+    assert r["final_p_always_valid"] == ms[-1]["p_always_valid"]
+    if first_eff is not None and (first_fut is None or first_eff <= first_fut):
+        want = "stop_efficacy"
+    elif first_fut is not None:
+        want = "stop_futility"
+    elif abs(r["final_t_stat"]) > _OBF_Z:
+        want = "significant_at_horizon"
+    else:
+        want = "no_effect"
+    assert r["decision"] == want

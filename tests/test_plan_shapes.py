@@ -382,6 +382,11 @@ _BOUNDED_SINGLE_PARTITION = {
     # table and the rank-2 median window, plus the one-row exact-F2
     # audit agg (partial aggregation upstream) — all literal-bounded
     "sketch_ams_f2",
+    # composes the three sequential trajectories (each inheriting the
+    # eval_ab_cumulative_tstat bound: one-row universe scalar +
+    # CALENDAR-bounded daily windows) and reduces them to ONE report
+    # row — every single-partition stage is day-span- or one-row-sized
+    "eval_ab_sequential_panel",
 }
 
 
