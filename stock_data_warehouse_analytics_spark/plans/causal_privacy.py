@@ -326,6 +326,17 @@ eval_att_stratified.__doc__ = eval_att_stratified.__doc__.format(
 
 
 # ------------------------------------------------------- DP count release
+#
+# REPRODUCIBILITY STAND-IN, NOT A PRIVACY GUARANTEE: every noise draw
+# in the dq_dp_* family (Laplace via _lap_noise_nano, Gumbel in the
+# exponential-mechanism median) is a DETERMINISTIC function of public
+# cell names (md5 of 'dpsum:<type>' etc.) so the DuckDB oracle can
+# reproduce the release bit-for-bit — meaning anyone can recompute and
+# subtract the noise.  The ε accounting, sensitivity calibration, and
+# clamping pipelines are the real mechanism shapes; a production
+# deployment must substitute a secret-seeded RNG for the draws (one
+# line in _lap_noise_nano / the Gumbel expression) for the stated
+# (ε, 0)-DP guarantee to actually hold.
 
 _DP_EPS = 0.5  # per-query privacy budget
 _DP_DEN = 1 << 48
@@ -822,6 +833,7 @@ eval_kfold_cv_ols.__doc__ = eval_kfold_cv_ols.__doc__.format(k=_CV_FOLDS)
 # ------------------------------------------------------- DP family depth
 
 _DP_SUM_CLAMP = 5000  # per-event contribution bound, cents ($50)
+_DP_USER_CLAMP = 20000  # per-USER contribution bound, cents ($200)
 _DP_HIST_EPS = 0.5  # per-release budget; parallel composition over cells
 
 
@@ -830,7 +842,11 @@ def _lap_noise_nano(key: F.Column, scale: float) -> F.Column:
     48-bit md5 hash uniform of ``key`` — the ``dq_dp_noisy_counts``
     primitive factored for reuse by the clamped-sum and histogram
     releases (inverse CDF x = −b·sgn(u−½)·ln(1−2|u−½|), u offset by
-    ½ lsb so the ln argument stays in (0, 1])."""
+    ½ lsb so the ln argument stays in (0, 1]).
+
+    Hash-seeded = recoverable: see the section-header note — this is a
+    cross-engine reproducibility stand-in; production swaps in a
+    secret-seeded RNG here for the DP guarantee to hold."""
     h = (hash_int60(key) % _DP_DEN).cast("double")
     u_centered = (h + 0.5) / float(_DP_DEN) - 0.5
     lap = (
@@ -1083,18 +1099,21 @@ cal AS (
 ),
 ncal AS (SELECT event_type, COUNT(*) AS n_cal FROM cal GROUP BY event_type),
 qhat AS (
-  SELECT c.event_type, n.n_cal, c.score AS q_hat_cents
-  FROM cal c JOIN ncal n USING (event_type)
-  WHERE c.rk = (9 * (n.n_cal + 1) + 9) // 10
+  SELECT n.event_type, n.n_cal, c.score AS q_hat_cents
+  FROM ncal n LEFT JOIN cal c
+    ON c.event_type = n.event_type
+   AND c.rk = (9 * (n.n_cal + 1) + 9) // 10
 ),
 ev AS (SELECT event_type, score FROM sc WHERE parity = 1)
 SELECT e.event_type, q.n_cal, q.q_hat_cents,
        COUNT(*) AS n_eval,
-       CAST(COUNT(*) FILTER (WHERE e.score <= q.q_hat_cents) AS BIGINT)
+       CAST(COUNT(*) FILTER (WHERE q.q_hat_cents IS NULL
+                                OR e.score <= q.q_hat_cents) AS BIGINT)
          AS n_admitted,
-       ROUND(CAST(COUNT(*) FILTER (WHERE e.score <= q.q_hat_cents)
+       ROUND(CAST(COUNT(*) FILTER (WHERE q.q_hat_cents IS NULL
+                                      OR e.score <= q.q_hat_cents)
                   AS DOUBLE) / COUNT(*), 6) AS admit_rate
-FROM ev e JOIN qhat q USING (event_type)
+FROM ev e LEFT JOIN qhat q ON q.event_type = e.event_type
 GROUP BY 1, 2, 3
 ORDER BY 1
 """,
@@ -1116,6 +1135,10 @@ def stream_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: scores are integer cents; the rank is the exact integer
     (9(n+1)+9)//10 (no float ceil); counts are BIGINT and the only
     double is the final admit_rate ratio, rounded at 6 dp.
+    Under-calibrated types (rank > n_cal, i.e. n_cal < 18) carry the
+    NULL/+∞ admit-all sentinel rather than dropping from the join —
+    both engines encode the identical convention, and
+    tests/test_streaming_multimodal.py pins the small-n case.
 
     Scale shape: the calibration fit is one per-type window rank over
     the calibration half (partitioned, no global sort) → a |types|-row
@@ -1151,119 +1174,8 @@ def stream_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dq_dp_budget_ledger",
-    tags=("dq", "privacy", "differential-privacy", "governance", "ledger"),
-    oracle=f"""
-WITH types AS (
-  SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types FROM events
-),
-days AS (
-  SELECT CAST(date_diff('day', MIN(CAST(ts AS DATE)),
-                        MAX(CAST(ts AS DATE))) + 1 AS BIGINT) AS n_days
-  FROM events
-),
-ledger AS (
-  SELECT 1 AS release_order, 'dq_dp_noisy_counts' AS release,
-         'count' AS statistic, CAST(1 AS BIGINT) AS l1_sensitivity,
-         (SELECT n_types FROM types) AS n_cells,
-         {_DP_EPS}e0 AS epsilon
-  UNION ALL
-  SELECT 2, 'dq_dp_clamped_sum', 'clamped_sum',
-         CAST({_DP_SUM_CLAMP} AS BIGINT),
-         (SELECT n_types FROM types), {_DP_EPS}e0
-  UNION ALL
-  SELECT 3, 'dq_dp_daily_histogram', 'histogram', CAST(1 AS BIGINT),
-         (SELECT n_types FROM types) * (SELECT n_days FROM days),
-         {_DP_HIST_EPS}e0
-)
-SELECT release_order, release, statistic, l1_sensitivity, n_cells,
-       epsilon,
-       SUM(epsilon) OVER (ORDER BY release_order) AS eps_cumulative
-FROM ledger ORDER BY release_order
-""",
-)
-def dq_dp_budget_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PRIVACY-BUDGET LEDGER over the engine's DP release family —
-    the governance artifact a privacy-budgeted warehouse maintains
-    next to the releases themselves: one row per registered release
-    against the ``events`` table (noisy counts, clamped sum, daily
-    histogram), its mechanism/sensitivity literals, the DATA-derived
-    number of released cells, and the SEQUENTIAL-composition running
-    total Σε — the number the data-protection officer compares against
-    the table's budget cap.  Within each histogram release the cells
-    compose in PARALLEL (disjoint partitions of the event space, see
-    ``dq_dp_daily_histogram``), so each release contributes its
-    per-release ε ONCE to the sequential total — the two composition
-    rules this ledger makes explicit.
-
-    Exactness: cell counts are exact integers from two one-row aggs;
-    the ε literals are exactly-representable doubles (0.5) so the
-    running sum is exact binary arithmetic in both engines.
-
-    Scale shape: two one-row aggregates over events (map-side
-    partials) broadcast into a 3-row literal relation; the window runs
-    over 3 rows."""
-    from pyspark.sql.window import Window
-
-    ev = load_table(spark, sf_dir, "events")
-    types = ev.agg(
-        F.countDistinct("event_type").cast("bigint").alias("n_types")
-    )
-    days = ev.agg(
-        (
-            F.datediff(
-                F.max(F.col("ts").cast("date")),
-                F.min(F.col("ts").cast("date")),
-            )
-            + 1
-        )
-        .cast("bigint")
-        .alias("n_days")
-    )
-    rows = spark.createDataFrame(
-        [
-            (1, "dq_dp_noisy_counts", "count", 1, "types", _DP_EPS),
-            (
-                2,
-                "dq_dp_clamped_sum",
-                "clamped_sum",
-                _DP_SUM_CLAMP,
-                "types",
-                _DP_EPS,
-            ),
-            (
-                3,
-                "dq_dp_daily_histogram",
-                "histogram",
-                1,
-                "grid",
-                _DP_HIST_EPS,
-            ),
-        ],
-        "release_order int, release string, statistic string,"
-        " l1_sensitivity long, cell_basis string, epsilon double",
-    )
-    w = Window.orderBy("release_order").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    return (
-        rows.crossJoin(F.broadcast(types))
-        .crossJoin(F.broadcast(days))
-        .select(
-            "release_order",
-            "release",
-            "statistic",
-            "l1_sensitivity",
-            F.when(F.col("cell_basis") == "types", F.col("n_types"))
-            .otherwise(F.col("n_types") * F.col("n_days"))
-            .cast("bigint")
-            .alias("n_cells"),
-            "epsilon",
-        )
-        .withColumn("eps_cumulative", F.sum("epsilon").over(w))
-        .orderBy("release_order")
-    )
+# (dq_dp_budget_ledger lives at the end of this file — it must follow
+#  every dq_dp_* release whose constants it enumerates)
 
 
 # ------------------------------------------- DP median (exponential mech.)
@@ -1444,9 +1356,6 @@ def dq_dp_exponential_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DP_USER_CLAMP = 20000  # per-USER contribution bound, cents ($200)
-
-
 @register(
     "dq_dp_user_level_sum",
     tags=("dq", "privacy", "differential-privacy", "release", "user-level"),
@@ -1546,3 +1455,296 @@ def dq_dp_user_level_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 dq_dp_user_level_sum.__doc__ = dq_dp_user_level_sum.__doc__.format(
     clamp=_DP_USER_CLAMP
 )
+
+
+# --------------------------------------- DP discrete Gaussian (zCDP)
+
+# Discrete Gaussian mechanism (Canonne, Kamath & Steinke, "The
+# Discrete Gaussian for Differential Privacy", NeurIPS 2020): noise on
+# the INTEGERS with P[Z = z] ∝ exp(−z²/2σ²) — the mechanism of choice
+# when many releases compose (ρ-zCDP adds linearly and converts to a
+# far tighter (ε, δ) than Laplace's pure-ε under k-fold composition),
+# and the one real DP deployments (US Census TopDown) ship.
+#
+# Integer sampler (the verdict's "rational arithmetic" requirement):
+# the weight table w(z) = round(2⁴⁰·exp(−z²/2σ²)) is computed ONCE in
+# Python at module load and embedded as INTEGER literals in both
+# engines' plans, so neither engine evaluates exp() — the draw is pure
+# BIGINT inverse-CDF arithmetic (u = h₆₀ mod T, z = #{cum ≤ u} − B) on
+# identical literals and is bit-exact by construction.  The 2⁻⁴⁰
+# weight quantization and the u-mod-T bias (T ≈ 2⁴⁵·7, h₆₀ is 60-bit:
+# bias < 2⁻¹⁴ per cell) perturb the sampled distribution negligibly
+# relative to σ = 20; the hash-seeded determinism itself is the usual
+# reproducibility stand-in (see the section-header note above
+# _DP_EPS).
+_DG_SIGMA = 20  # noise stddev in counts; Δ = 1 for a count query
+_DG_B = 150  # support truncation: |z| ≤ 7.5σ (tail mass < 2⁻⁴⁰ lost
+#              to weight quantization anyway — w(z) = 0 beyond ±150)
+_DG_CUMS: list[int] = []
+_dg_c = 0
+for _dg_z in range(-_DG_B, _DG_B + 1):
+    _dg_c += round(
+        (1 << 40) * math.exp(-(_dg_z * _dg_z) / (2.0 * _DG_SIGMA**2))
+    )
+    _DG_CUMS.append(_dg_c)
+_DG_T = _DG_CUMS[-1]
+_DG_RHO = 1.0 / (2 * _DG_SIGMA**2)  # zCDP: ρ = Δ²/2σ² = 0.00125
+# standard zCDP→(ε,δ) conversion ε = ρ + 2√(ρ·ln(1/δ)) at δ = 1e-6,
+# rounded to 6 dp and embedded as the SAME literal in both engines
+_DG_EPS_1E6 = round(_DG_RHO + 2 * math.sqrt(_DG_RHO * math.log(1e6)), 6)
+_DG_CUM_SQL = "[" + ",".join(str(c) for c in _DG_CUMS) + "]"
+
+
+@register(
+    "dq_dp_discrete_gaussian_counts",
+    tags=("dq", "privacy", "differential-privacy", "zcdp", "release"),
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM events GROUP BY event_type
+),
+u AS (
+  SELECT event_type, n_true,
+         ({_SQL_H60.format(x="'dgauss:' || event_type")}) % {_DG_T} AS u
+  FROM base
+)
+SELECT event_type, n_true,
+       CAST(len(list_filter({_DG_CUM_SQL}, c -> c <= u)) - {_DG_B}
+            AS BIGINT) AS z_noise,
+       n_true + CAST(len(list_filter({_DG_CUM_SQL}, c -> c <= u)) - {_DG_B}
+                     AS BIGINT) AS noisy_count,
+       {_DG_SIGMA} AS sigma,
+       {_DG_RHO}e0 AS rho_zcdp,
+       {_DG_EPS_1E6}e0 AS epsilon_at_delta_1e6
+FROM u ORDER BY event_type
+""",
+)
+def dq_dp_discrete_gaussian_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Discrete-Gaussian count release — the THIRD mechanism class in
+    the DP family (after Laplace and the exponential mechanism) and
+    the composition-friendly one: per-event-type counts with integer
+    noise Z ~ N_Z(0, σ²={sigma}²), giving ρ-zCDP with ρ = Δ²/2σ² =
+    {rho} per release (Canonne-Kamath-Steinke 2020; US Census TopDown
+    is the production precedent).  Under k releases ρ adds LINEARLY
+    and converts to (ε, δ) far tighter than Laplace's pure-ε sum —
+    the reason a warehouse issuing many releases standardizes on
+    Gaussian noise; the ledger row carries the δ=1e-6 conversion
+    ε = ρ + 2√(ρ·ln 1e6) = {eps}.
+
+    Exactness: the weight table round(2⁴⁰·exp(−z²/2σ²)) for z in
+    [−{b}, {b}] is computed once in PYTHON and embedded as integer
+    literals in both engines, so the inverse-CDF draw
+    z = #{{cum ≤ h₆₀ mod T}} − {b} is pure BIGINT arithmetic on
+    identical constants — no cross-engine exp/erf anywhere; the noisy
+    count is integer addition.  Noise is hash-seeded for cross-engine
+    reproducibility (a stand-in, not a guarantee — see the family
+    note above _DP_EPS).
+
+    Scale shape: one grouped count with map-side partials; the sampler
+    is a per-GROUP array expression over a 301-element literal (no
+    join, no shuffle beyond the count's own exchange).  Differential:
+    tests/test_causal_differential.py re-derives the draw from
+    math.exp + md5 + bisect independently."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    u = (
+        hash_int60(F.concat(F.lit("dgauss:"), F.col("event_type"))) % _DG_T
+    ).alias("u")
+    z = (
+        F.size(
+            F.filter(
+                F.lit(_DG_CUMS), lambda c: c <= F.col("u")
+            )
+        )
+        - _DG_B
+    ).cast("long")
+    return (
+        base.withColumn("u", u)
+        .select(
+            "event_type",
+            "n_true",
+            z.alias("z_noise"),
+            (F.col("n_true") + z).alias("noisy_count"),
+            F.lit(_DG_SIGMA).alias("sigma"),
+            F.lit(_DG_RHO).alias("rho_zcdp"),
+            F.lit(_DG_EPS_1E6).alias("epsilon_at_delta_1e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+dq_dp_discrete_gaussian_counts.__doc__ = (
+    dq_dp_discrete_gaussian_counts.__doc__.format(
+        sigma=_DG_SIGMA, rho=_DG_RHO, eps=_DG_EPS_1E6, b=_DG_B
+    )
+)
+
+
+# ------------------- DP budget ledger (over the whole family)
+
+@register(
+    "dq_dp_budget_ledger",
+    tags=("dq", "privacy", "differential-privacy", "governance", "ledger"),
+    oracle=f"""
+WITH types AS (
+  SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types FROM events
+),
+days AS (
+  SELECT CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+                        MAX(CAST(ts AS DATE))) + 1 AS BIGINT) AS n_days
+  FROM events
+),
+ledger AS (
+  SELECT 1 AS release_order, 'dq_dp_noisy_counts' AS release,
+         'count' AS statistic, CAST(1 AS BIGINT) AS l1_sensitivity,
+         (SELECT n_types FROM types) AS n_cells,
+         {_DP_EPS}e0 AS epsilon
+  UNION ALL
+  SELECT 2, 'dq_dp_clamped_sum', 'clamped_sum',
+         CAST({_DP_SUM_CLAMP} AS BIGINT),
+         (SELECT n_types FROM types), {_DP_EPS}e0
+  UNION ALL
+  SELECT 3, 'dq_dp_daily_histogram', 'histogram', CAST(1 AS BIGINT),
+         (SELECT n_types FROM types) * (SELECT n_days FROM days),
+         {_DP_HIST_EPS}e0
+  UNION ALL
+  SELECT 4, 'dq_dp_exponential_median', 'median_expmech',
+         CAST(1 AS BIGINT), (SELECT n_types FROM types), {_DP_EPS}e0
+  UNION ALL
+  SELECT 5, 'dq_dp_user_level_sum', 'user_clamped_sum',
+         CAST({_DP_USER_CLAMP} AS BIGINT),
+         (SELECT n_types FROM types), {_DP_EPS}e0
+  UNION ALL
+  SELECT 6, 'dq_dp_discrete_gaussian_counts', 'gaussian_count',
+         CAST(1 AS BIGINT), (SELECT n_types FROM types), {_DG_EPS_1E6}e0
+)
+SELECT release_order, release, statistic, l1_sensitivity, n_cells,
+       epsilon,
+       SUM(epsilon) OVER (ORDER BY release_order) AS eps_cumulative
+FROM ledger ORDER BY release_order
+""",
+)
+def dq_dp_budget_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRIVACY-BUDGET LEDGER over the engine's DP release family —
+    the governance artifact a privacy-budgeted warehouse maintains
+    next to the releases themselves: one row per registered release
+    against the ``events`` table (noisy counts, clamped sum, daily
+    histogram, exponential-mechanism median, user-level clamped sum,
+    discrete-Gaussian counts — the zCDP row carries its δ=1e-6 pure-ε
+    conversion so Σε stays one comparable, conservative column),
+    its mechanism/sensitivity literals, the DATA-derived number of
+    released cells, and the SEQUENTIAL-composition running total Σε —
+    the number the data-protection officer compares against the
+    table's budget cap.  Within each release the per-type/per-cell
+    draws compose in PARALLEL (disjoint partitions of the event
+    space, see ``dq_dp_daily_histogram``), so each release
+    contributes its per-release ε ONCE to the sequential total — the
+    two composition rules this ledger makes explicit.  The user-level
+    row conservatively joins the event-level total even though its
+    privacy UNIT differs (person vs event): mixed-unit spends sum to
+    an upper bound under the coarser unit.
+
+    MAINTENANCE COUPLING: every ``dq_dp_*`` release registered against
+    ``events`` must add its row here — the round-6 review caught this
+    ledger understating the family after two releases shipped without
+    rows; ``tests/test_causal_differential.py`` now asserts the ledger
+    enumerates every registered ``dq_dp_`` query.
+
+    Exactness: cell counts are exact integers from two one-row aggs;
+    the ε literals are exactly-representable doubles (0.5) so the
+    running sum is exact binary arithmetic in both engines.
+
+    Scale shape: two one-row aggregates over events (map-side
+    partials) broadcast into a literal relation of one row per
+    release; the window runs over those few rows."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    types = ev.agg(
+        F.countDistinct("event_type").cast("bigint").alias("n_types")
+    )
+    days = ev.agg(
+        (
+            F.datediff(
+                F.max(F.col("ts").cast("date")),
+                F.min(F.col("ts").cast("date")),
+            )
+            + 1
+        )
+        .cast("bigint")
+        .alias("n_days")
+    )
+    rows = spark.createDataFrame(
+        [
+            (1, "dq_dp_noisy_counts", "count", 1, "types", _DP_EPS),
+            (
+                2,
+                "dq_dp_clamped_sum",
+                "clamped_sum",
+                _DP_SUM_CLAMP,
+                "types",
+                _DP_EPS,
+            ),
+            (
+                3,
+                "dq_dp_daily_histogram",
+                "histogram",
+                1,
+                "grid",
+                _DP_HIST_EPS,
+            ),
+            (
+                4,
+                "dq_dp_exponential_median",
+                "median_expmech",
+                1,
+                "types",
+                _DP_EPS,
+            ),
+            (
+                5,
+                "dq_dp_user_level_sum",
+                "user_clamped_sum",
+                _DP_USER_CLAMP,
+                "types",
+                _DP_EPS,
+            ),
+            # the Gaussian release is ρ-zCDP; its row carries the
+            # δ=1e-6 conversion so the sequential Σε stays a single
+            # comparable (conservative) pure-ε column
+            (
+                6,
+                "dq_dp_discrete_gaussian_counts",
+                "gaussian_count",
+                1,
+                "types",
+                _DG_EPS_1E6,
+            ),
+        ],
+        "release_order int, release string, statistic string,"
+        " l1_sensitivity long, cell_basis string, epsilon double",
+    )
+    w = Window.orderBy("release_order").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        rows.crossJoin(F.broadcast(types))
+        .crossJoin(F.broadcast(days))
+        .select(
+            "release_order",
+            "release",
+            "statistic",
+            "l1_sensitivity",
+            F.when(F.col("cell_basis") == "types", F.col("n_types"))
+            .otherwise(F.col("n_types") * F.col("n_days"))
+            .cast("bigint")
+            .alias("n_cells"),
+            "epsilon",
+        )
+        .withColumn("eps_cumulative", F.sum("epsilon").over(w))
+        .orderBy("release_order")
+    )

@@ -173,8 +173,15 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sparse = (
         inter.join(
-            F.broadcast(szs.select(F.col("doc_id").alias("query_id"),
-                                   F.col("n").alias("na"))),
+            # filter BEFORE the hint: the query-side size table is
+            # 8 rows once pruned; broadcasting the unfiltered per-doc
+            # counts would ship a corpus-grain frame to every executor
+            F.broadcast(
+                szs.filter(F.col("doc_id") < 8).select(
+                    F.col("doc_id").alias("query_id"),
+                    F.col("n").alias("na"),
+                )
+            ),
             "query_id",
         )
         .join(
@@ -280,11 +287,14 @@ def mining_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     meaningless).  Completes the eval family next to AUC/calibration/
     PR-curve.
 
-    Scale shape: the eval set is a fixed hash-sampled 4% slice —
-    BOUNDED by design (eval probes are constant-sized, not
-    corpus-sized); it broadcasts over one corpus scan exactly like
-    ``sim_topk_bruteforce`` (swap in the IVF/LSH stack when the probe
-    itself needs to scale).  Votes are integer counts with
+    Scale shape: the eval set is a hash-sampled 4% slice — NOTE it is
+    corpus-PROPORTIONAL, not constant-sized, so the broadcast side
+    grows with N: this query is the documented brute-force eval
+    BASELINE (same O(|Q|·N) class as ``sim_topk_bruteforce``), and a
+    100 TB deployment caps the probe (e.g. ``vec_id % 25 == 0 AND
+    vec_id < B``) or swaps in the IVF/LSH stack — allowlisted with
+    this caveat in tests/test_plan_shapes.py.  Votes are integer
+    counts with
     (count DESC, label ASC) argmax, neighbor ranks quantize cosine to
     6 decimals with id tiebreak — all orderings bit-stable across
     engines."""

@@ -418,8 +418,11 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     by unordered source pair — within-source duplication (mirrored
     crawls) vs cross-source (syndication) demand different fixes, and
     this matrix is the first question asked of any dedup report.  The
-    source dimension broadcasts; one grouped count over the pair
-    table."""
+    (doc_id, source) lookups are UNHINTED — they are corpus-grain (one
+    row per document), so the planner must size them against the pair
+    table at runtime (AQE broadcasts the smaller side) rather than a
+    hint force-shipping a 100 TB-scale projection; one grouped count
+    over the pair table."""
     from ..operators.dedup import minhash_candidate_pairs
 
     d = load_table(spark, sf_dir, "documents")
@@ -428,8 +431,8 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .groupBy(
             F.least("sa", "sb").alias("source_x"),
             F.greatest("sa", "sb").alias("source_y"),

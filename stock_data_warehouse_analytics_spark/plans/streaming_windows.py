@@ -247,8 +247,9 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch).  This registered plan is the exact batch twin of the
     readStream pipeline asserted equal in
     tests/test_streaming_multimodal.py::test_stream_static_enrich_equals_batch;
-    the dimension is broadcast (dims fit; facts never shuffle for the
-    join) and the only shuffle is the windowed aggregation."""
+    the dimension join is unhinted (the planner broadcasts it while it
+    fits under the threshold; customer grows with SF, so no force) and
+    the only shuffle is the windowed aggregation."""
     from ..streaming.event_windows import static_enriched_agg
 
     e = load_table(spark, sf_dir, "events")

@@ -344,13 +344,17 @@ def warehouse_ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs once; base/delta are partial-agg filters over it — at
     refresh time only Δ is scanned, the point of IVM); the merge is a
     full-outer join at (nation, month) grain — dimension-bounded, not
-    fact-sized; customer→nation joins broadcast the dimensions."""
+    fact-sized; nation (25 rows, fixed) broadcasts, while the
+    orders⋈customer join is left UNHINTED — customer grows with scale
+    factor, so the planner (AQE) must pick shuffle vs broadcast from
+    actual sizes rather than a hint that force-ships a 100 TB-scale
+    dimension to every executor."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     enr = (
         o.join(
-            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            c.select("c_custkey", "c_nationkey"),
             o["o_custkey"] == c["c_custkey"],
         )
         .join(

@@ -499,17 +499,24 @@ def static_enriched_agg(
     ordered: bool = True,
 ) -> DataFrame:
     """Enrich-then-aggregate: join the (possibly streaming) events frame
-    to the static customer dimension on user_id = c_custkey (broadcast —
-    the static side of a stream-static join holds no state), then a
-    tumbling event-time window per market segment.  The identical
-    expression runs under readStream (see streaming_static_enrich) with
-    ``ordered=False`` — append-mode streams cannot sort."""
+    to the static customer dimension on user_id = c_custkey (the static
+    side of a stream-static join holds no state), then a tumbling
+    event-time window per market segment.  The identical expression
+    runs under readStream (see streaming_static_enrich) with
+    ``ordered=False`` — append-mode streams cannot sort.
+
+    The dimension join is deliberately UNHINTED: customer grows with
+    scale factor, so the planner must pick broadcast vs shuffle from
+    the static side's actual size (it broadcasts under the
+    autoBroadcastJoinThreshold at any realistic dim size) rather than
+    a hint that would force-ship a 100 TB-scale dimension to every
+    executor per micro-batch."""
     from ..plans.exact import dsum
 
     dim = customer.select("c_custkey", F.col("c_mktsegment").alias("segment"))
     win = F.window("ts", f"{hours} hours")
     out = (
-        events.join(F.broadcast(dim), events["user_id"] == dim["c_custkey"])
+        events.join(dim, events["user_id"] == dim["c_custkey"])
         .groupBy(win.alias("w"), "segment")
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
         .select(

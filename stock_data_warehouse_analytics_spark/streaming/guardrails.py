@@ -101,7 +101,15 @@ def conformal_qhat(events: DataFrame) -> DataFrame:
     ``eval_conformal_coverage``, applied at event grain), computed with
     the exact integer rank (9(n+1)+9)//10.  This is the static side a
     production gate refits on a batch cadence and broadcasts into the
-    stream."""
+    stream.
+
+    Small-n convention: when the rank exceeds n_cal (n_cal < 18 at the
+    9/10 level — too few calibration points for a finite 90% bound),
+    the conformal quantile is +∞; the row is emitted with
+    ``q_hat_cents`` NULL as the admit-all sentinel, so under-calibrated
+    types are ADMITTED by :func:`conformal_gate` rather than silently
+    dropped by a missing join key (the round-6 review's coverage
+    gap)."""
     from pyspark.sql.window import Window
 
     cents = F.round(F.col("value") * 100, 0).cast("long")
@@ -114,7 +122,7 @@ def conformal_qhat(events: DataFrame) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy("score", "event_id")
     rk = cal.withColumn("rk", F.row_number().over(w))
     n = cal.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_cal"))
-    return (
+    sel = (
         rk.join(F.broadcast(n), "event_type")
         .filter(
             F.col("rk")
@@ -122,7 +130,10 @@ def conformal_qhat(events: DataFrame) -> DataFrame:
                 f"({_CONF_GATE_NUM} * (n_cal + 1) + {_CONF_GATE_NUM}) div 10"
             )
         )
-        .select("event_type", "n_cal", F.col("score").alias("q_hat_cents"))
+        .select("event_type", F.col("score").alias("q_hat_cents"))
+    )
+    return n.join(sel, "event_type", "left").select(
+        "event_type", "n_cal", "q_hat_cents"
     )
 
 
@@ -133,7 +144,14 @@ def conformal_gate(events: DataFrame, qhat: DataFrame) -> DataFrame:
     EVALUATION event (odd epoch-day parity) by whether its score is
     within the conformal bound.  No state store, no watermark needed:
     a per-row expression + broadcast join is streaming-legal in append
-    mode at any rate, which is the point of fitting q̂ in batch."""
+    mode at any rate, which is the point of fitting q̂ in batch.
+
+    A NULL ``q_hat_cents`` (the +∞ admit-all sentinel for
+    under-calibrated types, see :func:`conformal_qhat`) and a type
+    absent from the q̂ table entirely (zero calibration events — the
+    join is LEFT for this reason) both admit: no finite bound exists,
+    and a guardrail that silently drops traffic is worse than one that
+    abstains."""
     cents = F.round(F.col("value") * 100, 0).cast("long")
     parity = (
         F.datediff(F.col("ts").cast("date"), F.to_date(F.lit(_EPOCH))) % 2
@@ -141,9 +159,11 @@ def conformal_gate(events: DataFrame, qhat: DataFrame) -> DataFrame:
     return (
         events.filter(parity == 1)
         .select("event_id", "event_type", cents.alias("score_cents"))
-        .join(F.broadcast(qhat), "event_type")
+        .join(F.broadcast(qhat), "event_type", "left")
         .withColumn(
-            "admitted", F.col("score_cents") <= F.col("q_hat_cents")
+            "admitted",
+            F.col("q_hat_cents").isNull()
+            | (F.col("score_cents") <= F.col("q_hat_cents")),
         )
     )
 

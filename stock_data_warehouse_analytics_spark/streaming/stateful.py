@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_user_totals", "dedup_stream"]
+__all__ = ["running_user_totals", "dedup_stream", "ams_register_stream"]
 
 _OUT_SCHEMA = "user_id long, n_events long, total_value double, max_value double"
 _STATE_SCHEMA = "n long, total double, mx double"
@@ -70,6 +70,65 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
             _update,
             outputStructType=_OUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ------------------------------------------ explicit-state AMS registers
+
+_AMS_OUT_SCHEMA = "j integer, z long, n_events long"
+_AMS_STATE_SCHEMA = "z long, n long"
+
+
+def _ams_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (z, n) = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        z += int(pdf["s"].sum())
+        n += len(pdf)
+    state.update((z, n))
+    yield pd.DataFrame({"j": [key[0]], "z": [z], "n_events": [n]})
+
+
+def ams_register_stream(stream: DataFrame) -> DataFrame:
+    """LIFETIME AMS F₂ registers with an EXPLICIT state store — the
+    custom-stateful member of the sketch family (the round-6 handoff's
+    applyInPandasWithState showcase): each event fans out onto the 16
+    estimator axes with its deterministic ±1 sign
+    (``sketches.ams_sign_columns`` — the exact ``sketch_ams_f2`` sign
+    spec), then ``groupBy(j).applyInPandasWithState`` maintains
+    z_j = Σ sign across micro-batches.  Unlike the windowed
+    ``ams_daily_sums`` twin (engine-managed SUM state, day-bucketed),
+    this keeps the WHOLE-STREAM register in an explicit
+    (z, n)-per-axis state tuple — the shape any custom online sketch
+    (Count-Min, reservoir, decayed counters) takes when Spark's
+    built-in aggregates can't express its update rule.
+
+    Update-mode emission: every micro-batch yields the current
+    (j, z, n_events) per touched axis, so downstream sees a live
+    register table; the F₂ estimate (square, group-mean, median)
+    stays a read-time batch expression over the final registers,
+    exactly as in ``sketch_ams_f2``.
+
+    Scale shape: state is EXACTLY 16 rows × two longs regardless of
+    event rate or user cardinality (the whole point of AMS); the
+    fan-out is map-side (16× row amplification of a 3-column frame,
+    no shuffle until the 16-key grouping).  Stream ≡ batch parity:
+    tests/test_stateful_skew.py::test_stateful_ams_registers_match_batch."""
+    from .sketches import ams_sign_columns
+
+    return (
+        ams_sign_columns(stream)
+        .groupBy("j")
+        .applyInPandasWithState(
+            _ams_update,
+            outputStructType=_AMS_OUT_SCHEMA,
+            stateStructType=_AMS_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

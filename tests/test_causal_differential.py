@@ -483,3 +483,66 @@ def test_ams_f2_matches_pure_python(spark):
     assert r["f2_estimate"] == est
     assert r["rel_error"] == round(abs(est - f2) / f2, 6)
     assert r["rel_error"] < 1.0  # sanity: the sketch is in the ballpark
+
+
+# ----------------------------------------------- DP ledger completeness
+
+
+def test_dp_ledger_enumerates_every_release(spark):
+    """GOVERNANCE GUARD: the privacy-budget ledger must carry one row
+    per registered dq_dp_* release against events — the round-6 review
+    caught the ledger understating the family after two releases
+    shipped without rows; this pins the maintenance coupling noted in
+    the ledger docstring.  Also re-derives Σε sequentially from the
+    per-row ε as an exactness check."""
+    from stock_data_warehouse_analytics_spark.plans.registry import (
+        QUERIES,
+        _ensure_loaded,
+    )
+
+    _ensure_loaded()
+    releases = {
+        n
+        for n in QUERIES
+        if n.startswith("dq_dp_") and n != "dq_dp_budget_ledger"
+    }
+    rows = _run(spark, "dq_dp_budget_ledger")
+    assert {r["release"] for r in rows} == releases
+    running = 0.0
+    for r in sorted(rows, key=lambda r: r["release_order"]):
+        running += r["epsilon"]
+        assert r["eps_cumulative"] == running
+
+
+# ------------------------------------------- discrete Gaussian (zCDP)
+
+
+def test_dp_discrete_gaussian_matches_pure_python(spark):
+    """Re-derive the discrete-Gaussian release end-to-end with an
+    INDEPENDENT implementation: recompute the quantized weight table
+    from math.exp, the uniform from md5, and the inverse-CDF draw with
+    bisect — nothing shared with the Spark/oracle plans except the
+    mechanism's published spec (σ, B, the 2^40 quantizer, the key
+    format)."""
+    import bisect
+
+    SIGMA, B = 20, 150
+    cums, c = [], 0
+    for z in range(-B, B + 1):
+        c += round((1 << 40) * math.exp(-(z * z) / (2.0 * SIGMA * SIGMA)))
+        cums.append(c)
+    T = cums[-1]
+    ev = _events()
+    true_counts = ev.groupby("event_type").size().to_dict()
+    rows = {r["event_type"]: r for r in _run(spark, "dq_dp_discrete_gaussian_counts")}
+    assert set(rows) == set(true_counts)
+    for et, n in true_counts.items():
+        u = _h60(f"dgauss:{et}") % T
+        z = bisect.bisect_right(cums, u) - B
+        r = rows[et]
+        assert r["n_true"] == n
+        assert r["z_noise"] == z
+        assert r["noisy_count"] == n + z
+        assert r["rho_zcdp"] == 1.0 / (2 * SIGMA * SIGMA)
+    # the draws must actually vary across types (not all the same cell)
+    assert len({r["z_noise"] for r in rows.values()}) > 1

@@ -94,8 +94,98 @@ def test_text_stats_is_pure_map(spark):
     assert "hashpartitioning(" not in plan
 
 
-def test_no_cartesian_products_anywhere(spark):
+# Scale-growing tables: an EXPLICIT broadcast hint whose subtree scans
+# one of these raw (no Aggregate/Limit between hint and leaf) is a
+# 100×-scale defect — the hint force-ships a table that grows with
+# scale factor to every executor, overriding the size-based planner.
+# The leaf Relation line in the analyzed plan lists raw parquet
+# columns, so each table is identified by a column only it has.
+_GROWING_SIGS = {
+    "customer": "c_custkey#",
+    "orders": "o_orderkey#",
+    "lineitem": "l_linenumber#",
+    "documents": "doc_id#",
+    "embeddings": "vec_id#",
+    "events": "event_id#",
+}
+
+# Queries whose broadcast hint over a growing-table subtree is bounded
+# by a FILTER (which the Aggregate/Limit marker heuristic cannot see).
+# Every entry carries its written bound — the same discipline as
+# _BOUNDED_SINGLE_PARTITION below.
+_BOUNDED_BROADCAST = {
+    "emb_matryoshka_audit": "query set filtered to vec_id < 16 (16 rows) before the hint",
+    "mining_knn_label_accuracy": (
+        "documented brute-force eval BASELINE: the test split is a "
+        "corpus-proportional 4% hash sample (vec_id % 25 == 0); a 100 TB "
+        "deployment caps the probe or swaps in IVF/LSH (see docstring)"
+    ),
+    "sim_hybrid_rrf": "dense query set vec_id < 8; sparse size table filtered doc_id < 8",
+    "sim_mmr_diversify": "query vectors filtered to the fixed bounded query-id set",
+    "sim_topk_bruteforce": "documented O(|Q|·N) baseline; query set filtered to fixed ids",
+    "sim_topk_ivf": "query set filtered to fixed ids; centroid table is k rows",
+    "sim_topk_ivf_probe": "query set filtered to fixed ids; probe list is (|Q|·nprobe) rows",
+    "sim_topk_ivfpq": "query set filtered to fixed ids; codebook is (m·k) rows",
+    "sim_topk_lsh": "documented LSH baseline; query set filtered to fixed ids",
+    "text_contamination_overlap": (
+        "benchmark shingle side filtered to doc_id < 20 (eval sets are "
+        "small by construction) before the hint"
+    ),
+}
+
+
+def _broadcast_hint_subtrees(df):
+    """Walk the ANALYZED logical plan (pre-optimization, so hints are
+    still visible as ResolvedHint nodes) and return the string form of
+    every broadcast-hinted subtree."""
+    out = []
+
+    def walk(node):
+        if node.getClass().getSimpleName() == "ResolvedHint":
+            if "broadcast" in node.hints().toString().lower():
+                out.append(node.toString())
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    return out
+
+
+def test_registrywide_plan_audit(spark):
+    """ONE pass over every registered query checking two global plan
+    invariants: (1) no CartesianProduct anywhere (unbounded pairwise
+    blowup), and (2) no explicit broadcast hint whose subtree scans a
+    scale-growing table raw — the defect class the round-6 review
+    found in warehouse_ivm_delta_join (a force-broadcast customer
+    projection); this guard would have caught it.  A hinted subtree is
+    accepted when an Aggregate/Limit/Deduplicate sits between hint and
+    leaf (grain reduction) or the query carries a written filter-bound
+    in _BOUNDED_BROADCAST."""
+    bad_hints = []
     for name in sorted(QUERIES):
+        df = QUERIES[name].fn(spark, SF_SMALL)
+        if name not in _BOUNDED_BROADCAST:
+            for sub in _broadcast_hint_subtrees(df):
+                growing = sorted(
+                    t
+                    for t, sig in _GROWING_SIGS.items()
+                    if any(
+                        "Relation" in ln and "parquet" in ln and sig in ln
+                        for ln in sub.splitlines()
+                    )
+                )
+                if growing and not any(
+                    m in sub
+                    for m in (
+                        "Aggregate",
+                        "GlobalLimit",
+                        "Deduplicate",
+                        "Distinct",
+                        "Limit",
+                    )
+                ):
+                    bad_hints.append((name, growing))
         if name in ("emb_neardup_exact", "sim_topk_bruteforce", "sim_topk_lsh"):
             continue  # documented O(|Q|·N)/O(n²) baselines (broadcast NL)
         if name == "behavior_rfm_segments":
@@ -104,8 +194,12 @@ def test_no_cartesian_products_anywhere(spark):
             # the 1×1×1 combine prints as CartesianProduct — bounded by
             # construction (cut tables, never data)
             continue
-        plan = _plan(spark, name)
+        plan = _explain(df)
         assert "CartesianProduct" not in plan, name
+    assert not bad_hints, (
+        "explicit broadcast hint over a raw scale-growing table "
+        f"(drop the hint or add a written bound): {bad_hints}"
+    )
 
 
 # Plans where an Exchange SinglePartition is legitimate because its

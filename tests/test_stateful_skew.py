@@ -276,3 +276,70 @@ def test_upsert_rollup_rejects_oversized_delta(spark, tmp_path, monkeypatch):
 
     with _pytest.raises(ValueError, match="MAX_DELTA_DAYS"):
         incremental.upsert_daily_rollup(spark, events, str(tmp_path / "roll"))
+
+
+def test_stateful_ams_registers_match_batch(spark, tmp_path):
+    """The explicit-state AMS register operator must converge to the
+    batch registers: after an availableNow run over a multi-file JSON
+    dump (maxFilesPerTrigger=1 forces several micro-batches, i.e. real
+    incremental state updates), the LAST update per axis j equals the
+    one-shot batch Σ sign — and intermediate updates exist, proving
+    the state actually carried across micro-batches."""
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+    from stock_data_warehouse_analytics_spark.streaming.sketches import (
+        ams_sign_columns,
+    )
+    from stock_data_warehouse_analytics_spark.streaming.stateful import (
+        ams_register_stream,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "src")
+    events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    ).repartition(3).write.mode("overwrite").json(src)
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        ams_register_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ams_state_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = spark.table("ams_state_out").collect()
+    # >16 rows ⇒ at least one axis was updated in more than one
+    # micro-batch (incremental state, not a single-batch aggregate)
+    assert len(rows) > 16
+    got = {}
+    for r in rows:  # final update = the one with the max n_events
+        if r.j not in got or r.n_events > got[r.j][1]:
+            got[r.j] = (r.z, r.n_events)
+    want = {
+        r.j: (r.z, r.n)
+        for r in ams_sign_columns(events)
+        .groupBy("j")
+        .agg(
+            F.sum("s").cast("long").alias("z"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .collect()
+    }
+    assert set(got) == set(range(16)) == set(want)
+    assert got == want

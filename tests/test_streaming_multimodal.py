@@ -1295,3 +1295,44 @@ def test_stream_ams_sums_equal_batch(spark, tmp_path):
     missing = set(b) - set(s)
     max_start = max(k[0] for k in b)
     assert all(k[0] == max_start for k in missing), missing
+
+
+def test_conformal_gate_small_n_admits_all(spark):
+    """Under-calibrated types must ADMIT, not vanish: at the 9/10 level
+    the finite conformal bound needs n_cal >= 18 (rank ceil(0.9(n+1))
+    <= n); below that q-hat is +inf, encoded as a NULL sentinel row —
+    and a type with ZERO calibration events (absent from q-hat
+    entirely) admits through the left join.  Pins the round-6 review's
+    silent-coverage-gap fix."""
+    import datetime as dt
+
+    from stock_data_warehouse_analytics_spark.streaming.guardrails import (
+        conformal_gate,
+        conformal_qhat,
+    )
+
+    cal_day = dt.datetime(1970, 1, 1, 12, 0)   # epoch day 0 (even → cal)
+    ev_day = dt.datetime(1970, 1, 2, 12, 0)    # epoch day 1 (odd → eval)
+    rows = []
+    # 'big': 40 calibration events, scores 1..40 cents → q_hat row exists
+    for i in range(40):
+        rows.append((i, cal_day, 1, "big", (i + 1) / 100.0, "{}"))
+    # 'tiny': 5 calibration events → rank ceil(0.9*6)=6 > 5 → NULL q_hat
+    for i in range(5):
+        rows.append((100 + i, cal_day, 1, "tiny", (i + 1) / 100.0, "{}"))
+    # eval events: huge scores that would fail any finite bound
+    rows.append((200, ev_day, 1, "big", 999.0, "{}"))
+    rows.append((201, ev_day, 1, "tiny", 999.0, "{}"))
+    rows.append((202, ev_day, 1, "unseen", 999.0, "{}"))  # zero cal events
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    qhat = conformal_qhat(events)
+    q = {r.event_type: (r.n_cal, r.q_hat_cents) for r in qhat.collect()}
+    assert q["big"] == (40, 37)  # rank (9*41+9)//10 = 37 → 37 cents
+    assert q["tiny"] == (5, None)  # admit-all sentinel
+    assert "unseen" not in q
+    g = {r.event_id: r.admitted for r in conformal_gate(events, qhat).collect()}
+    assert g == {200: False, 201: True, 202: True}
