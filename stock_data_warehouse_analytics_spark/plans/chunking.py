@@ -1251,3 +1251,229 @@ def eval_rag_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_doc")
     )
+
+
+# -------------------------------------------------- MRR / MAP eval
+
+
+@register(
+    "eval_retrieval_mrr_map",
+    tags=("llm", "chunking", "retrieval", "eval", "mrr", "map", "rag"),
+    oracle=f"""
+WITH {_SQL_CHUNKS},
+ctoks AS (
+  SELECT doc_id, chunk_id,
+         {_SQL_TOKS.replace('text', 'chunk_text')} AS t
+  FROM chunks
+),
+sh_all AS (
+  SELECT doc_id, chunk_id, unnest(
+    CASE WHEN len(t) >= {SHINGLE_K} THEN list_distinct(
+           list_transform(generate_series(1, len(t) - {SHINGLE_K - 1}),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         ELSE [array_to_string(t, ' ')] END) AS term
+  FROM ctoks
+),
+tf AS (
+  SELECT doc_id, chunk_id, term FROM sh_all WHERE len(term) > 0
+),
+df AS (
+  SELECT term FROM tf GROUP BY term HAVING COUNT(*) <= {MAX_DF}
+),
+tf2 AS (SELECT tf.* FROM tf JOIN df USING (term)),
+nrm AS (
+  SELECT doc_id, chunk_id, SQRT(CAST(COUNT(*) AS DOUBLE)) AS nn
+  FROM tf2 GROUP BY doc_id, chunk_id
+),
+dots AS (
+  SELECT q.doc_id AS q_doc, q.chunk_id AS q_chunk,
+         c.doc_id AS c_doc, c.chunk_id AS c_chunk,
+         CAST(COUNT(*) AS BIGINT) AS dp
+  FROM tf2 q JOIN tf2 c USING (term)
+  WHERE q.doc_id < {N_QUERY_DOCS} AND c.doc_id >= {N_QUERY_DOCS}
+  GROUP BY 1, 2, 3, 4
+),
+sparse AS (
+  SELECT q_doc, q_chunk, c_doc, c_chunk FROM (
+    SELECT d.q_doc, d.q_chunk, d.c_doc, d.c_chunk,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.q_doc, d.q_chunk
+             ORDER BY ROUND(CAST(d.dp AS DOUBLE) / (nq.nn * nc.nn), 6)
+                        DESC, d.c_doc, d.c_chunk) AS rnk
+    FROM dots d
+    JOIN nrm nq ON nq.doc_id = d.q_doc AND nq.chunk_id = d.q_chunk
+    JOIN nrm nc ON nc.doc_id = d.c_doc AND nc.chunk_id = d.c_chunk
+  ) WHERE rnk <= {_RC_K}
+),
+hb AS (
+  SELECT doc_id, chunk_id,
+         CAST({_SQL_HASH60} % {HASH_DIM} AS INTEGER) AS b,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tf GROUP BY 1, 2, 3
+),
+hn AS (
+  SELECT doc_id, chunk_id,
+         SQRT(CAST(SUM(cnt * cnt) AS DOUBLE)) AS nn
+  FROM hb GROUP BY 1, 2
+),
+hd AS (
+  SELECT q.doc_id AS q_doc, q.chunk_id AS q_chunk,
+         c.doc_id AS c_doc, c.chunk_id AS c_chunk,
+         CAST(SUM(q.cnt * c.cnt) AS BIGINT) AS dp
+  FROM hb q JOIN hb c USING (b)
+  WHERE q.doc_id < {N_QUERY_DOCS} AND c.doc_id >= {N_QUERY_DOCS}
+  GROUP BY 1, 2, 3, 4
+),
+dense AS (
+  SELECT q_doc, q_chunk, c_doc, c_chunk, rnk FROM (
+    SELECT d.q_doc, d.q_chunk, d.c_doc, d.c_chunk,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.q_doc, d.q_chunk
+             ORDER BY ROUND(CAST(d.dp AS DOUBLE) / (nq.nn * nc.nn), 6)
+                        DESC, d.c_doc, d.c_chunk) AS rnk
+    FROM hd d
+    JOIN hn nq ON nq.doc_id = d.q_doc AND nq.chunk_id = d.q_chunk
+    JOIN hn nc ON nc.doc_id = d.c_doc AND nc.chunk_id = d.c_chunk
+  ) WHERE rnk <= {_HY_DEPTH}
+),
+truth_n AS (
+  SELECT q_doc, q_chunk, CAST(COUNT(*) AS BIGINT) AS n_truth
+  FROM sparse GROUP BY q_doc, q_chunk
+),
+matches AS (
+  SELECT s.q_doc, s.q_chunk, d.rnk
+  FROM sparse s JOIN dense d
+    ON d.q_doc = s.q_doc AND d.q_chunk = s.q_chunk
+   AND d.c_doc = s.c_doc AND d.c_chunk = s.c_chunk
+),
+mrr AS (
+  SELECT q_doc, q_chunk, MIN(rnk) AS first_rnk
+  FROM matches GROUP BY 1, 2
+),
+prec AS (
+  SELECT q_doc, q_chunk, rnk,
+         ROW_NUMBER() OVER (PARTITION BY q_doc, q_chunk ORDER BY rnk)
+           AS hit_no
+  FROM matches
+),
+ap AS (
+  SELECT q_doc, q_chunk,
+         CAST(SUM(CAST(ROUND(hit_no::DOUBLE / rnk * 1000000000, 0)
+                       AS BIGINT)) AS BIGINT) AS prec_nano
+  FROM prec GROUP BY 1, 2
+),
+per_chunk AS (
+  SELECT t.q_doc, t.q_chunk,
+         COALESCE(CAST(ROUND(1000000000.0 / m.first_rnk, 0) AS BIGINT), 0)
+           AS mrr_nano,
+         CAST(ROUND(COALESCE(a.prec_nano, 0)::DOUBLE / t.n_truth, 0)
+              AS BIGINT) AS ap_nano
+  FROM truth_n t
+  LEFT JOIN mrr m ON m.q_doc = t.q_doc AND m.q_chunk = t.q_chunk
+  LEFT JOIN ap a ON a.q_doc = t.q_doc AND a.q_chunk = t.q_chunk
+)
+SELECT q_doc, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       ROUND(CAST(SUM(mrr_nano) AS DOUBLE) / (COUNT(*) * 1000000000.0), 6)
+         AS mrr_at{_HY_DEPTH},
+       ROUND(CAST(SUM(ap_nano) AS DOUBLE) / (COUNT(*) * 1000000000.0), 6)
+         AS map_at{_HY_DEPTH}
+FROM per_chunk
+GROUP BY q_doc
+ORDER BY q_doc
+""",
+)
+def eval_retrieval_mrr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR / MAP for the dense retrieval leg — the rank-POSITION
+    companions to ``eval_rag_retrieval_recall`` (recall says whether
+    truth items appear in the candidate list; MRR says how FAST the
+    first one appears, MAP how well the whole truth set is ordered):
+    per query chunk, truth = the exact sparse-cosine top-5, candidates
+    = the dense hashed-vector depth-10 ranking; MRR@10 = 1/rank of the
+    first truth hit (0 if none), AP@10 = mean over truth items of
+    precision-at-their-rank; both averaged to the query-DOCUMENT grain.
+
+    Exactness: both rankings are the staged ``_hybrid_legs`` lists
+    (BIGINT dots, 6-dp cosines, full tiebreaks); every per-chunk
+    reciprocal/precision term is nano-quantized BEFORE any multi-row
+    sum, so the per-document means are exact integer sums with one
+    final double division each.
+
+    Scale shape: identical economics to the recall panel — ONE
+    chunk+shingle pass via the staged legs (localCheckpoint, three
+    bounded consumers), then joins on depth-bounded per-chunk lists;
+    output is |query docs| rows."""
+    ch = chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        chunk_tokens=CHUNK_TOKENS,
+        overlap=OVERLAP,
+        keep_text=True,
+    )
+    sparse, dense = _hybrid_legs(ch, leg_depth=_HY_DEPTH)
+    sparse = sparse.localCheckpoint(eager=True)
+    dense = dense.localCheckpoint(eager=True)
+    keys = ["q_doc", "q_chunk", "c_doc", "c_chunk"]
+    truth = sparse.filter(F.col("s_rnk") <= _RC_K).drop("s_rnk")
+    truth_n = truth.groupBy("q_doc", "q_chunk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth")
+    )
+    matches = truth.join(dense, keys).select(
+        "q_doc", "q_chunk", F.col("d_rnk").alias("rnk")
+    )
+    mrr = matches.groupBy("q_doc", "q_chunk").agg(
+        F.min("rnk").alias("first_rnk")
+    )
+    w_hit = Window.partitionBy("q_doc", "q_chunk").orderBy("rnk")
+    ap = (
+        matches.withColumn("hit_no", F.row_number().over(w_hit))
+        .groupBy("q_doc", "q_chunk")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("hit_no").cast("double")
+                    / F.col("rnk")
+                    * 1_000_000_000,
+                    0,
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("prec_nano")
+        )
+    )
+    per_chunk = (
+        truth_n.join(mrr, ["q_doc", "q_chunk"], "left")
+        .join(ap, ["q_doc", "q_chunk"], "left")
+        .select(
+            "q_doc",
+            "q_chunk",
+            F.coalesce(
+                F.round(
+                    F.lit(1_000_000_000.0) / F.col("first_rnk"), 0
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("mrr_nano"),
+            F.round(
+                F.coalesce(F.col("prec_nano"), F.lit(0)).cast("double")
+                / F.col("n_truth"),
+                0,
+            )
+            .cast("long")
+            .alias("ap_nano"),
+        )
+    )
+    return (
+        per_chunk.groupBy("q_doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.round(
+                F.sum("mrr_nano").cast("double")
+                / (F.count(F.lit(1)) * 1_000_000_000.0),
+                6,
+            ).alias(f"mrr_at{_HY_DEPTH}"),
+            F.round(
+                F.sum("ap_nano").cast("double")
+                / (F.count(F.lit(1)) * 1_000_000_000.0),
+                6,
+            ).alias(f"map_at{_HY_DEPTH}"),
+        )
+        .orderBy("q_doc")
+    )

@@ -394,3 +394,137 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_bfs_hops.__doc__ = graph_bfs_hops.__doc__.format(
     src=_BFS_SOURCE, iters=_BFS_ITERS
 )
+
+
+# ------------------------------------------------ link prediction
+
+_LP_MAX_DF = 20  # inverted-index cap: parts shared by more customers
+#                  are hubs that predict nothing and blow up the pair
+#                  count (the dedup family's df-cap convention)
+_LP_TOPK = 20
+
+
+@register(
+    "graph_link_prediction",
+    tags=("graph", "link-prediction", "jaccard", "recommendation"),
+    oracle=f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+deg AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY c
+),
+rare AS (
+  SELECT p FROM edges GROUP BY p HAVING COUNT(*) <= {_LP_MAX_DF}
+),
+capped AS (SELECT e.c, e.p FROM edges e JOIN rare USING (p)),
+pairs AS (
+  SELECT a.c AS c_a, b.c AS c_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM capped a JOIN capped b ON a.p = b.p AND a.c < b.c
+  GROUP BY a.c, b.c
+),
+scored AS (
+  SELECT p.c_a, p.c_b, p.n_common, da.deg AS deg_a, db.deg AS deg_b,
+         CAST(ROUND(CAST(p.n_common AS DOUBLE)
+                    / (da.deg + db.deg - p.n_common) * 1000000, 0)
+              AS BIGINT) AS j_micro
+  FROM pairs p
+  JOIN deg da ON da.c = p.c_a
+  JOIN deg db ON db.c = p.c_b
+)
+SELECT c_a, c_b, n_common, deg_a, deg_b,
+       ROUND(j_micro / 1000000.0, 6) AS jaccard
+FROM scored
+ORDER BY j_micro DESC, c_a, c_b
+LIMIT {_LP_TOPK}
+""",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION over the customer–part bipartite graph (the
+    who-will-buy-together / find-lookalike primitive): customers are
+    similar when their DISTINCT part sets overlap; candidate pairs
+    come from an INVERTED INDEX over parts (only parts bought by
+    ≤ {cap} customers generate pairs — hub parts predict nothing and
+    would blow the pair count quadratically, the same df-cap the dedup
+    family uses), scored by Jaccard n_common/(deg_a + deg_b − n_common)
+    with FULL degrees, so the score is a documented lower bound when a
+    shared hub part was capped away.  Top {k} pairs by
+    (jaccard, c_a, c_b).
+
+    Exactness: degrees/commons are exact BIGINT counts; Jaccard is
+    micro-quantized (×10⁶ ROUND) BEFORE the global ordering, so the
+    top-k cut is integer-deterministic in both engines.
+
+    Scale shape: one distinct-projected join builds the edge list;
+    candidate pairs shuffle only on the CAPPED part key (bounded
+    ≤ {cap}²/2 pairs per part — never a customer×customer cross);
+    degree lookups join at pair grain; the global top-{k} is
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = edges.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    rare = (
+        edges.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= _LP_MAX_DF)
+        .select("p")
+    )
+    capped = edges.join(rare, "p")
+    a = capped.select(F.col("c").alias("c_a"), "p")
+    b = capped.select(F.col("c").alias("c_b"), "p")
+    pairs = (
+        a.join(b, ["p"])
+        .filter(F.col("c_a") < F.col("c_b"))
+        .groupBy("c_a", "c_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    scored = (
+        pairs.join(
+            deg.select(F.col("c").alias("c_a"), F.col("deg").alias("deg_a")),
+            "c_a",
+        )
+        .join(
+            deg.select(F.col("c").alias("c_b"), F.col("deg").alias("deg_b")),
+            "c_b",
+        )
+        .select(
+            "c_a",
+            "c_b",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common"))
+                * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("j_micro"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("j_micro"), "c_a", "c_b")
+        .limit(_LP_TOPK)
+        .select(
+            "c_a",
+            "c_b",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            F.round(F.col("j_micro") / 1_000_000.0, 6).alias("jaccard"),
+        )
+    )
+
+
+graph_link_prediction.__doc__ = graph_link_prediction.__doc__.format(
+    cap=_LP_MAX_DF, k=_LP_TOPK
+)

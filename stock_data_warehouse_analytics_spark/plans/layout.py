@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.ranking import bucketed_global_rank
 from ..sources.tables import load_table
@@ -196,4 +197,178 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         layout_row("y", "time")
         .unionByName(layout_row("z", "zorder"))
         .orderBy("layout")
+    )
+
+
+# ------------------------------------------- clustering depth (overlap)
+
+
+@register(
+    "layout_clustering_depth",
+    tags=("warehouse", "layout", "clustering", "metrics"),
+    oracle=f"""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rk,
+         o_custkey,
+         date_diff('day', DATE '1970-01-01', o_orderdate) AS dkey
+  FROM orders
+),
+files AS (
+  SELECT ((rk - 1) * {_FILES}) // (SELECT n FROM n) AS f,
+         CAST(MIN(o_custkey) AS BIGINT) AS min_c,
+         CAST(MAX(o_custkey) AS BIGINT) AS max_c,
+         CAST(MIN(dkey) AS BIGINT) AS min_d,
+         CAST(MAX(dkey) AS BIGINT) AS max_d
+  FROM ranked
+  GROUP BY 1
+),
+ev AS (
+  SELECT 'custkey' AS key, min_c AS k, 1 AS delta FROM files
+  UNION ALL SELECT 'custkey', max_c + 1, -1 FROM files
+  UNION ALL SELECT 'orderdate', min_d, 1 FROM files
+  UNION ALL SELECT 'orderdate', max_d + 1, -1 FROM files
+),
+pts AS (
+  SELECT key, k, CAST(SUM(delta) AS BIGINT) AS d
+  FROM ev GROUP BY key, k
+),
+segs AS (
+  SELECT key, k,
+         CAST(SUM(d) OVER (PARTITION BY key ORDER BY k) AS BIGINT)
+           AS depth,
+         LEAD(k) OVER (PARTITION BY key ORDER BY k) - k AS seg_len
+  FROM pts
+)
+SELECT key,
+       CAST({_FILES} AS BIGINT) AS n_files,
+       CAST(MAX(depth) AS BIGINT) AS max_depth,
+       ROUND(CAST(SUM(CASE WHEN depth >= 1 THEN depth * seg_len END)
+                  AS DOUBLE)
+             / SUM(CASE WHEN depth >= 1 THEN seg_len END), 6)
+         AS avg_depth,
+       ROUND(CAST(SUM(CASE WHEN depth > 1 THEN seg_len END) AS DOUBLE)
+             / SUM(CASE WHEN depth >= 1 THEN seg_len END), 6)
+         AS frac_overlapped
+FROM segs
+WHERE seg_len IS NOT NULL
+GROUP BY key
+ORDER BY key
+""",
+)
+def layout_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTERING-DEPTH (file-overlap) audit — the table-maintenance
+    metric Iceberg/Delta compaction planners read: simulate the orders
+    table as {files} ingest-ordered files, take each file's (min, max)
+    range of a candidate clustering key, and sweep the key domain to
+    measure how many file ranges OVERLAP at each point.  max_depth /
+    avg_depth say how many files a point query on that key must read
+    (depth 1 = perfectly clustered); frac_overlapped is the share of
+    the covered key domain where ANY two files overlap — the signal
+    that triggers a rewrite.  Ingest order is date-correlated, so the
+    orderdate key audits near depth-1 while custkey audits near
+    depth-{files} — the two poles of the decision.
+
+    Exactness: the sweep is the classic +1/−1 endpoint trick (end
+    events at max+1 keep integer half-open segments), depth is an
+    integer running sum over per-key distinct endpoints, segment
+    lengths are integer LEADs; the only doubles are the two final
+    weighted-average divisions (round-6).
+
+    Scale shape: file ranking reuses ``bucketed_global_rank`` (n-way
+    partitioned sort, no single-partition pass over facts); everything
+    after the per-file min/max aggregate operates on ≤ 4·{files}
+    endpoint rows — the sweep windows run on a bounded frame (written
+    bound in tests/test_plan_shapes._BOUNDED_SINGLE_PARTITION)."""
+    from ..operators.ranking import bucketed_global_rank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+        ).alias("dkey"),
+    )
+    ranked, n = bucketed_global_rank(o, ["o_orderkey"], rank_col="rk")
+    files = (
+        ranked.select(
+            F.expr(f"((rk - 1) * {_FILES}) div {n}").alias("f"),
+            "o_custkey",
+            "dkey",
+        )
+        .groupBy("f")
+        .agg(
+            F.min("o_custkey").cast("long").alias("min_c"),
+            F.max("o_custkey").cast("long").alias("max_c"),
+            F.min("dkey").cast("long").alias("min_d"),
+            F.max("dkey").cast("long").alias("max_d"),
+        )
+        .localCheckpoint(eager=False)  # four endpoint projections
+    )
+    ev = (
+        files.select(
+            F.lit("custkey").alias("key"),
+            F.col("min_c").alias("k"),
+            F.lit(1).alias("delta"),
+        )
+        .unionByName(
+            files.select(
+                F.lit("custkey").alias("key"),
+                (F.col("max_c") + 1).alias("k"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        .unionByName(
+            files.select(
+                F.lit("orderdate").alias("key"),
+                F.col("min_d").alias("k"),
+                F.lit(1).alias("delta"),
+            )
+        )
+        .unionByName(
+            files.select(
+                F.lit("orderdate").alias("key"),
+                (F.col("max_d") + 1).alias("k"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+    )
+    pts = ev.groupBy("key", "k").agg(
+        F.sum("delta").cast("long").alias("d")
+    )
+    w = Window.partitionBy("key").orderBy("k")
+    segs = pts.select(
+        "key",
+        "k",
+        F.sum("d").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("depth"),
+        (F.lead("k").over(w) - F.col("k")).alias("seg_len"),
+    ).filter(F.col("seg_len").isNotNull())
+    covered = F.sum(
+        F.when(F.col("depth") >= 1, F.col("seg_len"))
+    ).cast("double")
+    return (
+        segs.groupBy("key")
+        .agg(
+            F.lit(_FILES).cast("long").alias("n_files"),
+            F.max("depth").cast("long").alias("max_depth"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("depth") >= 1,
+                        F.col("depth") * F.col("seg_len"),
+                    )
+                ).cast("double")
+                / covered,
+                6,
+            ).alias("avg_depth"),
+            F.round(
+                F.sum(F.when(F.col("depth") > 1, F.col("seg_len")))
+                .cast("double")
+                / covered,
+                6,
+            ).alias("frac_overlapped"),
+        )
+        .orderBy("key")
     )

@@ -426,3 +426,168 @@ def warehouse_ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 warehouse_ivm_delta_join.__doc__ = warehouse_ivm_delta_join.__doc__.format(
     cut=_IVM_CUT
 )
+
+
+# ---------------------------------------------- write-audit-publish gate
+
+
+@register(
+    "warehouse_wap_gate",
+    tags=("warehouse", "wap", "governance", "dq", "gate"),
+    oracle="""
+WITH maxm AS (
+  SELECT date_trunc('month', MAX(o_orderdate)) AS m FROM orders
+),
+staged AS (
+  SELECT * FROM orders
+  WHERE date_trunc('month', o_orderdate) = (SELECT m FROM maxm)
+),
+prior AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_prior,
+         CAST(COUNT(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT)
+           AS n_months
+  FROM orders
+  WHERE date_trunc('month', o_orderdate) < (SELECT m FROM maxm)
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL
+                                  OR o_custkey IS NULL) AS BIGINT)
+           AS null_keys,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+           AS dup_keys,
+         CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+           AS bad_price
+  FROM staged
+),
+refv AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS orphans
+  FROM staged st LEFT JOIN customer c ON c.c_custkey = st.o_custkey
+  WHERE c.c_custkey IS NULL
+),
+rules AS (
+  SELECT 1 AS rule_order, 'key_not_null' AS rule, s.n AS n_checked,
+         s.null_keys AS n_violations FROM s
+  UNION ALL
+  SELECT 2, 'unique_order_key', s.n, s.dup_keys FROM s
+  UNION ALL
+  SELECT 3, 'ref_customer_exists', s.n, r.orphans FROM s, refv r
+  UNION ALL
+  SELECT 4, 'price_positive', s.n, s.bad_price FROM s
+  UNION ALL
+  SELECT 5, 'volume_in_band', CAST(1 AS BIGINT),
+         CASE WHEN 2 * s.n * p.n_months >= p.n_prior
+                AND s.n * p.n_months <= 2 * p.n_prior
+              THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END
+  FROM s, prior p
+)
+SELECT rule_order, rule, n_checked, n_violations,
+       n_violations = 0 AS passed
+FROM rules ORDER BY rule_order
+""",
+)
+def warehouse_wap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH gate — the governance step between landing
+    a batch and exposing it to readers (the Iceberg/Netflix WAP
+    pattern): the STAGED batch (the newest calendar month of orders)
+    is audited against five publish rules — key nullity, order-key
+    uniqueness, referential integrity to customer, price domain, and a
+    VOLUME band (staged row count within [½×, 2×] the prior monthly
+    average — the dead-mans-switch against half-loaded or duplicated
+    batches) — and each rule emits its violation count + verdict; the
+    batch publishes only if every row reads passed = true.
+
+    Exactness: every rule is an integer count; the volume band is the
+    integer cross-multiplication 2·n·months ≥ prior ∧ n·months ≤
+    2·prior (no double ratios anywhere).
+
+    Scale shape: the staged filter is partition pruning in a real
+    deployment (month = the landing partition); the audit is one pass
+    over the staged batch (conditional sums in one aggregate) plus one
+    left-anti-shaped referential join against the customer dimension;
+    the prior-volume baseline is a one-row aggregate over partition
+    metadata-sized input.  Rules unpivot from one counted row —
+    adding a rule costs an expression, not a scan (the
+    ``dq_consistency_rules`` stance, applied at BATCH scope)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    maxm = o.agg(
+        F.trunc(F.max("o_orderdate"), "month").alias("m")
+    )
+    om = o.crossJoin(F.broadcast(maxm)).withColumn(
+        "_m", F.trunc(F.col("o_orderdate"), "month")
+    )
+    staged = om.filter(F.col("_m") == F.col("m"))
+    prior = (
+        om.filter(F.col("_m") < F.col("m"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_prior"),
+            F.countDistinct("_m").cast("long").alias("n_months"),
+        )
+    )
+    s = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(
+            F.when(
+                F.col("o_orderkey").isNull() | F.col("o_custkey").isNull(),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("null_keys"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("dup_keys"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1))
+        .cast("long")
+        .alias("bad_price"),
+    )
+    refv = (
+        staged.join(c, staged["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("orphans"))
+    )
+    base = s.crossJoin(F.broadcast(refv)).crossJoin(F.broadcast(prior))
+    vol_viol = F.when(
+        (2 * F.col("n") * F.col("n_months") >= F.col("n_prior"))
+        & (F.col("n") * F.col("n_months") <= 2 * F.col("n_prior")),
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    rules = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("rule_order"),
+                    F.lit("key_not_null").alias("rule"),
+                    F.col("n").alias("n_checked"),
+                    F.col("null_keys").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit(2).alias("rule_order"),
+                    F.lit("unique_order_key").alias("rule"),
+                    F.col("n").alias("n_checked"),
+                    F.col("dup_keys").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit(3).alias("rule_order"),
+                    F.lit("ref_customer_exists").alias("rule"),
+                    F.col("n").alias("n_checked"),
+                    F.col("orphans").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit(4).alias("rule_order"),
+                    F.lit("price_positive").alias("rule"),
+                    F.col("n").alias("n_checked"),
+                    F.col("bad_price").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit(5).alias("rule_order"),
+                    F.lit("volume_in_band").alias("rule"),
+                    F.lit(1).cast("long").alias("n_checked"),
+                    vol_viol.cast("long").alias("n_violations"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rules.withColumn(
+        "passed", F.col("n_violations") == 0
+    ).orderBy("rule_order")

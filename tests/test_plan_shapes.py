@@ -114,6 +114,7 @@ _GROWING_SIGS = {
 # Every entry carries its written bound — the same discipline as
 # _BOUNDED_SINGLE_PARTITION below.
 _BOUNDED_BROADCAST = {
+    "emb_binary_quantization": "query set filtered to vec_id < 16 (16 rows) before the hint",
     "emb_matryoshka_audit": "query set filtered to vec_id < 16 (16 rows) before the hint",
     "mining_knn_label_accuracy": (
         "documented brute-force eval BASELINE: the test split is a "
@@ -126,6 +127,7 @@ _BOUNDED_BROADCAST = {
     "sim_topk_ivf": "query set filtered to fixed ids; centroid table is k rows",
     "sim_topk_ivf_probe": "query set filtered to fixed ids; probe list is (|Q|·nprobe) rows",
     "sim_topk_ivfpq": "query set filtered to fixed ids; codebook is (m·k) rows",
+    "sim_topk_binary_rerank": "query set filtered to vec_id < 16 (16 rows) before the hint",
     "sim_topk_lsh": "documented LSH baseline; query set filtered to fixed ids",
     "text_contamination_overlap": (
         "benchmark shingle side filtered to doc_id < 20 (eval sets are "
@@ -232,6 +234,20 @@ _BOUNDED_SINGLE_PARTITION = {
     # aggregation upstream, O(#tasks) rows cross the final exchange
     "dq_numeric_profile",
     "dq_referential_integrity",
+    # eval_brier_decomposition: one-row global moment aggregate
+    # (partial-agg upstream) + the 10-row decile-terms sum — nothing
+    # larger than 10 rows crosses the final exchange
+    "eval_brier_decomposition",
+    # eval_lift_gain_curve: the user-grain ranking itself is
+    # distributed (bucketed_global_rank); the only single-partition
+    # stages are the one-row total and the cumulative-gain window over
+    # the 10-row decile summary
+    "eval_lift_gain_curve",
+    # warehouse_wap_gate: three ONE-ROW audit aggregates (staged batch
+    # counters, orphan count, prior-volume baseline — each partial-agg
+    # upstream, O(#tasks) rows cross the final exchange) combined into
+    # the 5-row rule report
+    "warehouse_wap_gate",
     # one-row grand-total scalar (the cumulative path itself is the
     # bucketed-window cumsum — no global sort)
     "olap_abc_pareto",
