@@ -273,3 +273,98 @@ def emb_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_delta_micro"
         ),
     ).orderBy("pos")
+
+
+# ------------------------------------------ compression-ratio quality
+
+_CQ_LEVEL = 6  # zlib level: the pipeline-standard fixed setting
+_CQ_FLAG = 0.35  # ratio below this = highly repetitive (flag for review)
+
+
+@register(
+    "text_compression_quality",
+    tags=("llm", "text", "quality", "compression", "signal"),
+    oracle=None,  # zlib DEFLATE output length is library-specific (no
+    # DuckDB mirror); semantics re-derived independently per doc with
+    # direct zlib in tests/test_chunking.py::
+    # test_compression_quality_matches_zlib (a same-library
+    # differential: it certifies the Spark plumbing — Arrow batching,
+    # aggregation, quantization — not the DEFLATE bytes themselves)
+)
+def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSION-RATIO quality signal — the redundancy proxy real
+    curation pipelines (Gopher/RefinedWeb lineage) compute next to the
+    rule-based filters: compressed_len/raw_len under zlib level
+    {level}; text that compresses far below the corpus norm is
+    boilerplate/repetition, far above is noise/random.  Per source:
+    doc count, mean ratio, and the share flagged below {flag}.
+
+    Rows-only BY NECESSITY: the DEFLATE byte count has no relational
+    mirror — the named substitute test re-derives every per-doc ratio
+    with direct zlib and the aggregation in pure pandas (see the
+    register note).
+
+    Exactness discipline: per-doc ratios are nano-quantized BEFORE the
+    per-source mean (exact integer sum, one double division), the
+    same no-summation-order-hazard route as every panel.
+
+    Scale shape: ONE mapInPandas pass (Arrow-batched; zlib is C-speed,
+    ~100 MB/s/core — the op is scan-bound); everything after is a
+    |sources|-row aggregate with map-side partials."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def score(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            nano = [
+                round(
+                    len(zlib.compress(t, _CQ_LEVEL)) / max(len(t), 1)
+                    * 1_000_000_000
+                )
+                for t in raw
+            ]
+            yield pd.DataFrame(
+                {"source": pdf["source"], "ratio_nano": nano}
+            )
+
+    scored = d.select("source", "text").mapInPandas(
+        score, "source string, ratio_nano long"
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("ratio_nano").cast("double")
+                / (F.count(F.lit(1)) * 1_000_000_000.0),
+                6,
+            ).alias("mean_ratio"),
+            F.count(
+                F.when(
+                    F.col("ratio_nano") < int(_CQ_FLAG * 1_000_000_000), 1
+                )
+            )
+            .cast("long")
+            .alias("n_flagged"),
+            F.round(
+                F.count(
+                    F.when(
+                        F.col("ratio_nano") < int(_CQ_FLAG * 1_000_000_000),
+                        1,
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("flag_share"),
+        )
+        .orderBy("source")
+    )
+
+
+text_compression_quality.__doc__ = text_compression_quality.__doc__.format(
+    level=_CQ_LEVEL, flag=_CQ_FLAG
+)

@@ -1043,3 +1043,182 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------ LSH band-plan tuning
+
+# (bands, rows) splits of the 16-permutation signature; the S-curve
+# P(candidate | j) = 1 - (1 - j^r)^b is computed ONCE in Python at the
+# jaccard-bin midpoints and embedded as integer NANO-probabilities in
+# both engines' plans — neither engine evaluates pow(), so the
+# planning table is bit-exact by construction (the discrete-Gaussian
+# weight-table stance applied to LSH planning).
+_BT_SPLITS = [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]
+_BT_THRESH_BIN = 5  # bins 5..9 (j >= 0.5) count as "should candidate"
+_BT_GRID: list[tuple[int, int, int, int]] = []
+for _bt_b, _bt_r in _BT_SPLITS:
+    for _bt_bin in range(10):
+        _bt_j = (_bt_bin + 0.5) / 10.0
+        _bt_p = 1.0 - (1.0 - _bt_j**_bt_r) ** _bt_b
+        _BT_GRID.append(
+            (_bt_b, _bt_r, _bt_bin, round(_bt_p * 1_000_000_000))
+        )
+_BT_GRID_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT {b} AS bands, {r} AS rows_per_band, {bin_} AS bin,"
+    f" {p}::BIGINT AS p_nano"
+    for b, r, bin_, p in _BT_GRID
+)
+
+
+@register(
+    "dedup_minhash_band_tuning",
+    tags=("llm", "dedup", "minhash", "lsh", "tuning"),
+    oracle=f"""
+WITH {{shingles}},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT LEAST(CAST(FLOOR(ROUND(c / (sa.n + sb.n - c), 6) * 10)
+               AS BIGINT), 9) AS bin
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+),
+hist AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM jac GROUP BY bin),
+grid AS (
+{_BT_GRID_SQL}
+),
+joined AS (
+  SELECT g.bands, g.rows_per_band, g.bin, g.p_nano,
+         COALESCE(h.n, 0) AS n
+  FROM grid g LEFT JOIN hist h ON h.bin = g.bin
+)
+SELECT bands, rows_per_band,
+       CAST(SUM(n) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(n * p_nano) AS DOUBLE) / 1000000000.0, 6)
+         AS exp_candidates,
+       ROUND(CAST(SUM(CASE WHEN bin < {_BT_THRESH_BIN}
+                           THEN n * p_nano ELSE 0 END) AS DOUBLE)
+             / 1000000000.0, 6) AS exp_fp_below_t,
+       ROUND(CAST(SUM(CASE WHEN bin >= {_BT_THRESH_BIN}
+                           THEN n * (1000000000 - p_nano) ELSE 0 END)
+                  AS DOUBLE) / 1000000000.0, 6) AS exp_fn_above_t
+FROM joined
+GROUP BY bands, rows_per_band
+ORDER BY bands DESC
+""".format(shingles=_SQL_SHINGLES),
+)
+def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH BAND-PLAN TUNING table — the decision artifact behind
+    ``dedup_minhash_lsh``'s (bands=4, rows=4) choice: for every
+    (b, r) split of the 16-permutation signature, the expected
+    candidate volume and the expected errors AGAINST THIS CORPUS's
+    observed pair-jaccard histogram (false positives = candidates the
+    S-curve admits below the 0.5 dedup threshold, false negatives =
+    true near-dups it misses above it).  A deployment reads this row
+    set and picks the split whose FN budget it can afford — more bands
+    (shorter rows) push the S-curve left: more recall, more junk
+    candidates to verify.
+
+    Exactness: the data side is the exact inverted-index pair-jaccard
+    histogram (integer bins, the ``dedup_ngram_jaccard`` formulation
+    sans threshold); the S-curve probabilities are Python-precomputed
+    integer nano-probabilities embedded in both plans (no cross-engine
+    pow), so every expected count is an exact Σ n·p_nano BIGINT sum
+    with one final division.
+
+    Scale shape: one capped shingle self-join (the dedup family's
+    bounded candidate generation) → a 10-row histogram → joined to a
+    50-row literal grid; everything after the histogram is
+    constant-size."""
+    from ..operators.dedup import shingle_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(d, "text", 3, max_df="auto")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = (
+        common.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least(
+                F.floor(
+                    F.round(
+                        F.col("c")
+                        / (F.col("n_a") + F.col("n_b") - F.col("c")),
+                        6,
+                    )
+                    * 10
+                ).cast("long"),
+                F.lit(9),
+            ).alias("bin")
+        )
+    )
+    hist = jac.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grid = spark.createDataFrame(
+        _BT_GRID, "bands int, rows_per_band int, bin long, p_nano long"
+    )
+    joined = grid.join(F.broadcast(hist), "bin", "left").select(
+        "bands",
+        "rows_per_band",
+        "bin",
+        "p_nano",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+    return (
+        joined.groupBy("bands", "rows_per_band")
+        .agg(
+            F.sum("n").cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("n") * F.col("p_nano")).cast("double")
+                / 1_000_000_000.0,
+                6,
+            ).alias("exp_candidates"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("bin") < _BT_THRESH_BIN,
+                        F.col("n") * F.col("p_nano"),
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / 1_000_000_000.0,
+                6,
+            ).alias("exp_fp_below_t"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("bin") >= _BT_THRESH_BIN,
+                        F.col("n") * (F.lit(1_000_000_000) - F.col("p_nano")),
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / 1_000_000_000.0,
+                6,
+            ).alias("exp_fn_above_t"),
+        )
+        .orderBy(F.desc("bands"))
+    )

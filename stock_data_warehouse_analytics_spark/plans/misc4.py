@@ -366,3 +366,126 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("weeks_back")
     )
+
+
+@register(
+    "attribution_position_based",
+    tags=("behavioral", "attribution", "position", "join"),
+    oracle=f"""
+WITH p AS (
+  SELECT event_id AS pid, user_id, epoch_us(ts) AS pu, value
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS cid, user_id, epoch_us(ts) AS cu
+  FROM events WHERE event_type = 'click'
+),
+pairs AS (
+  SELECT pid, cid, cu, value
+  FROM p JOIN c USING (user_id)
+  WHERE cu <= pu AND pu - cu < {_LOOKBACK_DAYS} * {_US_PER_DAY}
+),
+ranked AS (
+  SELECT pid, cid, value,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cu, cid) AS rn,
+         COUNT(*) OVER (PARTITION BY pid) AS n
+  FROM pairs
+),
+weighted AS (
+  SELECT pid, cid, value,
+         CASE WHEN rn = 1 THEN 'first'
+              WHEN rn = n THEN 'last'
+              ELSE 'middle' END AS position,
+         CASE WHEN n = 1 THEN 1.0e0
+              WHEN n = 2 THEN 0.5e0
+              WHEN rn = 1 OR rn = n THEN 0.4e0
+              ELSE 0.2e0 / (n - 2) END AS w
+  FROM ranked
+)
+SELECT position,
+       COUNT(*) AS n_credits,
+       COUNT(DISTINCT pid) AS n_purchases,
+       CAST(CAST(SUM(CAST(value * w AS DECIMAL(28,10))) AS VARCHAR)
+            AS DOUBLE) AS total_credited
+FROM weighted
+GROUP BY position
+ORDER BY position
+""",
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-BASED (U-shaped, 40/20/40) attribution — the fourth
+    standard rule next to last-touch, linear multi-touch, and
+    time-decay: within the {days}-day lookback the FIRST click gets
+    40% of the purchase value, the LAST 40%, and the middle touches
+    split the remaining 20% evenly (single-touch journeys take 100%,
+    two-touch 50/50).  The rule every marketing platform labels
+    "position based", completing the attribution-model comparison set
+    the Shapley query arbitrates.
+
+    Exactness: weights are already normalized per purchase
+    (0.4 + 0.4 + 0.2 = 1), so there is no per-purchase weight-sum
+    division; the per-pair w is one fixed-order double expression on
+    identical literals in both engines, and the credited sums take
+    the time-decay query's DECIMAL(28,10)-with-string-route (see
+    attribution_time_decay's boundary-spacing note).
+
+    Scale shape: one user-keyed join (per-user activity bounds the
+    fan-out), per-purchase windows partitioned by pid — no global
+    sort, no single partition."""
+    e = load_table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        us("ts").alias("pu"),
+        "value",
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", us("ts").alias("cu")
+    )
+    pairs = p.join(c, "user_id").filter(
+        (F.col("cu") <= F.col("pu"))
+        & (F.col("pu") - F.col("cu") < _LOOKBACK_DAYS * _US_PER_DAY)
+    )
+    w_rn = Window.partitionBy("pid").orderBy("cu", "cid")
+    w_n = Window.partitionBy("pid")
+    ranked = pairs.select(
+        "pid",
+        "cid",
+        "value",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    position = (
+        F.when(F.col("rn") == 1, "first")
+        .when(F.col("rn") == F.col("n"), "last")
+        .otherwise("middle")
+    )
+    w = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return (
+        ranked.select(
+            "pid",
+            position.alias("position"),
+            (F.col("value") * w).alias("credited"),
+        )
+        .groupBy("position")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.count_distinct("pid").alias("n_purchases"),
+            F.sum(F.col("credited").cast("decimal(28,10)"))
+            .cast("string")
+            .cast("double")
+            .alias("total_credited"),
+        )
+        .orderBy("position")
+    )
+
+
+attribution_position_based.__doc__ = attribution_position_based.__doc__.format(
+    days=_LOOKBACK_DAYS
+)

@@ -219,3 +219,111 @@ def win_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tau_b",
         )
     )
+
+
+# ---------------------------------------------------- VaR / CVaR
+
+_VAR_NUM = 19  # one-sided 95%: rank = ceil(0.95 n) = (19n + 19) // 20
+
+
+@register(
+    "olap_var_cvar",
+    tags=("olap", "risk", "percentile", "tail"),
+    oracle=f"""
+WITH sc AS (
+  SELECT event_type, event_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+ranked AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM sc
+),
+var AS (
+  SELECT event_type, n, cents AS var_cents
+  FROM ranked WHERE rn = ({_VAR_NUM} * n + {_VAR_NUM}) // 20
+),
+tail AS (
+  SELECT r.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_tail,
+         CAST(SUM(r.cents) AS BIGINT) AS tail_cents
+  FROM ranked r JOIN var v ON v.event_type = r.event_type
+  WHERE r.rn >= ({_VAR_NUM} * r.n + {_VAR_NUM}) // 20
+  GROUP BY r.event_type
+)
+SELECT v.event_type, CAST(v.n AS BIGINT) AS n,
+       ROUND(v.var_cents / 100.0, 6) AS var95,
+       t.n_tail,
+       ROUND(CAST(t.tail_cents AS DOUBLE) / (t.n_tail * 100.0), 6)
+         AS cvar95
+FROM var v JOIN tail t ON t.event_type = v.event_type
+ORDER BY v.event_type
+""",
+)
+def olap_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical VaR / CVaR (expected shortfall) per event type — the
+    tail-risk pair next to the percentile family: VaR₉₅ is the exact
+    ceil(0.95·n)-th smallest per-event value (integer rank
+    (19n+19)//20, no interpolation — the historical-simulation
+    convention), CVaR₉₅ the mean of the tail AT OR ABOVE it (the
+    coherent risk measure Basel moved to, because VaR alone says
+    nothing about how bad the tail is).
+
+    Exactness: values in integer cents, ranks and tail sums exact
+    BIGINT; the only doubles are the two final /100 conversions
+    (round-6).
+
+    Scale shape: one per-type window rank (partitioned by the group
+    key — no global sort); the tail aggregation joins the |types|-row
+    VaR table back at group grain.  At 100 TB the exact-rank window is
+    the deliberate choice over approx_percentile because risk numbers
+    get audited (``dq_approx_vs_exact_quantiles`` measures exactly
+    that trade)."""
+    ev = load_table(spark, sf_dir, "events")
+    sc = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = sc.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    # BIGINT div, not double-floor: (19n+19) exceeds 2^53 long before
+    # n exceeds BIGINT, and the rank must stay exact at any n
+    rank_at = F.expr(f"({_VAR_NUM} * n + {_VAR_NUM}) div 20")
+    var = ranked.filter(F.col("rn") == rank_at).select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("cents").alias("var_cents"),
+    )
+    tail = (
+        ranked.filter(F.col("rn") >= rank_at)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tail"),
+            F.sum("cents").cast("long").alias("tail_cents"),
+        )
+    )
+    return (
+        var.join(tail, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("var_cents") / 100.0, 6).alias("var95"),
+            "n_tail",
+            F.round(
+                F.col("tail_cents").cast("double")
+                / (F.col("n_tail") * 100.0),
+                6,
+            ).alias("cvar95"),
+        )
+        .orderBy("event_type")
+    )

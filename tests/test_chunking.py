@@ -201,3 +201,44 @@ def test_chunk_hybrid_lsh_leg_recall(spark):
     recall = hits / tot
     assert recall >= 0.5, recall
     print(f"chunk hybrid dense-leg LSH recall@{_HY_DEPTH}: {recall:.3f}")
+
+
+def test_compression_quality_matches_zlib(spark):
+    """Same-library differential for the rows-only compression signal:
+    re-derive every per-source row with direct zlib + pure pandas
+    (certifies the Spark plumbing — Arrow batching, nano quantization,
+    aggregation — since the DEFLATE byte count itself has no
+    independent mirror)."""
+    import zlib
+
+    import pandas as pd
+
+    from stock_data_warehouse_analytics_spark.plans.corpus_signals import (
+        _CQ_FLAG,
+        _CQ_LEVEL,
+        text_compression_quality,
+    )
+    from tests.conftest import SF_SMALL
+
+    got = {
+        r.source: (r.n_docs, r.mean_ratio, r.n_flagged, r.flag_share)
+        for r in text_compression_quality(spark, SF_SMALL).collect()
+    }
+    pdf = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    nano = {}
+    for src, text in zip(pdf["source"], pdf["text"]):
+        t = text.encode("utf-8")
+        n = round(len(zlib.compress(t, _CQ_LEVEL)) / max(len(t), 1) * 1e9)
+        nano.setdefault(src, []).append(n)
+    assert set(got) == set(nano)
+    for src, ns in nano.items():
+        flagged = sum(1 for n in ns if n < int(_CQ_FLAG * 1e9))
+        want = (
+            len(ns),
+            round(sum(ns) / (len(ns) * 1e9), 6),
+            flagged,
+            round(flagged / len(ns), 6),
+        )
+        assert got[src] == want, src
+    # the signal must vary (not all sources identical)
+    assert len({v[1] for v in got.values()}) > 1

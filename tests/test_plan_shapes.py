@@ -658,13 +658,23 @@ def test_ticker_pivot_enumeration_cached(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["chunk_hybrid_rrf_topk", "eval_ranking_ndcg"]
+    "name",
+    [
+        "chunk_hybrid_rrf_topk",
+        "eval_ranking_ndcg",
+        # round-7 leg sharing: both panels stage the two depth-10 leg
+        # rankings (localCheckpoint) and derive every downstream frame
+        # by filters/joins — no corpus explode may reappear
+        "eval_rag_retrieval_recall",
+        "eval_retrieval_mrr_map",
+    ],
 )
 def test_staged_frames_are_not_reexploded(spark, name):
-    """The round-6 staging pins: chunk_hybrid_rrf_topk materializes the
-    shared shingle table once (five consumers), eval_ranking_ndcg its
-    hit-sized per_doc frame (three report branches).  The FINAL plan
-    must therefore read the staged RDD and contain NO Generate
+    """The round-6/7 staging pins: chunk_hybrid_rrf_topk materializes
+    the shared shingle table once (five consumers), eval_ranking_ndcg
+    its hit-sized per_doc frame (three report branches), and the two
+    retrieval-eval panels their staged _hybrid_legs lists.  The FINAL
+    plan must therefore read the staged RDD and contain NO Generate
     (explode) node — if the checkpoint is ever dropped, the corpus
     explode reappears downstream and this fails before the bench does."""
     plan = _plan(spark, name)
