@@ -258,3 +258,137 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type", "lag")
     )
 
+
+
+# ------------------------------------------------ growth accounting
+
+
+@register(
+    "behavior_growth_accounting",
+    tags=("behavioral", "growth", "retention", "dau"),
+    oracle="""
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+seq AS (
+  SELECT user_id, d,
+         LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d,
+         LEAD(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d
+  FROM active
+),
+mx AS (SELECT MAX(d) AS max_d FROM active),
+classified AS (
+  SELECT d,
+         CASE WHEN prev_d IS NULL THEN 'new'
+              WHEN d - prev_d = 1 THEN 'retained'
+              ELSE 'resurrected' END AS kind
+  FROM seq
+),
+dau AS (
+  SELECT d,
+         CAST(COUNT(*) AS BIGINT) AS dau,
+         CAST(COUNT(*) FILTER (WHERE kind = 'new') AS BIGINT) AS n_new,
+         CAST(COUNT(*) FILTER (WHERE kind = 'retained') AS BIGINT)
+           AS n_retained,
+         CAST(COUNT(*) FILTER (WHERE kind = 'resurrected') AS BIGINT)
+           AS n_resurrected
+  FROM classified GROUP BY d
+),
+churn AS (
+  SELECT d + 1 AS d, CAST(COUNT(*) AS BIGINT) AS n_churned
+  FROM seq, mx
+  WHERE (next_d IS NULL OR next_d > d + 1) AND d + 1 <= mx.max_d
+  GROUP BY d + 1
+)
+SELECT dau.d, dau.dau, dau.n_new, dau.n_retained, dau.n_resurrected,
+       COALESCE(ch.n_churned, 0) AS n_churned,
+       ROUND(CAST(dau.n_new + dau.n_resurrected AS DOUBLE)
+             / NULLIF(COALESCE(ch.n_churned, 0), 0), 6) AS quick_ratio
+FROM dau LEFT JOIN churn ch ON ch.d = dau.d
+ORDER BY dau.d
+""",
+)
+def behavior_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAILY GROWTH ACCOUNTING — the product-analytics identity
+    DAU(t) = new(t) + retained(t) + resurrected(t), with churned(t) =
+    yesterday's actives who did not return, and the Social-Capital
+    QUICK RATIO (new + resurrected) / churned that summarizes whether
+    the user base is filling faster than it drains.  The daily
+    companion to the static ``events_user_lifecycle`` snapshot and the
+    ``retention_cohorts`` triangle.
+
+    Semantics: a user is NEW on their first-ever active day, RETAINED
+    when active the previous calendar day too, RESURRECTED when
+    returning after a gap; churn is attributed to the day AFTER the
+    last active day (censored at the corpus's final day — no user can
+    churn past the observation window).
+
+    Exactness: everything is integer day arithmetic and counts; the
+    quick ratio is one round-6 division with a NULLIF(0) guard (NULL
+    on churn-free days, identically in both engines).
+
+    Scale shape: one distinct (user, day) projection (map-side
+    partial), one user-partitioned window pass for lag/lead, two
+    day-grain aggregates joined at calendar grain — no global sort,
+    no single partition, fact scanned once."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    seq = active.select(
+        "user_id",
+        "d",
+        F.lag("d").over(w).alias("prev_d"),
+        F.lead("d").over(w).alias("next_d"),
+    )
+    kind = (
+        F.when(F.col("prev_d").isNull(), "new")
+        .when(F.datediff(F.col("d"), F.col("prev_d")) == 1, "retained")
+        .otherwise("resurrected")
+    )
+    dau = (
+        seq.select("d", kind.alias("kind"))
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dau"),
+            F.count(F.when(F.col("kind") == "new", 1))
+            .cast("long")
+            .alias("n_new"),
+            F.count(F.when(F.col("kind") == "retained", 1))
+            .cast("long")
+            .alias("n_retained"),
+            F.count(F.when(F.col("kind") == "resurrected", 1))
+            .cast("long")
+            .alias("n_resurrected"),
+        )
+    )
+    mx = active.agg(F.max("d").alias("max_d"))
+    churn = (
+        seq.crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("next_d").isNull() | (F.col("next_d") > F.date_add("d", 1)))
+            & (F.date_add("d", 1) <= F.col("max_d"))
+        )
+        .groupBy(F.date_add("d", 1).alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    return (
+        dau.join(churn, "d", "left")
+        .select(
+            "d",
+            "dau",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n_churned"), F.lit(0)).alias("n_churned"),
+            F.round(
+                (F.col("n_new") + F.col("n_resurrected")).cast("double")
+                / F.nullif(
+                    F.coalesce(F.col("n_churned"), F.lit(0)), F.lit(0)
+                ),
+                6,
+            ).alias("quick_ratio"),
+        )
+        .orderBy("d")
+    )

@@ -1222,3 +1222,85 @@ def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("bands"))
     )
+
+
+# ------------------------------------------- edit-distance verify stage
+
+_ED_SIM_THRESH = 0.8  # normalized similarity for a VERIFIED duplicate
+
+
+@register(
+    "dedup_edit_distance_verify",
+    tags=("llm", "dedup", "levenshtein", "verify"),
+    oracle=f"""
+WITH {{ctes}},
+txt AS (SELECT doc_id, text FROM documents),
+scored AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev_dist,
+         GREATEST(LENGTH(ta.text), LENGTH(tb.text)) AS max_len
+  FROM pairs p
+  JOIN txt ta ON ta.doc_id = p.doc_a
+  JOIN txt tb ON tb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, lev_dist,
+       ROUND(1.0 - CAST(lev_dist AS DOUBLE) / max_len, 6) AS edit_sim,
+       (1.0 - CAST(lev_dist AS DOUBLE) / max_len) >= {_ED_SIM_THRESH}e0
+         AS verified
+FROM scored
+ORDER BY doc_a, doc_b
+""".format(ctes=_sql_minhash_ctes()),
+)
+def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE VERIFICATION of the MinHash-LSH candidates — the
+    verify stage a candidate-generate pipeline runs before acting on
+    near-dups: every banded-LSH candidate pair gets its exact
+    Levenshtein distance and the normalized similarity
+    1 − dist/max(len); pairs at ≥ {thresh} are VERIFIED duplicates
+    (character-level confirmation, orthogonal to the shingle-set
+    evidence that generated the candidate — the two agree on true dups
+    and disagree on coincidental shingle overlap).
+
+    Exactness: Levenshtein is an integer DP identical in both engines;
+    the similarity is one division rounded at 6 dp; the verified flag
+    compares the UNROUNDED ratio against the exactly-representable
+    0.8.
+
+    Scale shape: the expensive O(len²) distance runs ONLY on candidate
+    pairs (LSH-bounded, never corpus²) — the whole point of the
+    generate-then-verify split; the two text lookups join at pair
+    grain and stay UNHINTED (documents grows with SF — the planner
+    sizes them; the round-7 broadcast guard bans forcing it)."""
+    from ..operators.dedup import minhash_candidate_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(d, n_hashes=16, bands=4)
+    txt = d.select("doc_id", "text")
+    ta = txt.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    tb = txt.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    sim = F.lit(1.0) - F.col("lev_dist").cast("double") / F.col("max_len")
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(F.col("_ta"), F.col("_tb"))
+            .cast("long")
+            .alias("lev_dist"),
+            F.greatest(F.length("_ta"), F.length("_tb")).alias("max_len"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "lev_dist",
+            F.round(sim, 6).alias("edit_sim"),
+            (sim >= _ED_SIM_THRESH).alias("verified"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+dedup_edit_distance_verify.__doc__ = dedup_edit_distance_verify.__doc__.format(
+    thresh=_ED_SIM_THRESH
+)

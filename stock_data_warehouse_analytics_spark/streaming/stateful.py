@@ -14,9 +14,10 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_user_totals", "dedup_stream", "ams_register_stream"]
+__all__ = ["running_user_totals", "dedup_stream", "ams_register_stream", "sessionize_stream"]
 
 _OUT_SCHEMA = "user_id long, n_events long, total_value double, max_value double"
 _STATE_SCHEMA = "n long, total double, mx double"
@@ -133,3 +134,112 @@ def ams_register_stream(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------- stateful sessionizer (timeout)
+
+_SESS_GAP_US = 6 * 3600 * 1_000_000  # 6 h inactivity gap — must match
+#                                      plans/behavioral._GAP_US
+_SESS_OUT_SCHEMA = (
+    "user_id long, start_us long, end_us long, n_events long,"
+    " total_cents long"
+)
+_SESS_STATE_SCHEMA = "start long, last long, n long, cents long"
+
+
+def _sess_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    out: list[tuple] = []
+    if state.hasTimedOut:
+        (start, last, n, cents) = state.get
+        out.append((key[0], start, last, n, cents))
+        state.remove()
+    else:
+        evs: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            evs.extend(
+                zip(pdf["us"].astype("int64"), pdf["cents"].astype("int64"))
+            )
+        evs.sort()
+        if state.exists:
+            (start, last, n, cents) = state.get
+        else:
+            start = None  # type: ignore[assignment]
+            last = n = cents = 0
+        for us, c in evs:
+            if start is None:
+                start, last, n, cents = us, us, 1, int(c)
+            elif us - last > _SESS_GAP_US:
+                out.append((key[0], start, last, n, cents))
+                start, last, n, cents = us, us, 1, int(c)
+            else:
+                start = min(start, us)
+                last = max(last, us)
+                n += 1
+                cents += int(c)
+        if start is not None:
+            # close when event time passes last + gap (ms granularity);
+            # if the watermark ALREADY passed it (old events arriving
+            # in a later micro-batch), the session is expired on
+            # arrival — emit now, a timeout in the past is illegal
+            tts = last // 1000 + _SESS_GAP_US // 1000 + 1
+            wm = state.getCurrentWatermarkMs()
+            if tts <= wm:
+                out.append((key[0], start, last, n, cents))
+                state.remove()
+            else:
+                state.update((start, last, n, cents))
+                state.setTimeoutTimestamp(tts)
+        else:
+            state.remove()
+    yield pd.DataFrame(
+        out,
+        columns=["user_id", "start_us", "end_us", "n_events", "total_cents"],
+    )
+
+
+def sessionize_stream(stream: DataFrame, *, watermark: str = "1 minute") -> DataFrame:
+    """CUSTOM STATEFUL SESSIONIZER with EVENT-TIME TIMEOUT — the
+    operator shape ``F.session_window`` cannot express once the
+    per-session logic is custom (here: integer-cent accumulation and
+    an explicit closed-session record; in production: per-session ML
+    features, abandonment triggers).  One (start, last, n, cents)
+    tuple per OPEN session in the state store; a session emits when
+    (a) a later same-user event exceeds the {gap}-hour gap — closed by
+    SUCCESSOR — or (b) the event-time watermark passes last + gap —
+    closed by TIMEOUT (``GroupStateTimeout.EventTimeTimeout``), the
+    mechanism that bounds state for users who simply leave.
+
+    Ordering contract: events are sorted WITHIN each micro-batch and
+    the watermark bounds cross-batch disorder, the standard streaming
+    sessionizer assumption; the stream ≡ batch parity test feeds
+    time-ordered files and asserts emitted sessions equal the batch
+    gaps-and-islands sessions that are observably closed.
+
+    Scale shape: state is O(open sessions), each a fixed-width tuple;
+    the only shuffle is the user_id grouping."""
+    return (
+        stream.withWatermark("ts", watermark)
+        # keep the watermarked ts column itself — event-time timeout
+        # requires it to survive into the stateful operator's input
+        .select(
+            "user_id",
+            "ts",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sess_update,
+            outputStructType=_SESS_OUT_SCHEMA,
+            stateStructType=_SESS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+sessionize_stream.__doc__ = sessionize_stream.__doc__.format(gap=6)

@@ -343,3 +343,159 @@ def test_stateful_ams_registers_match_batch(spark, tmp_path):
     }
     assert set(got) == set(range(16)) == set(want)
     assert got == want
+
+
+def test_stateful_sessionizer_matches_batch(spark, tmp_path):
+    """Stream ≡ batch for the event-time-timeout sessionizer: feed the
+    events as THREE time-ordered files (range-partitioned on ts, so
+    micro-batches arrive chronologically — the sessionizer's stated
+    ordering contract), run availableNow, and compare emitted closed
+    sessions against the batch gaps-and-islands sessions.  Sessions
+    closed by a SUCCESSOR event must all emit; the user's final
+    session emits only if the final watermark passed its end + gap
+    (event-time timeout) — the test derives the exactly-expected set
+    from those rules, so it also pins whether the engine fires
+    timeouts on the terminal no-data batch."""
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+    from stock_data_warehouse_analytics_spark.streaming.stateful import (
+        _SESS_GAP_US,
+        sessionize_stream,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "src")
+    # Feed the stream as three files in GUARANTEED chronological order:
+    # FileStreamSource orders pending files by modification time, so a
+    # single range-partitioned write (identical mtimes) can process the
+    # newest slice first — every earlier file then arrives beyond the
+    # watermark and is dropped as late data wholesale.  Write each time
+    # slice separately and stamp ascending mtimes.
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(src)
+    cuts = events.select(
+        F.expr("percentile_approx(ts, array(0.34, 0.67), 10000)").alias("c")
+    ).collect()[0]["c"]
+    lo = F.col("ts") <= F.lit(cuts[0])
+    mid = (F.col("ts") > F.lit(cuts[0])) & (F.col("ts") <= F.lit(cuts[1]))
+    hi = F.col("ts") > F.lit(cuts[1])
+    for i, pred in enumerate([lo, mid, hi]):
+        stage = str(tmp_path / f"stage{i}")
+        (
+            events.filter(pred)
+            .select(
+                "event_id",
+                F.date_format(
+                    "ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+                ).alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(stage)
+        )
+        (part,) = glob.glob(f"{stage}/part-*.json")
+        dst = f"{src}/{i:03d}.json"
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    # foreachBatch, not the memory sink: the memory table was observed
+    # dropping all but the final batch's rows under availableNow here
+    # (the per-batch sink numOutputRows were correct) — foreachBatch
+    # collects on the driver and is the ground truth
+    emitted: list[tuple] = []
+
+    def _collect(df, _bid):
+        emitted.extend(
+            (r.user_id, r.start_us, r.end_us, r.n_events, r.total_cents)
+            for r in df.collect()
+        )
+
+    q = (
+        sessionize_stream(stream)
+        .writeStream.foreachBatch(_collect)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = set(emitted)
+    assert len(emitted) == len(got)  # closed sessions emit exactly once
+
+    # batch truth: gaps-and-islands sessions at the same 6 h gap
+    from pyspark.sql.window import Window
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        us.alias("us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.when(
+            F.lag(us).over(w).isNull()
+            | ((us - F.lag(us).over(w)) > _SESS_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.withColumn(
+        "seq",
+        F.sum("is_new")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("us")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("long"),
+    )
+    batch = (
+        sess.groupBy("user_id", "seq")
+        .agg(
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in batch:
+        by_user.setdefault(r.user_id, []).append(r)
+    max_us = events.agg(F.max(us)).collect()[0][0]
+    final_wm_us = max_us - 60 * 1_000_000  # the 1-minute delay
+    successor_closed, timeout_eligible = set(), set()
+    for u, rows in by_user.items():
+        rows.sort(key=lambda r: r.start_us)
+        for i, r in enumerate(rows):
+            t = (u, r.start_us, r.end_us, r.n_events, r.total_cents)
+            if i < len(rows) - 1:
+                successor_closed.add(t)
+            elif r.end_us + _SESS_GAP_US < final_wm_us:
+                timeout_eligible.add(t)
+    assert len(got) > 0
+    # every successor-closed session must emit, exactly
+    assert successor_closed <= got, (
+        len(successor_closed - got),
+        "successor-closed sessions missing from the stream output",
+    )
+    # nothing outside the two legitimate closure sets may emit
+    assert got <= successor_closed | timeout_eligible
+    # pin the terminal-timeout behavior explicitly so a silent engine
+    # change (no-data batch on availableNow) fails loudly
+    fired_terminal = bool(got & timeout_eligible)
+    assert got == successor_closed | (timeout_eligible if fired_terminal
+                                      else set())
