@@ -288,6 +288,12 @@ _BOUNDED_SINGLE_PARTITION = {
     "dedup_detector_ensemble",  # same cap scalar (minhash side)
     "dedup_rewrite_yield",  # same cap scalar (cached spans plan)
     "dedup_minhash_estimate_accuracy",  # same cap scalar (sig + shingle plans)
+    "dedup_minhash_band_tuning",  # same cap scalar; the (b,r) grid side
+    #   is a 50-row literal and the histogram is 10 rows
+    "dedup_edit_distance_verify",  # same cap scalar (minhash pairs CTE);
+    #   Levenshtein runs only on the LSH-bounded candidate pairs
+    "behavior_growth_accounting",  # one-row MAX(day) censoring scalar
+    #   (partial-agg upstream); the day-grain joins are hash-partitioned
     # round-6 session-3 additions, each with a written cardinality bound:
     # unpartitioned windows over the STRATUM table — ≤ _ATT_CAP+1 = 6 rows
     # by construction (activity band is capped at 5)
