@@ -814,3 +814,126 @@ def stream_ams_f2_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 stream_ams_f2_daily.__doc__ = stream_ams_f2_daily.__doc__.format(k=_AMS_K)
+
+
+# -------------------------------------- Misra-Gries / SpaceSaving top-k
+
+_MG_BUCKETS = 32  # partition fan-out of the distributed summary
+_MG_K = 8  # counters per bucket
+_MG_TOP = 10  # reported heavy hitters
+
+
+@register(
+    "sketch_misra_gries_topk",
+    tags=("sketch", "heavy-hitters", "misra-gries", "mergeable"),
+    oracle=f"""
+WITH f AS (
+  SELECT user_id,
+         ({_SQL_H60.format(x="'mg:' || CAST(user_id AS VARCHAR)")})
+           % {_MG_BUCKETS} AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+),
+thresh AS (
+  SELECT b,
+         COALESCE(MAX(CASE WHEN rk = {_MG_K + 1} THEN c END),
+                  CAST(0 AS BIGINT)) AS t
+  FROM (
+    SELECT b, c,
+           ROW_NUMBER() OVER (PARTITION BY b ORDER BY c DESC, user_id)
+             AS rk
+    FROM f
+  ) GROUP BY b
+),
+summary AS (
+  SELECT f.user_id, f.c - t.t AS est, f.c AS true_n, t.t
+  FROM f JOIN thresh t USING (b)
+  WHERE f.c > t.t
+),
+bound AS (SELECT CAST(SUM(t) AS BIGINT) AS global_slack FROM thresh)
+SELECT user_id, est AS est_count, true_n AS true_count,
+       true_n - est AS underestimate,
+       (SELECT global_slack FROM bound) AS max_possible_underestimate,
+       rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY est DESC, user_id) AS rk
+  FROM summary
+) WHERE rk <= {_MG_TOP}
+ORDER BY rk
+""",
+)
+def sketch_misra_gries_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MISRA-GRIES / SpaceSaving heavy hitters — the counter-based
+    sketch next to Count-Min (``sketch_count_min_heavy_hitters``):
+    each of {buckets} hash buckets keeps a {k}-counter summary, built
+    here from the bucket's exact frequencies by the threshold form of
+    the MG invariant — subtract the (k+1)-th largest count t_b from
+    everything and keep the survivors.  That form is ORDER-INDEPENDENT
+    (unlike the streaming one-pass update), so the summary is
+    deterministic, MERGEABLE by addition, and carries the classic
+    guarantee: each kept estimate underestimates its true count by at
+    most t_b ≤ N_b/(k+1), and Σ t_b bounds the global underestimate —
+    the bound is EMITTED next to the audit columns (true count and the
+    actual underestimate), which is what makes the sketch trustworthy
+    enough to act on.
+
+    Exactness: hash bucketing is the shared md5 primitive; counts,
+    thresholds, estimates and bounds are all BIGINT — fully
+    oracle-exact (unlike CM/AMS there is no probabilistic noise in
+    this construction, only the documented threshold loss).
+
+    Scale shape: one (user) grouped count (map-side partials); the
+    (k+1)-rank is a window PARTITIONED by bucket ({buckets} bounded
+    groups); the survivor set is ≤ {buckets}·{k} rows, so the global
+    top-{top} rank runs on a constant-size frame.  At 100 TB the
+    per-bucket summaries are what the executors ship — {k} counters
+    each, the whole point of MG."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    f = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).withColumn(
+        "b",
+        hash_int60(F.concat(F.lit("mg:"), F.col("user_id").cast("string")))
+        % _MG_BUCKETS,
+    )
+    w_b = Window.partitionBy("b").orderBy(F.desc("c"), "user_id")
+    ranked = f.withColumn("rk", F.row_number().over(w_b))
+    thresh = ranked.groupBy("b").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == _MG_K + 1, F.col("c"))),
+            F.lit(0).cast("long"),
+        ).alias("t")
+    )
+    summary = (
+        f.join(thresh, "b")
+        .filter(F.col("c") > F.col("t"))
+        .select(
+            "user_id",
+            (F.col("c") - F.col("t")).alias("est"),
+            F.col("c").alias("true_n"),
+            "t",
+        )
+    )
+    bound = thresh.agg(F.sum("t").cast("long").alias("global_slack"))
+    w_g = Window.orderBy(F.desc("est"), "user_id")
+    return (
+        summary.crossJoin(F.broadcast(bound))
+        .withColumn("rk", F.row_number().over(w_g))
+        .filter(F.col("rk") <= _MG_TOP)
+        .select(
+            "user_id",
+            F.col("est").alias("est_count"),
+            F.col("true_n").alias("true_count"),
+            (F.col("true_n") - F.col("est")).alias("underestimate"),
+            F.col("global_slack").alias("max_possible_underestimate"),
+            "rk",
+        )
+        .orderBy("rk")
+    )
+
+
+sketch_misra_gries_topk.__doc__ = sketch_misra_gries_topk.__doc__.format(
+    buckets=_MG_BUCKETS, k=_MG_K, top=_MG_TOP
+)

@@ -546,3 +546,43 @@ def test_dp_discrete_gaussian_matches_pure_python(spark):
         assert r["rho_zcdp"] == 1.0 / (2 * SIGMA * SIGMA)
     # the draws must actually vary across types (not all the same cell)
     assert len({r["z_noise"] for r in rows.values()}) > 1
+
+
+# ----------------------------------------------- Misra-Gries summary
+
+
+def test_misra_gries_matches_pure_python(spark):
+    """Independent re-derivation of the threshold-form Misra-Gries
+    summary: exact per-user counts from pandas, md5 bucketing, the
+    (k+1)-th-largest threshold per bucket, survivors and the global
+    top-10 — plus the sketch's GUARANTEE (every kept estimate
+    underestimates by at most its bucket threshold, and any user with
+    true count above the summed slack must survive)."""
+    K, BUCKETS, TOP = 8, 32, 10
+    ev = _events()
+    counts = ev.groupby("user_id").size().to_dict()
+    buckets: dict[int, list] = {}
+    for u, c in counts.items():
+        b = _h60(f"mg:{u}") % BUCKETS
+        buckets.setdefault(b, []).append((u, c))
+    survivors, slack = {}, 0
+    for b, items in buckets.items():
+        ranked = sorted(items, key=lambda t: (-t[1], t[0]))
+        t = ranked[K][1] if len(ranked) > K else 0
+        slack += t
+        for u, c in items:
+            if c > t:
+                survivors[u] = (c - t, c, t)
+    top = sorted(survivors.items(), key=lambda kv: (-kv[1][0], kv[0]))[:TOP]
+    rows = _run(spark, "sketch_misra_gries_topk")
+    assert len(rows) == min(TOP, len(survivors))
+    for rk, (r, (u, (est, c, t))) in enumerate(zip(rows, top), start=1):
+        assert (r["user_id"], r["est_count"], r["true_count"], r["rk"]) == (
+            u, est, c, rk
+        )
+        assert r["underestimate"] == c - est <= t  # per-bucket bound
+        assert r["max_possible_underestimate"] == slack
+    # guarantee: a user with true count above the global slack survives
+    for u, c in counts.items():
+        if c > slack:
+            assert u in survivors

@@ -294,6 +294,9 @@ _BOUNDED_SINGLE_PARTITION = {
     #   Levenshtein runs only on the LSH-bounded candidate pairs
     "behavior_growth_accounting",  # one-row MAX(day) censoring scalar
     #   (partial-agg upstream); the day-grain joins are hash-partitioned
+    "sketch_misra_gries_topk",  # the global top-10 window runs over the
+    #   survivor set, bounded ≤ 32 buckets × 8 counters = 256 rows by
+    #   the MG construction itself
     # round-6 session-3 additions, each with a written cardinality bound:
     # unpartitioned windows over the STRATUM table — ≤ _ATT_CAP+1 = 6 rows
     # by construction (activity band is capped at 5)
