@@ -392,3 +392,221 @@ def behavior_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# --------------------------------------- WAU / MAU growth accounting
+
+# The weekly/monthly grains of behavior_growth_accounting (r7 verdict
+# action #5), on INTEGER period indexes so every comparison is integer
+# arithmetic in both engines (no cross-engine interval/date_trunc
+# semantics in the hot path): weeks index from Monday 1970-01-05 —
+# ISO-week-aligned like date_trunc('week') — months as a year*12
+# month counter; the period-start DATE is rendered only for output.
+
+_GROWTH_ORACLE = """
+WITH active AS (
+  SELECT DISTINCT user_id, {idx} AS pi
+  FROM (SELECT user_id, CAST(ts AS DATE) AS d FROM events)
+),
+seq AS (
+  SELECT user_id, pi,
+         LAG(pi) OVER (PARTITION BY user_id ORDER BY pi) AS prev_pi,
+         LEAD(pi) OVER (PARTITION BY user_id ORDER BY pi) AS next_pi
+  FROM active
+),
+mx AS (SELECT MAX(pi) AS max_pi FROM active),
+classified AS (
+  SELECT pi,
+         CASE WHEN prev_pi IS NULL THEN 'new'
+              WHEN pi - prev_pi = 1 THEN 'retained'
+              ELSE 'resurrected' END AS kind
+  FROM seq
+),
+au AS (
+  SELECT pi,
+         CAST(COUNT(*) AS BIGINT) AS {act},
+         CAST(COUNT(*) FILTER (WHERE kind = 'new') AS BIGINT) AS n_new,
+         CAST(COUNT(*) FILTER (WHERE kind = 'retained') AS BIGINT)
+           AS n_retained,
+         CAST(COUNT(*) FILTER (WHERE kind = 'resurrected') AS BIGINT)
+           AS n_resurrected
+  FROM classified GROUP BY pi
+),
+churn AS (
+  SELECT pi + 1 AS pi, CAST(COUNT(*) AS BIGINT) AS n_churned
+  FROM seq, mx
+  WHERE (next_pi IS NULL OR next_pi > pi + 1) AND pi + 1 <= mx.max_pi
+  GROUP BY pi + 1
+)
+SELECT {start} AS period_start,
+       au.{act}, au.n_new, au.n_retained, au.n_resurrected,
+       COALESCE(ch.n_churned, 0) AS n_churned,
+       ROUND(CAST(au.n_new + au.n_resurrected AS DOUBLE)
+             / NULLIF(COALESCE(ch.n_churned, 0), 0), 6) AS quick_ratio
+FROM au LEFT JOIN churn ch ON ch.pi = au.pi
+ORDER BY period_start
+"""
+
+
+def _growth_accounting_core(
+    active: DataFrame, act_name: str
+) -> DataFrame:
+    """new/retained/resurrected/churned/quick-ratio over a distinct
+    (user_id, pi) activity frame with an INTEGER period index ``pi`` —
+    the grain-free core of ``behavior_growth_accounting`` (whose
+    day-grain semantics, including churn censored at the corpus's
+    final period, are preserved verbatim: retained ⇔ active in period
+    pi−1, churn attributed to the period AFTER the last active one).
+
+    Scale shape: identical to the daily query — one distinct
+    projection (map-side partial), one user-partitioned window pass,
+    two period-grain aggregates joined at period grain."""
+    w = Window.partitionBy("user_id").orderBy("pi")
+    seq = active.select(
+        "user_id",
+        "pi",
+        F.lag("pi").over(w).alias("prev_pi"),
+        F.lead("pi").over(w).alias("next_pi"),
+    )
+    kind = (
+        F.when(F.col("prev_pi").isNull(), "new")
+        .when(F.col("pi") - F.col("prev_pi") == 1, "retained")
+        .otherwise("resurrected")
+    )
+    au = (
+        seq.select("pi", kind.alias("kind"))
+        .groupBy("pi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias(act_name),
+            F.count(F.when(F.col("kind") == "new", 1))
+            .cast("long")
+            .alias("n_new"),
+            F.count(F.when(F.col("kind") == "retained", 1))
+            .cast("long")
+            .alias("n_retained"),
+            F.count(F.when(F.col("kind") == "resurrected", 1))
+            .cast("long")
+            .alias("n_resurrected"),
+        )
+    )
+    mx = active.agg(F.max("pi").alias("max_pi"))
+    churn = (
+        seq.crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("next_pi").isNull() | (F.col("next_pi") > F.col("pi") + 1))
+            & (F.col("pi") + 1 <= F.col("max_pi"))
+        )
+        .groupBy((F.col("pi") + 1).alias("pi"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    return au.join(churn, "pi", "left").select(
+        "pi",
+        act_name,
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce(F.col("n_churned"), F.lit(0)).alias("n_churned"),
+        F.round(
+            (F.col("n_new") + F.col("n_resurrected")).cast("double")
+            / F.nullif(F.coalesce(F.col("n_churned"), F.lit(0)), F.lit(0)),
+            6,
+        ).alias("quick_ratio"),
+    )
+
+
+_WK_EPOCH = "1970-01-05"  # a Monday: week index is ISO-week-aligned
+
+
+@register(
+    "behavior_growth_accounting_wau",
+    tags=("behavioral", "growth", "retention", "wau"),
+    oracle=_GROWTH_ORACLE.format(
+        idx=f"(d - DATE '{_WK_EPOCH}') // 7",
+        act="wau",
+        start=f"DATE '{_WK_EPOCH}' + CAST(au.pi * 7 AS INTEGER)",
+    ),
+)
+def behavior_growth_accounting_wau(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEEKLY growth accounting — WAU(t) = new + retained + resurrected
+    with the quick ratio, the week grain of
+    ``behavior_growth_accounting`` (same churn-censoring semantics:
+    retained ⇔ active the immediately previous ISO week, churn lands
+    on the week after the last active one, censored at the final
+    observed week).  Weeks are integer indexes from Monday 1970-01-05,
+    so every retained/churn comparison is pure integer arithmetic in
+    both engines; the Monday period_start date is rendered at output.
+
+    Scale shape: see ``_growth_accounting_core`` — distinct projection
+    + one user-partitioned window + period-grain aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.lit(_WK_EPOCH).cast("date")
+    active = ev.select(
+        "user_id",
+        F.floor(F.datediff(F.col("ts").cast("date"), epoch) / 7)
+        .cast("long")
+        .alias("pi"),
+    ).distinct()
+    out = _growth_accounting_core(active, "wau")
+    return (
+        out.select(
+            F.date_add(epoch, (F.col("pi") * 7).cast("int")).alias(
+                "period_start"
+            ),
+            "wau",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            "n_churned",
+            "quick_ratio",
+        )
+        .orderBy("period_start")
+    )
+
+
+@register(
+    "behavior_growth_accounting_mau",
+    tags=("behavioral", "growth", "retention", "mau"),
+    oracle=_GROWTH_ORACLE.format(
+        idx="EXTRACT(YEAR FROM d) * 12 + EXTRACT(MONTH FROM d) - 1",
+        act="mau",
+        start="MAKE_DATE(CAST(au.pi // 12 AS INTEGER),"
+        " CAST(au.pi % 12 + 1 AS INTEGER), 1)",
+    ),
+)
+def behavior_growth_accounting_mau(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MONTHLY growth accounting — MAU(t) with the quick ratio, the
+    month grain of ``behavior_growth_accounting`` (same semantics:
+    retained ⇔ active the immediately previous calendar month, churn
+    on the month after the last active one, censored at the final
+    observed month).  Months are the integer counter year·12+month−1,
+    so adjacency is pi−prev_pi = 1 across year boundaries for free;
+    the first-of-month period_start is rendered at output.
+
+    Scale shape: see ``_growth_accounting_core``."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    active = ev.select(
+        "user_id",
+        (F.year(d) * 12 + F.month(d) - 1).cast("long").alias("pi"),
+    ).distinct()
+    out = _growth_accounting_core(active, "mau")
+    return (
+        out.select(
+            F.make_date(
+                F.floor(F.col("pi") / 12).cast("int"),
+                (F.col("pi") % 12 + 1).cast("int"),
+                F.lit(1),
+            ).alias("period_start"),
+            "mau",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            "n_churned",
+            "quick_ratio",
+        )
+        .orderBy("period_start")
+    )

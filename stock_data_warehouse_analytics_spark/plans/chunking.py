@@ -17,6 +17,8 @@ those exact integers the same way on both engines, then rounded to
 
 from __future__ import annotations
 
+import weakref as _weakref
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -802,12 +804,13 @@ def chunk_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is computed once); the sparse leg shuffles on the df-capped shingle
     key (candidates only where a shingle is shared); the dense leg's
     bucket join is a HASH_DIM-key equi-join whose q-side is the BOUNDED
-    query set; fusion joins two depth-_HY_DEPTH lists per query chunk."""
-    d = load_table(spark, sf_dir, "documents")
-    ch = chunk_documents(
-        d, chunk_tokens=CHUNK_TOKENS, overlap=OVERLAP, keep_text=True
+    query set; fusion joins two depth-_HY_DEPTH lists per query chunk.
+    The legs come from the session-memoized ``_hybrid_legs_for`` store,
+    shared with the two retrieval-eval panels."""
+    sparse, dense = _hybrid_legs_for(spark, sf_dir)
+    return _rrf_fuse(sparse, dense, out_depth=_HY_OUT).orderBy(
+        "q_doc", "q_chunk", "rrf_rank"
     )
-    return hybrid_fused_candidates(ch).orderBy("q_doc", "q_chunk", "rrf_rank")
 
 
 def hybrid_fused_candidates(
@@ -817,11 +820,54 @@ def hybrid_fused_candidates(
     carry doc_id, chunk_id, chunk_text): sparse + dense legs at
     ``leg_depth`` fused by RRF and cut to ``out_depth`` per query
     chunk.  Factored from ``chunk_hybrid_rrf_topk`` (identical plan at
-    the defaults — that query's oracle pins this function) so the
-    end-to-end RAG composition (``plans/rag_e2e.py``) can run the SAME
-    retriever over a DEDUPED chunk table at a deeper fused cut."""
+    the defaults — that query's oracle pins ``_hybrid_legs`` +
+    ``_rrf_fuse``, the exact composition here) so the end-to-end RAG
+    composition (``plans/rag_e2e.py``) can run the SAME retriever over
+    a DEDUPED chunk frame at a deeper fused cut (which is why this
+    keeps the explicit ``ch`` argument instead of the memoized
+    standard-corpus legs of ``_hybrid_legs_for``)."""
     sparse, dense = _hybrid_legs(ch, leg_depth=leg_depth)
     return _rrf_fuse(sparse, dense, out_depth=out_depth)
+
+
+_LEGS_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _hybrid_legs_for(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The staged depth-_HY_DEPTH (sparse, dense) leg rankings over the
+    STANDARD document chunking, localCheckpointed eagerly and memoized
+    per (session, sf_dir) — the ``_daily_cum_moments`` `_MOMENTS_CACHE`
+    pattern applied to retrieval (r7 verdict action #2).  THREE
+    registered consumers share one chunk+shingle pass per session:
+    ``chunk_hybrid_rrf_topk``, ``eval_rag_retrieval_recall`` and
+    ``eval_retrieval_mrr_map`` each derive every frame they rank from
+    these two (q_chunk × depth)-bounded checkpointed lists, so the
+    corpus-sized explode + df census + both leg joins run ONCE per
+    session instead of once per panel.  The checkpointed frames are
+    candidate-list-grain (≤ |query chunks| × depth rows each), never
+    corpus-sized.  STALENESS CONTRACT: same as ``_MOMENTS_CACHE`` —
+    the key is never invalidated; rewriting parquet under ``sf_dir``
+    within one SparkSession serves the pre-rewrite snapshot (inputs
+    are immutable per run; a mutating pipeline must start a fresh
+    session or key on a dir fingerprint)."""
+    per_session = _LEGS_CACHE.setdefault(spark, {})
+    if sf_dir not in per_session:
+        ch = chunk_documents(
+            load_table(spark, sf_dir, "documents"),
+            chunk_tokens=CHUNK_TOKENS,
+            overlap=OVERLAP,
+            keep_text=True,
+        )
+        sparse, dense = _hybrid_legs(ch, leg_depth=_HY_DEPTH)
+        per_session[sf_dir] = (
+            sparse.localCheckpoint(eager=True),
+            dense.localCheckpoint(eager=True),
+        )
+    return per_session[sf_dir]
 
 
 def _hybrid_legs(
@@ -1177,23 +1223,14 @@ def eval_rag_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     double division (no float summation-order hazard).
 
     Scale shape: ONE chunk+shingle pass feeds truth, dense and hybrid —
-    the two depth-10 leg rankings are staged ONCE
-    (``_hybrid_legs`` + localCheckpoint) and every panel frame (truth =
+    the two depth-10 leg rankings come from the SESSION-memoized
+    ``_hybrid_legs_for`` store (r7 verdict action #2), shared with the
+    hybrid query and the MRR/MAP panel, and every panel frame (truth =
     sparse top-{k}, dense top-{k}, hybrid fusion) is a filter or a
     depth-bounded join over them, so nothing corpus-sized runs twice
-    (the round-6 verdict's leg-sharing action); output is |query docs|
-    rows."""
-    ch = chunk_documents(
-        load_table(spark, sf_dir, "documents"),
-        chunk_tokens=CHUNK_TOKENS,
-        overlap=OVERLAP,
-        keep_text=True,
-    )
-    # stage both leg rankings once — (q_chunk × leg_depth)-bounded
-    # frames, three consumers each (truth/dense cut + the fusion)
-    sparse, dense = _hybrid_legs(ch, leg_depth=_HY_DEPTH)
-    sparse = sparse.localCheckpoint(eager=True)
-    dense = dense.localCheckpoint(eager=True)
+    within the query OR across the retrieval-eval family; output is
+    |query docs| rows."""
+    sparse, dense = _hybrid_legs_for(spark, sf_dir)
     fused = _rrf_fuse(sparse, dense, out_depth=_RC_K)
     # leg ranks and the panel's recall-depth cuts share one window
     # order (cosine desc, c_doc, c_chunk), so top-k IS rank ≤ k
@@ -1251,6 +1288,11 @@ def eval_rag_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_doc")
     )
+
+
+eval_rag_retrieval_recall.__doc__ = eval_rag_retrieval_recall.__doc__.format(
+    k=_RC_K
+)
 
 
 # -------------------------------------------------- MRR / MAP eval
@@ -1398,19 +1440,11 @@ def eval_retrieval_mrr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum, so the per-document means are exact integer sums with one
     final double division each.
 
-    Scale shape: identical economics to the recall panel — ONE
-    chunk+shingle pass via the staged legs (localCheckpoint, three
-    bounded consumers), then joins on depth-bounded per-chunk lists;
-    output is |query docs| rows."""
-    ch = chunk_documents(
-        load_table(spark, sf_dir, "documents"),
-        chunk_tokens=CHUNK_TOKENS,
-        overlap=OVERLAP,
-        keep_text=True,
-    )
-    sparse, dense = _hybrid_legs(ch, leg_depth=_HY_DEPTH)
-    sparse = sparse.localCheckpoint(eager=True)
-    dense = dense.localCheckpoint(eager=True)
+    Scale shape: identical economics to the recall panel — the staged
+    legs come from the SESSION-memoized ``_hybrid_legs_for`` store
+    (shared with the hybrid query and the recall panel), then joins on
+    depth-bounded per-chunk lists; output is |query docs| rows."""
+    sparse, dense = _hybrid_legs_for(spark, sf_dir)
     keys = ["q_doc", "q_chunk", "c_doc", "c_chunk"]
     truth = sparse.filter(F.col("s_rnk") <= _RC_K).drop("s_rnk")
     truth_n = truth.groupBy("q_doc", "q_chunk").agg(

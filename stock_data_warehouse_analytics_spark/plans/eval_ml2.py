@@ -575,12 +575,17 @@ def sim_topk_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine is the shared zip_with/aggregate ≡ list_dot_product fold,
     rounded to 6 dp before ranking.
 
-    Scale shape: the corpus is scanned ONCE (bit-words + normalized
-    vector in the same projection); only {cand} candidate rows per
-    query carry vectors into the re-rank, so stage-2 cost is
-    O(|Q|·{cand}) dot products regardless of corpus size; query side
-    is the bounded {nq}-row broadcast (written bound in
-    tests/test_plan_shapes._BOUNDED_BROADCAST)."""
+    Scale shape: stage 1 carries ONLY (id, two bit words) — the float
+    vectors never enter the |Q|×N Hamming scoring (the r7 verdict's
+    memory-traffic finding #4: projecting the normalized vectors into
+    the pre-cut join shipped them per (query, corpus-row) pair); after
+    the {cand}-per-query cut, the ≤ |Q|·{cand} candidate rows join the
+    vectors BACK — the query side from the bounded {nq}-row broadcast
+    (written bound in tests/test_plan_shapes._BOUNDED_BROADCAST), the
+    corpus side by an equi-join AQE resolves as a broadcast of the
+    tiny candidate list probing one pruned (vec_id, embedding) scan,
+    the Spark rendering of a vector-store point-lookup.  Stage-2 cost
+    is O(|Q|·{cand}) dot products regardless of corpus size."""
     e = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding")
     norm = F.sqrt(
@@ -590,31 +595,30 @@ def sim_topk_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + x.cast("double") * x.cast("double"),
         )
     )
+    vecs = e.select(
+        "vec_id",
+        F.transform(v, lambda x: x.cast("double") / norm).alias("vn"),
+    )
     bits = e.select(
         "vec_id",
         _half_bits(v, 0).alias("w1"),
         _half_bits(v, 32).alias("w2"),
-        F.transform(v, lambda x: x.cast("double") / norm).alias("vn"),
     )
     q = bits.filter(F.col("vec_id") < _BQ_NQ).select(
         F.col("vec_id").alias("query_id"),
         F.col("w1").alias("qw1"),
         F.col("w2").alias("qw2"),
-        F.col("vn").alias("qn"),
     )
     c = bits.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("w1").alias("cw1"),
         F.col("w2").alias("cw2"),
-        F.col("vn").alias("cn"),
     )
     hamm = c.join(
         F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
     ).select(
         "query_id",
         "neighbor_id",
-        "qn",
-        "cn",
         (
             F.bit_count(F.col("qw1").bitwiseXOR(F.col("cw1")))
             + F.bit_count(F.col("qw2").bitwiseXOR(F.col("cw2")))
@@ -624,19 +628,35 @@ def sim_topk_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         hamm.withColumn("h_rnk", F.row_number().over(w_h))
         .filter(F.col("h_rnk") <= _BR_CAND)
+        .select("query_id", "neighbor_id", "hamming")
     )
-    rer = cand.select(
-        "query_id",
-        "neighbor_id",
-        "hamming",
-        F.round(
-            F.aggregate(
-                F.zip_with(F.col("qn"), F.col("cn"), lambda a, b: a * b),
-                F.lit(0.0),
-                lambda a, x: a + x,
+    qvecs = vecs.filter(F.col("vec_id") < _BQ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("vn").alias("qn")
+    )
+    rer = (
+        cand.join(F.broadcast(qvecs), "query_id")
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("vn").alias("cn"),
             ),
-            6,
-        ).alias("cosine"),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qn"), F.col("cn"), lambda a, b: a * b
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            ).alias("cosine"),
+        )
     )
     w_c = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), "neighbor_id"

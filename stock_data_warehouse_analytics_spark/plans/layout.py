@@ -200,6 +200,11 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+layout_zorder_skipping.__doc__ = layout_zorder_skipping.__doc__.format(
+    files=_FILES, bits=_BITS
+)
+
+
 # ------------------------------------------- clustering depth (overlap)
 
 
@@ -372,3 +377,8 @@ def layout_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+layout_clustering_depth.__doc__ = layout_clustering_depth.__doc__.format(
+    files=_FILES
+)

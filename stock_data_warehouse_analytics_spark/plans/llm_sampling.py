@@ -174,6 +174,11 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+pack_training_sequences.__doc__ = pack_training_sequences.__doc__.format(
+    budget=_SEQ_BUDGET
+)
+
+
 # target mixture over source groups: sources are binned by a stable
 # predicate (hash of the source name) into three notional corpora
 _MIX_WEIGHTS = {"web": 0.6, "books": 0.3, "code": 0.1}

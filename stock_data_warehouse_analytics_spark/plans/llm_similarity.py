@@ -187,6 +187,126 @@ def sim_topk_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NPROBE_SWEEP = (1, 2, 4, 8, 16)  # 16 = n_cells ⇒ exhaustive = recall 1
+_TUNE_NQ = 8  # query set vec_id < 8, fixed like the other ANN entries
+_TUNE_K = 5
+
+
+@register(
+    "sim_ivf_nprobe_tuning",
+    tags=("llm", "similarity", "ann", "ivf", "tuning", "eval"),
+    oracle=None,  # the Lloyd quantizer's cells aren't SQL-expressible
+    # (same stance as every IVF entry); the recall identity and curve
+    # invariants are pinned by tests/test_streaming_multimodal.py::
+    # test_ivf_nprobe_tuning_curve
+)
+def sim_ivf_nprobe_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF RECALL-vs-NPROBE TUNING CURVE — the band-tuning shape
+    (``dedup_minhash_band_tuning``) applied to the ANN family (r7
+    verdict action #4): for each nprobe in {sweep}, recall@{k} of the
+    IVF search against the brute-force truth, next to the mean
+    fraction of the corpus the probe would scan — the two axes an
+    operator reads to pick nprobe.
+
+    The curve costs ONE brute-force truth pass, not one IVF search per
+    sweep point, via a rank identity: with nested candidate sets
+    (cells probed at nprobe=p ⊂ cells at p+1) and all rankings sharing
+    one total order (round(cosine, 6) desc, id tiebreak), a truth item
+    at global rank r ≤ {k} is in the IVF top-{k} at nprobe=p IFF its
+    cell is among the query's p nearest — everything ranked above it
+    is itself truth, so it can never be displaced out of the top {k}.
+    Recall@{k}(p) is therefore (# truth items whose cell has probe
+    rank ≤ p) / ({k}·|Q|), computed from the {k}·|Q|-row truth list,
+    the corpus cell assignment, and the |Q|×n_cells probe-preference
+    table.  The identity itself is asserted against an independently
+    executed IVF search in the pytest above.
+
+    Scale shape: the quantizer comes from the SESSION cache
+    (``ivf_quantizer`` — never refit per sweep point, the verdict's
+    stated cost trap); truth is the bounded-|Q| broadcast brute-force
+    pass every recall eval already pays; everything downstream is
+    joins over ≤ |Q|·n_cells-row frames.  Probe-cost accounting sums
+    the sizes of each query's top-p cells (one groupBy over the
+    assignment) — no second corpus pass."""
+    from ..operators.similarity import dot, normalize
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, centers = ivf_quantizer(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < _TUNE_NQ)
+    truth = topk_bruteforce(e, queries, k=_TUNE_K)
+
+    from pyspark.sql import Window
+
+    # query → cell preference ranking, EXACTLY topk_ivf_probe's probe
+    # order (||c||² − 2 q·c rounded to 9, cell tiebreak)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        normalize(F.col("embedding")).alias("_qn"),
+    )
+    d2 = dot(F.col("cvec"), F.col("cvec")) - 2.0 * dot(
+        F.col("_qn"), F.col("cvec")
+    )
+    wpr = Window.partitionBy("query_id").orderBy("_d2", "cell")
+    prefs = (
+        q.crossJoin(F.broadcast(centers))
+        .withColumn("_d2", F.round(d2, 9))
+        .withColumn("pr", F.row_number().over(wpr))
+        .select("query_id", "cell", "pr")
+    )
+    # probe rank of each truth item's cell (≤ k·|Q| rows)
+    tpr = (
+        truth.select("query_id", "neighbor_id")
+        .join(assigned.select("neighbor_id", "cell"), "neighbor_id")
+        .join(prefs, ["query_id", "cell"])
+        .select("query_id", "pr")
+    )
+    pts = spark.createDataFrame(
+        [(p,) for p in _NPROBE_SWEEP], "nprobe int"
+    )
+    hits = (
+        pts.join(tpr, F.col("pr") <= F.col("nprobe"), "left")
+        .groupBy("nprobe")
+        .agg(F.count(F.col("pr")).cast("long").alias("n_hits"))
+    )
+    # scan-cost: rows in each query's top-p cells, summed over queries
+    sizes = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("c_rows")
+    )
+    wcum = Window.partitionBy("query_id").orderBy("pr")
+    cum = (
+        prefs.join(F.broadcast(sizes), "cell")
+        .withColumn("cum_rows", F.sum("c_rows").over(wcum))
+        .select("pr", "cum_rows")
+    )
+    scan = (
+        pts.join(cum, F.col("pr") == F.col("nprobe"))
+        .groupBy("nprobe")
+        .agg(F.sum("cum_rows").cast("long").alias("sum_rows"))
+    )
+    tot = sizes.agg(F.sum("c_rows").cast("long").alias("n_total"))
+    return (
+        hits.join(scan, "nprobe")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nprobe",
+            F.round(
+                F.col("n_hits").cast("double") / (_TUNE_K * _TUNE_NQ), 6
+            ).alias(f"recall_at{_TUNE_K}"),
+            F.round(
+                F.col("sum_rows").cast("double")
+                / (_TUNE_NQ * F.col("n_total").cast("double")),
+                6,
+            ).alias("mean_frac_scanned"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+sim_ivf_nprobe_tuning.__doc__ = sim_ivf_nprobe_tuning.__doc__.format(
+    sweep=_NPROBE_SWEEP, k=_TUNE_K
+)
+
+
 @register(
     "emb_neardup_exact",
     tags=("llm", "dedup", "embedding"),

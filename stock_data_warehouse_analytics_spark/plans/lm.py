@@ -481,3 +481,6 @@ def stream_lm_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score_columns(
         d.select("doc_id", "text"), c2, c1, v, threshold=_PPL_FLAG
     ).orderBy("doc_id")
+
+
+stream_lm_admission.__doc__ = stream_lm_admission.__doc__.format(flag=_PPL_FLAG)

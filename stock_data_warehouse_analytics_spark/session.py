@@ -142,5 +142,13 @@ def get_spark(
         # full-registry bench 309s -> 178s with this set).  90s keeps
         # cleanup ahead of accumulation at negligible GC cost.
         .config("spark.cleaner.periodicGC.interval", "90s")
+        # Python workers connect back to the JVM over a local socket
+        # with a default 15s auth/handshake window; under 32-way
+        # full-suite load it intermittently expires
+        # (SocketTimeoutException in
+        # PythonWorkerFactory.createSimpleWorker → 0-row streaming
+        # micro-batches; r5/r7 judge-run flake).  60s absorbs the load
+        # storms; no effect on the happy path, which connects in ms.
+        .config("spark.python.authenticate.socketTimeout", "60s")
     )
     return tune_for_engine(builder.getOrCreate())

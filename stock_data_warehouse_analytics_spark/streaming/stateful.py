@@ -10,6 +10,7 @@ width), so the state store stays O(active keys) at any input scale.
 
 from __future__ import annotations
 
+import re as _re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -220,7 +221,22 @@ def sessionize_stream(stream: DataFrame, *, watermark: str = "1 minute") -> Data
     gaps-and-islands sessions that are observably closed.
 
     Scale shape: state is O(open sessions), each a fixed-width tuple;
-    the only shuffle is the user_id grouping."""
+    the only shuffle is the user_id grouping.
+
+    The watermark delay must be WELL UNDER the {gap}-hour gap:
+    ``_sess_update`` folds any within-watermark late event into the
+    open session via start=min(start, us), which is correct only while
+    lateness < gap — a delay ≥ the gap would let an event older than
+    the gap silently MERGE two sessions that batch gaps-and-islands
+    logic splits, so that configuration is rejected here rather than
+    silently diverging from the batch twin (round-7 ADVICE #2)."""
+    if _parse_delay_us(watermark) >= _SESS_GAP_US:
+        raise ValueError(
+            f"sessionize_stream: watermark delay {watermark!r} must be"
+            f" < the session gap ({_SESS_GAP_US // 3_600_000_000} h) —"
+            " a late event older than the gap would merge sessions the"
+            " batch semantics split"
+        )
     return (
         stream.withWatermark("ts", watermark)
         # keep the watermarked ts column itself — event-time timeout
@@ -242,4 +258,33 @@ def sessionize_stream(stream: DataFrame, *, watermark: str = "1 minute") -> Data
     )
 
 
-sessionize_stream.__doc__ = sessionize_stream.__doc__.format(gap=6)
+_DELAY_UNIT_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60 * 1_000_000,
+    "hour": 3600 * 1_000_000,
+    "day": 86400 * 1_000_000,
+    "week": 7 * 86400 * 1_000_000,
+}
+
+
+def _parse_delay_us(delay: str) -> int:
+    """Parse a Spark watermark delay string ('1 minute', '30 seconds')
+    to microseconds — the same `<number> <unit>[s]` grammar
+    CalendarInterval accepts for watermark thresholds.  Used only for
+    the sessionizer's delay-vs-gap guard; unknown strings raise so a
+    typo can't silently skip the guard."""
+    m = _re.fullmatch(
+        r"\s*(\d+)\s*([a-z]+?)s?\s*", delay.lower()
+    )
+    if not m or m.group(2) not in _DELAY_UNIT_US:
+        raise ValueError(f"unsupported watermark delay string: {delay!r}")
+    return int(m.group(1)) * _DELAY_UNIT_US[m.group(2)]
+
+
+# derive the doc gap from the constant so the docstring can't go stale
+# if _SESS_GAP_US changes (round-7 ADVICE #3)
+sessionize_stream.__doc__ = sessionize_stream.__doc__.format(
+    gap=_SESS_GAP_US // 3_600_000_000
+)

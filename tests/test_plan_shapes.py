@@ -127,7 +127,10 @@ _BOUNDED_BROADCAST = {
     "sim_topk_ivf": "query set filtered to fixed ids; centroid table is k rows",
     "sim_topk_ivf_probe": "query set filtered to fixed ids; probe list is (|Q|·nprobe) rows",
     "sim_topk_ivfpq": "query set filtered to fixed ids; codebook is (m·k) rows",
-    "sim_topk_binary_rerank": "query set filtered to vec_id < 16 (16 rows) before the hint",
+    "sim_topk_binary_rerank": (
+        "both hints (bit-word query set, stage-2 query vectors) are "
+        "filtered to vec_id < 16 (16 rows) before the hint"
+    ),
     "sim_topk_lsh": "documented LSH baseline; query set filtered to fixed ids",
     "text_contamination_overlap": (
         "benchmark shingle side filtered to doc_id < 20 (eval sets are "
@@ -689,3 +692,37 @@ def test_staged_frames_are_not_reexploded(spark, name):
     plan = _plan(spark, name)
     assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
     assert "Generate" not in plan, plan
+
+
+def test_binary_rerank_defers_vectors_past_candidate_cut(spark):
+    """r7 verdict finding #4: sim_topk_binary_rerank's stage-1 Hamming
+    ranking must carry ONLY (ids, bit words, hamming) — the float
+    vectors join back on the ≤ |Q|·50 candidate rows AFTER the h_rnk
+    cut, so stage 1 delivers the 16-bytes-per-vector memory traffic
+    the docstring promises.  Pinned structurally: every Window node in
+    the analyzed plan (both the h_rnk and the final cosine rnk) must
+    see NO array-typed column in its child's output — the cosine rank
+    runs after the re-rank projection has already folded the vectors
+    into a scalar."""
+    df = QUERIES["sim_topk_binary_rerank"].fn(spark, SF_SMALL)
+
+    windows = []
+
+    def walk(node):
+        if node.getClass().getSimpleName() == "Window":
+            windows.append(node)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    assert len(windows) == 2, [w.toString()[:120] for w in windows]
+    for w in windows:
+        out = w.child().output()
+        types = [
+            out.apply(i).dataType().simpleString() for i in range(out.size())
+        ]
+        assert not any(t.startswith("array") for t in types), (
+            w.toString()[:200],
+            types,
+        )

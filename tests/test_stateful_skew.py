@@ -499,3 +499,41 @@ def test_stateful_sessionizer_matches_batch(spark, tmp_path):
     fired_terminal = bool(got & timeout_eligible)
     assert got == successor_closed | (timeout_eligible if fired_terminal
                                       else set())
+
+
+def test_sessionize_stream_rejects_watermark_at_or_over_gap(spark):
+    """The sessionizer's delay-vs-gap guard (r7 ADVICE #2):
+    _sess_update folds within-watermark late events into the open
+    session via start=min(start, us), which silently MERGES sessions
+    batch logic splits once lateness >= the gap — so sessionize_stream
+    must reject such a watermark instead of diverging from its batch
+    twin.  Also pins the delay-string parser's units."""
+    import pytest as _pytest
+
+    from stock_data_warehouse_analytics_spark.streaming.stateful import (
+        _SESS_GAP_US,
+        _parse_delay_us,
+        sessionize_stream,
+    )
+
+    assert _parse_delay_us("1 minute") == 60_000_000
+    assert _parse_delay_us("30 seconds") == 30_000_000
+    assert _parse_delay_us("2 hours") == 7_200_000_000
+    with _pytest.raises(ValueError):
+        _parse_delay_us("one eternity")
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            F.col("value").alias("user_id"),
+            F.col("timestamp").alias("ts"),
+            F.lit(1.0).alias("value"),
+        )
+    )
+    gap_h = _SESS_GAP_US // 3_600_000_000
+    with _pytest.raises(ValueError, match="watermark delay"):
+        sessionize_stream(stream, watermark=f"{gap_h} hours")
+    with _pytest.raises(ValueError, match="watermark delay"):
+        sessionize_stream(stream, watermark=f"{gap_h + 1} hours")
+    # under the gap is accepted (plan construction succeeds lazily)
+    sessionize_stream(stream, watermark="1 hour")

@@ -1336,3 +1336,54 @@ def test_conformal_gate_small_n_admits_all(spark):
     assert "unseen" not in q
     g = {r.event_id: r.admitted for r in conformal_gate(events, qhat).collect()}
     assert g == {200: False, 201: True, 202: True}
+
+
+def test_ivf_nprobe_tuning_curve(spark):
+    """The nprobe tuning curve's THREE contracts: (1) curve invariants
+    — recall and scan fraction both monotone non-decreasing in nprobe,
+    both exactly 1.0 at nprobe = n_cells (exhaustive probe ≡ brute
+    force); (2) the rank identity the query's cheap computation rests
+    on — recall at the production nprobe=4 must EQUAL the recall
+    measured by intersecting an independently executed IVF search
+    (topk_ivf_probe at nprobe=4) with the brute-force truth; (3) one
+    row per sweep point."""
+    from stock_data_warehouse_analytics_spark.plans.llm_similarity import (
+        _NPROBE_SWEEP,
+        _TUNE_K,
+        _TUNE_NQ,
+        ivf_quantizer,
+        sim_ivf_nprobe_tuning,
+    )
+    from stock_data_warehouse_analytics_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_ivf_probe,
+    )
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    rows = sim_ivf_nprobe_tuning(spark, SF_SMALL).collect()
+    assert [r.nprobe for r in rows] == sorted(_NPROBE_SWEEP)
+    rec = [r[f"recall_at{_TUNE_K}"] for r in rows]
+    frac = [r.mean_frac_scanned for r in rows]
+    assert rec == sorted(rec), rec
+    assert frac == sorted(frac), frac
+    assert rec[-1] == 1.0  # nprobe = n_cells probes every cell
+    assert frac[-1] == 1.0
+    assert all(0.0 < f <= 1.0 for f in frac)
+
+    # the rank identity, verified against a REAL IVF execution
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < _TUNE_NQ)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_bruteforce(emb, q, k=_TUNE_K).collect()
+    }
+    assigned, centers = ivf_quantizer(spark, SF_SMALL)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_ivf_probe(
+            assigned, centers, q, k=_TUNE_K, nprobe=4
+        ).collect()
+    }
+    want_recall = round(len(truth & got) / (_TUNE_K * _TUNE_NQ), 6)
+    by_p = {r.nprobe: r[f"recall_at{_TUNE_K}"] for r in rows}
+    assert abs(by_p[4] - want_recall) < 1e-9, (by_p[4], want_recall)
