@@ -610,3 +610,167 @@ def behavior_growth_accounting_mau(
         )
         .orderBy("period_start")
     )
+
+
+@register(
+    "behavior_stickiness_dau_mau",
+    tags=("behavioral", "growth", "stickiness", "dau", "mau"),
+    oracle="""
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+dau AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM active GROUP BY d
+),
+mau AS (
+  SELECT EXTRACT(YEAR FROM d) * 12 + EXTRACT(MONTH FROM d) - 1 AS mi,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+  FROM active GROUP BY 1
+)
+SELECT dau.d, dau.dau, mau.mau,
+       ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+FROM dau
+JOIN mau ON mau.mi = EXTRACT(YEAR FROM dau.d) * 12
+            + EXTRACT(MONTH FROM dau.d) - 1
+ORDER BY dau.d
+""",
+)
+def behavior_stickiness_dau_mau(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STICKINESS (DAU/MAU) — the engagement-frequency ratio read next
+    to the growth-accounting panels (``behavior_growth_accounting`` and
+    its WAU/MAU grains): for every calendar day, the day's distinct
+    actives over the distinct actives of its CALENDAR MONTH — 1.0 means
+    every monthly user shows up daily, ~1/30 means monthly users touch
+    the product once.
+
+    Exactness: two distinct counts and one round-6 division; the month
+    key is the same integer year·12+month−1 counter the MAU query
+    uses, so the day→month join is integer in both engines.
+
+    Scale shape: one distinct (user, day) projection feeds BOTH
+    aggregates (day grain directly; month grain re-aggregating the
+    distinct-user-day frame with its own DISTINCT user count); the
+    day→month join is calendar-bounded on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    dau = active.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    mi = (F.year(F.col("d")) * 12 + F.month(F.col("d")) - 1).cast("long")
+    mau = (
+        active.select("user_id", mi.alias("mi"))
+        .distinct()
+        .groupBy("mi")
+        .agg(F.count(F.lit(1)).cast("long").alias("mau"))
+    )
+    return (
+        dau.withColumn("mi", mi)
+        .join(F.broadcast(mau), "mi")
+        .select(
+            "d",
+            "dau",
+            "mau",
+            F.round(
+                F.col("dau").cast("double") / F.col("mau"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("d")
+    )
+
+
+_DOW_NAMES = (  # index 0 = Monday (days since Monday 1970-01-05, mod 7)
+    "monday", "tuesday", "wednesday", "thursday", "friday",
+    "saturday", "sunday",
+)
+
+
+@register(
+    "behavior_weekday_seasonality",
+    tags=("behavioral", "seasonality", "timeseries", "dow"),
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+dow AS (
+  SELECT ((d - DATE '1970-01-05') % 7) AS dw, n_events FROM daily
+),
+tot AS (
+  SELECT CAST(SUM(n_events) AS BIGINT) AS g_events,
+         CAST(COUNT(*) AS BIGINT) AS g_days
+  FROM dow
+)
+SELECT CASE dw {' '.join(f"WHEN {i} THEN '{n}'" for i, n in enumerate(_DOW_NAMES))} END AS weekday,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6)
+         AS mean_daily_events,
+       ROUND((CAST(SUM(n_events) AS DOUBLE) / COUNT(*))
+             / (CAST(g_events AS DOUBLE) / g_days), 6) AS seasonal_index
+FROM dow CROSS JOIN tot
+GROUP BY dw, g_events, g_days
+ORDER BY MIN(dw)
+""",
+)
+def behavior_weekday_seasonality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DAY-OF-WEEK SEASONALITY profile — the classical multiplicative
+    seasonal index (weekday mean daily events / overall mean daily
+    events) a capacity planner or anomaly detector normalizes by
+    before reading a trend (the seasonal-naive companion to the Holt
+    and EWMA smoothers in the window family).  Index > 1 = the weekday
+    runs hot.
+
+    Exactness: the weekday is pure integer arithmetic in both engines
+    — days since Monday 1970-01-05 mod 7 (0 = Monday), sidestepping
+    the engines' incompatible dayofweek conventions (Spark 1=Sunday,
+    DuckDB 0=Sunday, ISO 1=Monday); counts are exact BIGINTs; the
+    index is a ratio of two integer-derived means, round-6 at output.
+
+    Scale shape: one day-grain aggregate (map-side partial over the
+    fact scan), a 7-row weekday rollup, and a one-row grand-total
+    scalar broadcast back — nothing beyond day grain ever shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    dw = F.pmod(
+        F.datediff(F.col("d"), F.lit("1970-01-05").cast("date")), F.lit(7)
+    ).cast("int")
+    dow = daily.select(dw.alias("dw"), "n_events")
+    tot = dow.agg(
+        F.sum("n_events").cast("long").alias("g_events"),
+        F.count(F.lit(1)).cast("long").alias("g_days"),
+    )
+    name = F.element_at(
+        F.array(*[F.lit(n) for n in _DOW_NAMES]), F.col("dw") + 1
+    )
+    return (
+        dow.crossJoin(F.broadcast(tot))
+        .groupBy("dw", "g_events", "g_days")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .select(
+            name.alias("weekday"),
+            "n_days",
+            "n_events",
+            F.round(
+                F.col("n_events").cast("double") / F.col("n_days"), 6
+            ).alias("mean_daily_events"),
+            F.round(
+                (F.col("n_events").cast("double") / F.col("n_days"))
+                / (F.col("g_events").cast("double") / F.col("g_days")),
+                6,
+            ).alias("seasonal_index"),
+            F.col("dw").alias("_dw"),
+        )
+        .orderBy("_dw")
+        .drop("_dw")
+    )

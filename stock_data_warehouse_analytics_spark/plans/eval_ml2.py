@@ -672,3 +672,178 @@ def sim_topk_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 sim_topk_binary_rerank.__doc__ = sim_topk_binary_rerank.__doc__.format(
     cand=_BR_CAND, k=_BR_K, nq=_BQ_NQ
 )
+
+
+# ------------------------------ binary-rerank candidate-depth tuning
+
+_BD_SWEEP = (5, 10, 25, 50, 100)  # stage-1 Hamming candidate depths
+
+
+@register(
+    "sim_binary_cand_depth_tuning",
+    tags=("llm", "similarity", "ann", "quantization", "tuning", "eval"),
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+bits AS (
+  SELECT vec_id,
+         {_sql_half_bits('v', 0)} AS w1,
+         {_sql_half_bits('v', 32)} AS w2,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+  FROM base
+),
+q AS (SELECT vec_id AS query_id, w1 AS qw1, w2 AS qw2, vn AS qn
+      FROM bits WHERE vec_id < {_BQ_NQ}),
+c AS (SELECT vec_id AS neighbor_id, w1 AS cw1, w2 AS cw2, vn AS cn
+      FROM bits),
+hamm AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY bit_count(xor(qw1, cw1)) + bit_count(xor(qw2, cw2)),
+                    neighbor_id) AS h_rnk
+  FROM q, c WHERE query_id != neighbor_id
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND(list_dot_product(qn, cn), 6) DESC,
+                      c.neighbor_id) AS rnk
+    FROM q, c WHERE q.query_id != c.neighbor_id
+  ) WHERE rnk <= {_BR_K}
+),
+tranks AS (
+  SELECT t.query_id, h.h_rnk
+  FROM truth t JOIN hamm h
+    ON h.query_id = t.query_id AND h.neighbor_id = t.neighbor_id
+),
+pts AS (SELECT unnest([{', '.join(str(p) for p in _BD_SWEEP)}]) AS cand_depth)
+SELECT pts.cand_depth,
+       ROUND(CAST(COUNT(tr.h_rnk) AS DOUBLE)
+             / {_BR_K * _BQ_NQ}, 6) AS recall_at{_BR_K}
+FROM pts LEFT JOIN tranks tr ON tr.h_rnk <= pts.cand_depth
+GROUP BY pts.cand_depth
+ORDER BY pts.cand_depth
+""",
+)
+def sim_binary_cand_depth_tuning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CANDIDATE-DEPTH tuning curve for the two-stage binary retrieval
+    — the third leg of the tuning-curve family (MinHash band S-curve →
+    ``dedup_minhash_band_tuning``; IVF nprobe → ``sim_ivf_nprobe_tuning``):
+    for each stage-1 Hamming depth in {sweep}, recall@{k} of
+    ``sim_topk_binary_rerank`` against the exact brute-force truth —
+    the number an operator reads to size the candidate cut.
+
+    Costs ONE Hamming ranking + ONE brute-force truth pass, not one
+    two-stage search per sweep point, via the same rank identity the
+    nprobe curve uses: candidate sets are NESTED in the depth and the
+    final re-rank shares the truth's total order (round(cosine, 6)
+    desc, id tiebreak), so a truth item at global rank r ≤ {k} is in
+    the final top-{k} at depth c IFF its Hamming rank ≤ c — everything
+    cosine-above it is itself truth and cannot displace it.  UNLIKE
+    the IVF curve, everything here is SQL-expressible (XOR+popcount
+    Hamming, fold dot products), so the whole curve is ORACLE-EXACT.
+
+    Scale shape: the Hamming ranking is the bit-word-only integer join
+    of ``sim_topk_binary_rerank`` stage 1 (no vectors); the truth pass
+    is the bounded-|Q| broadcast brute-force scan every recall eval
+    pays; the curve itself aggregates the {k}·{nq}-row truth-rank list
+    against a {npts}-point literal."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    norm = F.sqrt(
+        F.aggregate(
+            v,
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    vecs = e.select(
+        "vec_id",
+        F.transform(v, lambda x: x.cast("double") / norm).alias("vn"),
+    )
+    bits = e.select(
+        "vec_id",
+        _half_bits(v, 0).alias("w1"),
+        _half_bits(v, 32).alias("w2"),
+    )
+    q = bits.filter(F.col("vec_id") < _BQ_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w1").alias("qw1"),
+        F.col("w2").alias("qw2"),
+    )
+    c = bits.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("w1").alias("cw1"),
+        F.col("w2").alias("cw2"),
+    )
+    w_h = Window.partitionBy("query_id").orderBy(
+        (
+            F.bit_count(F.col("qw1").bitwiseXOR(F.col("cw1")))
+            + F.bit_count(F.col("qw2").bitwiseXOR(F.col("cw2")))
+        ),
+        "neighbor_id",
+    )
+    hamm = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("h_rnk", F.row_number().over(w_h))
+        .select("query_id", "neighbor_id", "h_rnk")
+    )
+    qv = vecs.filter(F.col("vec_id") < _BQ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("vn").alias("qn")
+    )
+    cv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vn").alias("cn")
+    )
+    w_t = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    truth = (
+        cv.join(F.broadcast(qv), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qn"), F.col("cn"), lambda a, b: a * b
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w_t))
+        .filter(F.col("rnk") <= _BR_K)
+        .select("query_id", "neighbor_id")
+    )
+    tranks = truth.join(hamm, ["query_id", "neighbor_id"]).select(
+        "query_id", "h_rnk"
+    )
+    pts = spark.createDataFrame(
+        [(p,) for p in _BD_SWEEP], "cand_depth int"
+    )
+    return (
+        pts.join(tranks, F.col("h_rnk") <= F.col("cand_depth"), "left")
+        .groupBy("cand_depth")
+        .agg(
+            F.round(
+                F.count(F.col("h_rnk")).cast("double") / (_BR_K * _BQ_NQ),
+                6,
+            ).alias(f"recall_at{_BR_K}")
+        )
+        .orderBy("cand_depth")
+    )
+
+
+sim_binary_cand_depth_tuning.__doc__ = (
+    sim_binary_cand_depth_tuning.__doc__.format(
+        sweep=_BD_SWEEP, k=_BR_K, nq=_BQ_NQ, npts=len(_BD_SWEEP)
+    )
+)

@@ -382,3 +382,105 @@ def layout_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 layout_clustering_depth.__doc__ = layout_clustering_depth.__doc__.format(
     files=_FILES
 )
+
+
+# ------------------------------------------- compaction bin packing
+
+_CP_BINS = 24  # target output file count for the simulated rewrite
+
+
+@register(
+    "layout_compaction_plan",
+    tags=("warehouse", "layout", "compaction", "planning"),
+    oracle=f"""
+WITH files AS (
+  SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(MIN(o_custkey) AS BIGINT) AS min_c,
+         CAST(MAX(o_custkey) AS BIGINT) AS max_c
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM files),
+packed AS (
+  SELECT d, n_rows, min_c, max_c,
+         (SUM(n_rows) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_rows)
+           // ((total + {_CP_BINS} - 1) // {_CP_BINS}) AS bin
+  FROM files CROSS JOIN tot
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       MIN(d) AS first_day, MAX(d) AS last_day,
+       CAST(MIN(min_c) AS BIGINT) AS min_custkey,
+       CAST(MAX(max_c) AS BIGINT) AS max_custkey
+FROM packed
+GROUP BY bin
+ORDER BY bin
+""",
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION (OPTIMIZE) PLAN — the bin-packing step a Delta/
+    Iceberg table service runs after ``layout_clustering_depth`` says
+    rewrite: simulate the orders table as one ingest file per order
+    DAY (the streaming-ingest small-file regime; sizes vary with daily
+    volume), then pack files in ingest order into target-size output
+    bins — running-sum next-fit, target = ceil(total/{bins}) rows —
+    emitting per output file its input-file count, row count, day span
+    and resulting custkey zone.  The plan a rewrite job executes;
+    read the bin count and per-bin n_files to see the small-file
+    consolidation factor.
+
+    Exactness: all integer — counts, a BIGINT running sum, integer
+    ceil-division for the target, integer floor-division for the bin
+    id; no doubles anywhere.
+
+    Scale shape: the fact scan collapses to DAY grain map-side (one
+    aggregate); the running-sum window is unpartitioned but runs on
+    the CALENDAR-bounded day-grain frame (written bound in
+    tests/test_plan_shapes._BOUNDED_SINGLE_PARTITION); a real
+    multi-partition deployment runs this per table partition, which is
+    exactly the per-key form of the same plan."""
+    o = load_table(spark, sf_dir, "orders")
+    files = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("o_custkey").cast("long").alias("min_c"),
+        F.max("o_custkey").cast("long").alias("max_c"),
+    )
+    tot = files.agg(F.sum("n_rows").cast("long").alias("total"))
+    packed = (
+        files.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "bin",
+            F.expr(
+                f"(sum(n_rows) over (order by d rows between unbounded"
+                f" preceding and current row) - n_rows)"
+                f" div ((total + {_CP_BINS} - 1) div {_CP_BINS})"
+            ),
+        )
+    )
+    return (
+        packed.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.min("d").alias("first_day"),
+            F.max("d").alias("last_day"),
+            F.min("min_c").cast("long").alias("min_custkey"),
+            F.max("max_c").cast("long").alias("max_custkey"),
+        )
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n_files",
+            "n_rows",
+            "first_day",
+            "last_day",
+            "min_custkey",
+            "max_custkey",
+        )
+        .orderBy("bin")
+    )
+
+
+layout_compaction_plan.__doc__ = layout_compaction_plan.__doc__.format(
+    bins=_CP_BINS
+)

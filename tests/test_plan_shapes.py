@@ -131,6 +131,14 @@ _BOUNDED_BROADCAST = {
         "both hints (bit-word query set, stage-2 query vectors) are "
         "filtered to vec_id < 16 (16 rows) before the hint"
     ),
+    "sim_binary_cand_depth_tuning": (
+        "both hints (bit-word query set, truth query vectors) are "
+        "filtered to vec_id < 16 (16 rows) before the hint"
+    ),
+    "sim_ivf_nprobe_tuning": (
+        "query set filtered to vec_id < 8 (8 rows) before the hint; "
+        "the cell-size broadcast is an n_cells-row aggregate"
+    ),
     "sim_topk_lsh": "documented LSH baseline; query set filtered to fixed ids",
     "text_contamination_overlap": (
         "benchmark shingle side filtered to doc_id < 20 (eval sets are "
@@ -297,6 +305,15 @@ _BOUNDED_SINGLE_PARTITION = {
     #   Levenshtein runs only on the LSH-bounded candidate pairs
     "behavior_growth_accounting",  # one-row MAX(day) censoring scalar
     #   (partial-agg upstream); the day-grain joins are hash-partitioned
+    "behavior_growth_accounting_wau",  # same one-row MAX(period)
+    #   censoring scalar as the daily query, at week grain
+    "behavior_growth_accounting_mau",  # same, at month grain
+    "sim_ivf_nprobe_tuning",  # one-row corpus-total scalar (SUM over
+    #   the n_cells=16-row size table) broadcast into the 5-row curve
+    "layout_compaction_plan",  # one-row total scalar + the next-fit
+    #   running sum over the CALENDAR-bounded day-grain file frame
+    "behavior_weekday_seasonality",  # one-row grand-mean scalar over
+    #   the day-grain frame; the rollup itself is 7 weekday rows
     "sketch_misra_gries_topk",  # the global top-10 window runs over the
     #   survivor set, bounded ≤ 32 buckets × 8 counters = 256 rows by
     #   the MG construction itself

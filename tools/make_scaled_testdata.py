@@ -80,9 +80,44 @@ COPY (
 ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
 """
     )
+    # orders/lineitem ×k: each copy offsets the order AND customer key
+    # space (disjoint customer populations per copy) while the PART
+    # catalog stays shared — the real marketplace-growth regime, where
+    # popular parts accumulate ×k buyers and become hubs.  True
+    # same-copy link-prediction pairs replicate ×k; a part's customer
+    # df grows ×k, so the df-capped inverted index must prune more —
+    # exactly the discipline the growth protocol exists to stress.
+    for t in ("orders", "lineitem"):
+        # drop the symlink earlier tool versions left — COPY through a
+        # symlink would try to write the read-only source
+        p = os.path.join(out, f"{t}.parquet")
+        if os.path.islink(p):
+            os.unlink(p)
+    con.execute(
+        f"""
+COPY (
+  WITH src AS (SELECT * FROM read_parquet('{SRC}/orders.parquet')),
+  copies AS (SELECT unnest([{copies}]) AS c)
+  SELECT o_orderkey + c * 100_000_000 AS o_orderkey,
+         o_custkey + c * 10_000_000 AS o_custkey,
+         * EXCLUDE (o_orderkey, o_custkey)
+  FROM src CROSS JOIN copies
+) TO '{out}/orders.parquet' (FORMAT PARQUET)
+"""
+    )
+    con.execute(
+        f"""
+COPY (
+  WITH src AS (SELECT * FROM read_parquet('{SRC}/lineitem.parquet')),
+  copies AS (SELECT unnest([{copies}]) AS c)
+  SELECT l_orderkey + c * 100_000_000 AS l_orderkey,
+         * EXCLUDE (l_orderkey)
+  FROM src CROSS JOIN copies
+) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
+"""
+    )
     for t in (
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events",
+        "region", "nation", "customer", "supplier", "part", "events",
     ):
         link = os.path.join(out, f"{t}.parquet")
         if not os.path.exists(link):
