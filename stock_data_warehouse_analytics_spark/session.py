@@ -143,12 +143,13 @@ def get_spark(
         # cleanup ahead of accumulation at negligible GC cost.
         .config("spark.cleaner.periodicGC.interval", "90s")
         # Python workers connect back to the JVM over a local socket
-        # with a default 15s auth/handshake window; under 32-way
-        # full-suite load it intermittently expires
-        # (SocketTimeoutException in
-        # PythonWorkerFactory.createSimpleWorker → 0-row streaming
-        # micro-batches; r5/r7 judge-run flake).  60s absorbs the load
-        # storms; no effect on the happy path, which connects in ms.
+        # with a default 15s auth/handshake window; raise it so a
+        # saturated box can't kill a worker mid-handshake.  (NOT the
+        # fix for the r5/r7 streaming-DataSource 0-row flake — that
+        # was a cwd-dependent ModuleNotFoundError in the driver-side
+        # streaming-source runner, fixed by pickle-by-value in
+        # sources/pydatasource.ensure_package_shipped — purely a
+        # defense-in-depth margin for load spikes.)
         .config("spark.python.authenticate.socketTimeout", "60s")
     )
     return tune_for_engine(builder.getOrCreate())

@@ -38,13 +38,33 @@ __all__ = [
 # so the package must be importable on executors — which is only
 # incidentally true when the driver's cwd is the repo root.  Shipping
 # the package archive via addPyFile is the real deployment contract
-# (spark-submit --py-files), and makes the source work no matter where
-# the driver process started.
+# (spark-submit --py-files) and covers EXECUTOR workers — but NOT the
+# driver-side python_streaming_source_runner process that plans a
+# STREAMING Python data source: that runner's sys.path ignores
+# addPyFile archives, so from any other cwd it died with
+# ModuleNotFoundError at initialOffset planning — surfacing in the
+# memory sink as a query that terminates with 0 rows (the r5/r7
+# "streaming DataSource flake", misattributed to worker-socket load
+# for two rounds: it reproduces instantly from /tmp with or without
+# load, and never from the repo root).  The fix is to register this
+# MODULE with cloudpickle BY VALUE, so the pickled source carries its
+# own code and no process ever needs the import to resolve — the
+# module is deliberately self-contained (stdlib + pyspark imports
+# only) to keep that sound.
 _SHIPPED: set[str] = set()
 
 
 def ensure_package_shipped(spark: SparkSession) -> None:
-    """Zip this package and addPyFile it, once per Spark application."""
+    """Make this module runnable in every Spark-spawned Python process:
+    register it with cloudpickle by VALUE (covers the driver-side
+    streaming-source runner, whose path addPyFile does NOT reach) and
+    ship the package zip via addPyFile (the --py-files deployment
+    contract for executor workers), once per application."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     app_id = spark.sparkContext.applicationId
     if app_id in _SHIPPED:
         return
