@@ -774,3 +774,211 @@ def behavior_weekday_seasonality(
         .orderBy("_dw")
         .drop("_dw")
     )
+
+
+@register(
+    "behavior_seasonal_naive_error",
+    tags=("behavioral", "seasonality", "forecast", "eval", "timeseries"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+dow AS (
+  SELECT ((d - DATE '1970-01-05') % 7) AS dw, d, n_events FROM daily
+),
+wmean AS (
+  SELECT dw, CAST(SUM(n_events) AS BIGINT) AS w_events,
+         CAST(COUNT(*) AS BIGINT) AS w_days
+  FROM dow GROUP BY dw
+),
+errs AS (
+  SELECT dow.dw,
+         CAST(ROUND(ABS(dow.n_events
+                        - CAST(w_events AS DOUBLE) / w_days)
+                    * 1000000000, 0) AS BIGINT) AS ae_nano,
+         CAST(ROUND(ABS(dow.n_events
+                        - CAST(w_events AS DOUBLE) / w_days)
+                    / dow.n_events * 1000000000, 0) AS BIGINT) AS ape_nano
+  FROM dow JOIN wmean ON wmean.dw = dow.dw
+)
+SELECT CAST(dw AS INTEGER) AS dw,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(CAST(SUM(ae_nano) AS DOUBLE) / (COUNT(*) * 1000000000.0), 6)
+         AS mae,
+       ROUND(CAST(SUM(ape_nano) AS DOUBLE) / (COUNT(*) * 1000000000.0), 6)
+         AS mape
+FROM errs
+GROUP BY dw
+ORDER BY dw
+""",
+)
+def behavior_seasonal_naive_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEASONAL-NAIVE forecast-error panel — how well does the weekday
+    mean (the ``behavior_weekday_seasonality`` profile) PREDICT each
+    day's traffic?  Per weekday: MAE and MAPE of the
+    forecast-every-day-by-its-weekday-mean rule — the baseline every
+    real forecast must beat (the seasonal analog of the naive
+    denominator inside the MASE backtest), and the panel that says
+    WHICH weekdays are predictable.
+
+    Exactness: the weekday mean is one integer÷integer double division
+    (bit-identical across engines); each day's absolute error and
+    percentage error are nano-quantized BEFORE the per-weekday sums,
+    so the means are exact integer sums with one final double division
+    (the house float-summation-order rule).
+
+    Scale shape: one day-grain aggregate map-side, a 7-row weekday
+    mean table joined back at day grain (broadcast), day-grain error
+    rows rolled up to 7 — nothing above day grain shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    dw = F.pmod(
+        F.datediff(F.col("d"), F.lit("1970-01-05").cast("date")), F.lit(7)
+    ).cast("int")
+    dow = daily.select(dw.alias("dw"), "d", "n_events")
+    wmean = dow.groupBy("dw").agg(
+        F.sum("n_events").cast("long").alias("w_events"),
+        F.count(F.lit(1)).cast("long").alias("w_days"),
+    )
+    mean = F.col("w_events").cast("double") / F.col("w_days")
+    ae = F.abs(F.col("n_events") - mean)
+    errs = dow.join(F.broadcast(wmean), "dw").select(
+        "dw",
+        F.round(ae * 1_000_000_000, 0).cast("long").alias("ae_nano"),
+        F.round(ae / F.col("n_events") * 1_000_000_000, 0)
+        .cast("long")
+        .alias("ape_nano"),
+    )
+    return (
+        errs.groupBy("dw")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(
+                F.sum("ae_nano").cast("double")
+                / (F.count(F.lit(1)) * 1_000_000_000.0),
+                6,
+            ).alias("mae"),
+            F.round(
+                F.sum("ape_nano").cast("double")
+                / (F.count(F.lit(1)) * 1_000_000_000.0),
+                6,
+            ).alias("mape"),
+        )
+        .orderBy("dw")
+    )
+
+
+@register(
+    "behavior_seasonal_adjusted_anomalies",
+    tags=("behavioral", "seasonality", "anomaly", "timeseries"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+dow AS (
+  SELECT ((d - DATE '1970-01-05') % 7) AS dw, d, n_events FROM daily
+),
+wmean AS (
+  SELECT dw, CAST(SUM(n_events) AS BIGINT) AS w_events,
+         CAST(COUNT(*) AS BIGINT) AS w_days
+  FROM dow GROUP BY dw
+),
+resid AS (
+  SELECT dow.d, dow.n_events,
+         CAST(ROUND((dow.n_events
+                     - CAST(w_events AS DOUBLE) / w_days)
+                    * 1000000000, 0) AS BIGINT) AS r_nano
+  FROM dow JOIN wmean ON wmean.dw = dow.dw
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(r_nano) AS BIGINT) AS s1,
+         SUM(CAST(r_nano AS HUGEINT) * r_nano) AS s2
+  FROM resid
+)
+SELECT d, n_events,
+       ROUND(r_nano / 1000000000.0, 6) AS residual,
+       ROUND((r_nano / 1000000000.0 - s1 / (n * 1000000000.0))
+             / SQRT(CAST(s2 AS DOUBLE) / n / 1e18
+                    - (CAST(s1 AS DOUBLE) / n / 1e9) ^ 2), 6) AS z
+FROM resid CROSS JOIN mom
+WHERE ABS((r_nano / 1000000000.0 - s1 / (n * 1000000000.0))
+          / SQRT(CAST(s2 AS DOUBLE) / n / 1e18
+                 - (CAST(s1 AS DOUBLE) / n / 1e9) ^ 2)) > 1.5e0
+ORDER BY d
+""",
+)
+def behavior_seasonal_adjusted_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEASONALLY-ADJUSTED traffic anomalies — the composition the
+    weekday profile exists for: subtract each day's weekday-mean
+    expectation, z-score the RESIDUALS (population moments), and flag
+    |z| > 1.5 — so a hot Saturday isn't an anomaly just for being
+    Saturday, and a quiet Monday can be.  The day-grain twin of the
+    per-ticker ``win_zscore_anomalies`` rule with the seasonal
+    expectation removed first.
+
+    Exactness: residuals are nano-quantized ONCE (one double
+    subtraction of an integer÷integer mean — bit-identical in both
+    engines); all moments are integer sums of those nanos (the square
+    sum in HUGEINT/DECIMAL to survive nano² magnitudes); the z is
+    re-derived from integers with one sqrt — same doubles, same sqrt,
+    both engines.
+
+    Scale shape: day-grain aggregate + 7-row broadcast + one-row
+    moment scalar broadcast back over day-grain rows (written bound in
+    tests/test_plan_shapes._BOUNDED_SINGLE_PARTITION)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    dw = F.pmod(
+        F.datediff(F.col("d"), F.lit("1970-01-05").cast("date")), F.lit(7)
+    ).cast("int")
+    dow = daily.select(dw.alias("dw"), "d", "n_events")
+    wmean = dow.groupBy("dw").agg(
+        F.sum("n_events").cast("long").alias("w_events"),
+        F.count(F.lit(1)).cast("long").alias("w_days"),
+    )
+    mean = F.col("w_events").cast("double") / F.col("w_days")
+    resid = dow.join(F.broadcast(wmean), "dw").select(
+        "d",
+        "n_events",
+        F.round((F.col("n_events") - mean) * 1_000_000_000, 0)
+        .cast("long")
+        .alias("r_nano"),
+    )
+    mom = resid.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r_nano").cast("long").alias("s1"),
+        F.sum(F.col("r_nano").cast("decimal(38,0)") * F.col("r_nano"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    mu = F.col("s1") / (F.col("n") * 1_000_000_000.0)
+    var = (
+        F.col("s2").cast("double") / F.col("n") / 1e18
+        - (F.col("s1").cast("double") / F.col("n") / 1e9)
+        * (F.col("s1").cast("double") / F.col("n") / 1e9)
+    )
+    z = (F.col("r_nano") / 1_000_000_000.0 - mu) / F.sqrt(var)
+    return (
+        resid.crossJoin(F.broadcast(mom))
+        .filter(F.abs(z) > 1.5)
+        .select(
+            "d",
+            "n_events",
+            F.round(F.col("r_nano") / 1_000_000_000.0, 6).alias(
+                "residual"
+            ),
+            F.round(z, 6).alias("z"),
+        )
+        .orderBy("d")
+    )

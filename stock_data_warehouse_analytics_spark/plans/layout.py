@@ -484,3 +484,103 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 layout_compaction_plan.__doc__ = layout_compaction_plan.__doc__.format(
     bins=_CP_BINS
 )
+
+
+_CPP_BINS = 4  # target output files per table partition (month)
+
+
+@register(
+    "layout_compaction_plan_partitioned",
+    tags=("warehouse", "layout", "compaction", "planning", "partitioned"),
+    oracle=f"""
+WITH files AS (
+  SELECT EXTRACT(YEAR FROM o_orderdate) * 12
+           + EXTRACT(MONTH FROM o_orderdate) - 1 AS mi,
+         o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM orders GROUP BY 1, 2
+),
+tot AS (
+  SELECT mi, CAST(SUM(n_rows) AS BIGINT) AS m_total
+  FROM files GROUP BY mi
+),
+packed AS (
+  SELECT f.mi, f.d, f.n_rows,
+         (SUM(f.n_rows) OVER (PARTITION BY f.mi ORDER BY f.d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - f.n_rows)
+           // ((m_total + {_CPP_BINS} - 1) // {_CPP_BINS}) AS bin
+  FROM files f JOIN tot USING (mi)
+)
+SELECT MAKE_DATE(CAST(mi // 12 AS INTEGER), CAST(mi % 12 + 1 AS INTEGER), 1)
+         AS month,
+       CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       MIN(d) AS first_day, MAX(d) AS last_day
+FROM packed
+GROUP BY mi, bin
+ORDER BY month, bin
+""",
+)
+def layout_compaction_plan_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-PARTITION compaction plan — ``layout_compaction_plan`` in
+    the form a real table service runs it: partitioned tables compact
+    WITHIN each partition (here: order month), so the next-fit running
+    sum is a month-PARTITIONED window and the whole plan parallelizes
+    across partitions with no global pass at all — the scale form of
+    the single-table variant, whose one documented single-partition
+    stage this shape avoids entirely.  Target =
+    ceil(month_total/{bins}) rows per output file, per month.
+
+    Exactness: all integer, as the single-table form — counts, BIGINT
+    running sums, integer ceil/floor division, the integer month
+    counter year·12+month−1 rendered to a first-of-month date.
+
+    Scale shape: fact scan collapses to (month, day) grain map-side;
+    every window and aggregate is partitioned by month; output is
+    (months × ≤{bins}+1) rows."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    files = o.groupBy(
+        (F.year(d) * 12 + F.month(d) - 1).cast("long").alias("mi"),
+        d.alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    tot = files.groupBy("mi").agg(
+        F.sum("n_rows").cast("long").alias("m_total")
+    )
+    packed = files.join(tot, "mi").withColumn(
+        "bin",
+        F.expr(
+            f"(sum(n_rows) over (partition by mi order by d rows between"
+            f" unbounded preceding and current row) - n_rows)"
+            f" div ((m_total + {_CPP_BINS} - 1) div {_CPP_BINS})"
+        ),
+    )
+    return (
+        packed.groupBy("mi", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.min("d").alias("first_day"),
+            F.max("d").alias("last_day"),
+        )
+        .select(
+            F.make_date(
+                F.floor(F.col("mi") / 12).cast("int"),
+                (F.col("mi") % 12 + 1).cast("int"),
+                F.lit(1),
+            ).alias("month"),
+            F.col("bin").cast("long").alias("bin"),
+            "n_files",
+            "n_rows",
+            "first_day",
+            "last_day",
+        )
+        .orderBy("month", "bin")
+    )
+
+
+layout_compaction_plan_partitioned.__doc__ = (
+    layout_compaction_plan_partitioned.__doc__.format(bins=_CPP_BINS)
+)

@@ -314,6 +314,8 @@ _BOUNDED_SINGLE_PARTITION = {
     #   running sum over the CALENDAR-bounded day-grain file frame
     "behavior_weekday_seasonality",  # one-row grand-mean scalar over
     #   the day-grain frame; the rollup itself is 7 weekday rows
+    "behavior_seasonal_adjusted_anomalies",  # one-row residual-moment
+    #   scalar broadcast back over the CALENDAR-bounded day-grain frame
     "sketch_misra_gries_topk",  # the global top-10 window runs over the
     #   survivor set, bounded ≤ 32 buckets × 8 counters = 256 rows by
     #   the MG construction itself
