@@ -285,7 +285,18 @@ def union_intervals(
     window partitioning per key, integer arithmetic only —
     SQL-mirrorable verbatim.  Output: key cols + (ms, me) per island.
     Property-tested against a driver-side sweep-line reference in
-    ``tests/test_properties.py``."""
+    ``tests/test_properties.py``.
+
+    DUPLICATE intervals are dropped first — union is a SET operation,
+    and the dedup is load-bearing for cross-engine exactness: with
+    exact (key, s, e) twins the (s, e) ordering is not total, and an
+    engine that sorts the new-island marker window and the cumulative
+    island-number window INDEPENDENTLY (DuckDB does; Spark shares one
+    sort) can swap the twins between passes, splitting them across
+    islands and wrongly bridging the previous island over a gap —
+    observed as run-to-run nondeterministic DuckDB results for the
+    span-coverage oracle until the mirrors deduplicated too (round 8)."""
+    iv = iv.select(*key_cols, s_col, e_col).distinct()
     w_prev = (
         Window.partitionBy(*key_cols)
         .orderBy(s_col, e_col)

@@ -301,11 +301,15 @@ sp AS (
                  FROM spans)
 ),
 tiv AS (
-  SELECT doc_a AS doc, start_a AS s, start_a + span_tokens - 1 AS e
-  FROM sp WHERE doc_a % 2 = 0 AND doc_b % 2 = 1
-  UNION ALL
-  SELECT doc_b, start_b, start_b + span_tokens - 1
-  FROM sp WHERE doc_b % 2 = 0 AND doc_a % 2 = 1
+  -- DISTINCT: duplicate (doc, s, e) twins break the two island
+  -- windows' shared ordering (see union_intervals / span coverage)
+  SELECT DISTINCT doc, s, e FROM (
+    SELECT doc_a AS doc, start_a AS s, start_a + span_tokens - 1 AS e
+    FROM sp WHERE doc_a % 2 = 0 AND doc_b % 2 = 1
+    UNION ALL
+    SELECT doc_b, start_b, start_b + span_tokens - 1
+    FROM sp WHERE doc_b % 2 = 0 AND doc_a % 2 = 1
+  )
 ),
 u AS (
   SELECT doc, s, e,

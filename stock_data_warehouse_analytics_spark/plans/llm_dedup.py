@@ -491,10 +491,16 @@ def text_repeated_spans_within_doc(spark: SparkSession, sf_dir: str) -> DataFram
     oracle=f"""
 WITH {_SQL_SPANS},
 iv AS (
-  SELECT doc_a AS doc_id, start_a AS s,
-         start_a + span_tokens - 1 AS e FROM spans
-  UNION ALL
-  SELECT doc_b, start_b, start_b + span_tokens - 1 FROM spans
+  -- DISTINCT is load-bearing: duplicate (doc, s, e) twins make the
+  -- (s, e) window order non-total, and the two island windows below
+  -- may sort independently — swapped twins split across islands and
+  -- bridge gaps (nondeterministic results; see union_intervals)
+  SELECT DISTINCT doc_id, s, e FROM (
+    SELECT doc_a AS doc_id, start_a AS s,
+           start_a + span_tokens - 1 AS e FROM spans
+    UNION ALL
+    SELECT doc_b, start_b, start_b + span_tokens - 1 FROM spans
+  )
 ),
 marked AS (
   SELECT doc_id, s, e,
@@ -787,10 +793,13 @@ def dedup_detector_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_SQL_SPANS},
 iv AS (
-  SELECT doc_a AS doc_id, start_a AS s,
-         start_a + span_tokens - 1 AS e FROM spans
-  UNION ALL
-  SELECT doc_b, start_b, start_b + span_tokens - 1 FROM spans
+  -- DISTINCT: same twin-splitting hazard as dedup_span_coverage
+  SELECT DISTINCT doc_id, s, e FROM (
+    SELECT doc_a AS doc_id, start_a AS s,
+           start_a + span_tokens - 1 AS e FROM spans
+    UNION ALL
+    SELECT doc_b, start_b, start_b + span_tokens - 1 FROM spans
+  )
 ),
 marked AS (
   SELECT doc_id, s, e,
