@@ -137,6 +137,40 @@ def assign_codes(
     return df.mapInPandas(assign, schema=out_schema)
 
 
+def assign_codes_multi(
+    df: DataFrame,
+    codebooks: "dict[str, np.ndarray]",
+    *,
+    vec_col: str,
+) -> DataFrame:
+    """Nearest-centroid assignment against SEVERAL codebooks in ONE
+    Arrow pass — the N_CELLS tuning sweep assigns the corpus to every
+    candidate index size without paying one corpus scan per index.
+    Emits one int column per codebook name; all input columns pass
+    through."""
+    books = {name: c.copy() for name, c in codebooks.items()}
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = fields + "".join(f", {name} int" for name in books)
+
+    def assign(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _np.vstack(pdf[vec_col].to_numpy()).astype(_np.float64)
+            xx = (X * X).sum(1)[:, None]
+            cols = {}
+            for name, Cc in books.items():
+                d2 = xx - 2.0 * X @ Cc.T + (Cc * Cc).sum(1)[None, :]
+                cols[name] = d2.argmin(1)
+            yield pdf.assign(**cols)
+
+    return df.mapInPandas(assign, schema=out_schema)
+
+
 def pq_train(
     df: DataFrame,
     *,

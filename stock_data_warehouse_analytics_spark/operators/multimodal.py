@@ -559,6 +559,216 @@ def decode_png(blobs: DataFrame, *, png_col: str = "png") -> DataFrame:
     return blobs.mapInPandas(decode, schema=out_schema)
 
 
+def decode_png_with_ahash(
+    blobs: DataFrame, *, png_col: str = "png"
+) -> DataFrame:
+    """ONE decode pass emitting BOTH the per-image stats columns of
+    ``decode_png`` and the 64-bit average perceptual hash of
+    ``image_ahash`` — the staging kernel behind the session-cached
+    multimodal pass: the codec (the dominant cost) runs once per blob
+    and every downstream consumer (stats rollups, near-dup candidate
+    joins) reads the same narrow decoded table.  Same
+    quarantine-don't-crash contract: corrupt payloads yield ok=False
+    with null stats/hash."""
+    out_schema = (
+        "doc_id long, ok boolean, width int, height int, n_pixels long, "
+        "sum_r long, sum_g long, sum_b long, ahash long, err string"
+    )
+    _, dec = _png_codec()  # nested closure -> cloudpickled by value
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np2
+        import pandas as pd2
+
+        cols = (
+            "doc_id", "ok", "width", "height", "n_pixels",
+            "sum_r", "sum_g", "sum_b", "ahash", "err",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[png_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    w, h, px = dec(bytes(payload))
+                    px64 = px.astype(np2.int64)
+                    sums = px64.sum(axis=(0, 1))
+                    gray = px64.sum(axis=2) // 3
+                    bh, bw = h // 8, w // 8
+                    if bh == 0 or bw == 0:
+                        raise ValueError(f"image {w}x{h} below 8x8")
+                    cells = (
+                        gray[: bh * 8, : bw * 8]
+                        .reshape(8, bh, 8, bw)
+                        .mean(axis=(1, 3))
+                    )
+                    bits = (cells > cells.mean()).flatten()
+                    val = 0
+                    for i, b in enumerate(bits):
+                        if b:
+                            val |= 1 << i
+                    if val >= 1 << 63:  # two's-complement into BIGINT
+                        val -= 1 << 64
+                    rows["ok"].append(True)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_pixels"].append(w * h)
+                    rows["sum_r"].append(int(sums[0]))
+                    rows["sum_g"].append(int(sums[1]))
+                    rows["sum_b"].append(int(sums[2]))
+                    rows["ahash"].append(val)
+                    rows["err"].append(None)
+                except Exception as exc:  # noqa: BLE001 — quarantine
+                    rows["ok"].append(False)
+                    for k in ("width", "height", "n_pixels",
+                              "sum_r", "sum_g", "sum_b", "ahash"):
+                        rows[k].append(None)
+                    rows["err"].append(str(exc)[:200])
+            yield pd2.DataFrame(rows)
+
+    return blobs.mapInPandas(decode, schema=out_schema)
+
+
+# ------------------------------------------------------ JPEG metadata
+
+def synth_jpeg_header_blobs(docs: DataFrame) -> DataFrame:
+    """Deterministic JPEG *header* synthesis per document — a real
+    marker-segment byte stream (SOI → JFIF APP0 with density info → a
+    COM segment → a DQT-shaped segment to exercise length-skipping →
+    SOF0/SOF2 frame header), everything derived from ``doc_id`` so an
+    oracle can recompute every parsed field analytically:
+    width = 160+16·(d%11), height = 120+8·(d%7), progressive (SOF2)
+    iff d%3==0, grayscale (1 component) iff d%5==0, JFIF density units
+    d%3 with x/y density 72+24·(d%4) / 72+24·(d%5).  Docs with
+    d%13==0 are CORRUPTED (header truncated before any SOF marker) so
+    the parser's quarantine path carries real rows.  Pixel entropy
+    decode stays the documented honest stub
+    (``decode_image_stub``/NotImplementedError for full JPEG) — real
+    100 TB pipelines index on exactly this header metadata before any
+    codec runs."""
+    import struct
+
+    out_schema = "doc_id long, jpeg binary"
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd2
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 160 + 16 * (d % 11)
+                h = 120 + 8 * (d % 7)
+                ncomp = 1 if d % 5 == 0 else 3
+                sof_marker = 0xC2 if d % 3 == 0 else 0xC0
+                units = d % 3
+                xden = 72 + 24 * (d % 4)
+                yden = 72 + 24 * (d % 5)
+                app0 = (
+                    b"JFIF\x00\x01\x02"
+                    + struct.pack(">BHH", units, xden, yden)
+                    + b"\x00\x00"  # no thumbnail
+                )
+                com = f"doc {d}".encode()
+                dqt = b"\x00" + bytes((i * 7 + d) % 256 for i in range(64))
+                sof = struct.pack(">BHHB", 8, h, w, ncomp) + b"".join(
+                    struct.pack(">BBB", c + 1, 0x22 if c == 0 else 0x11, c and 1)
+                    for c in range(ncomp)
+                )
+                buf = (
+                    b"\xff\xd8"
+                    + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+                    + b"\xff\xfe" + struct.pack(">H", len(com) + 2) + com
+                    + b"\xff\xdb" + struct.pack(">H", len(dqt) + 2) + dqt
+                    + bytes([0xFF, sof_marker])
+                    + struct.pack(">H", len(sof) + 2) + sof
+                    + b"\xff\xd9"
+                )
+                if d % 13 == 0:  # corrupt: truncate before any SOF
+                    buf = buf[:5]
+                blobs.append(buf)
+            yield pd2.DataFrame({"doc_id": pdf["doc_id"], "jpeg": blobs})
+
+    return docs.select("doc_id").mapInPandas(synth, schema=out_schema)
+
+
+def parse_jpeg_meta(blobs: DataFrame, *, jpeg_col: str = "jpeg") -> DataFrame:
+    """JPEG header → typed metadata WITHOUT a codec: walk the marker
+    segments (length-prefixed skip), extract the JFIF APP0 density
+    fields and the first SOFn frame header (precision, height, width,
+    component count, progressive = SOF2).  Pure struct/bytes — the
+    metadata+quarantine pass a 100 TB multimodal pipeline runs before
+    deciding what to decode.  Malformed streams (no SOI, truncated
+    segment, no SOF) yield ok=False + err, never a failed batch."""
+    import struct
+
+    out_schema = (
+        "doc_id long, ok boolean, width int, height int, precision int, "
+        "n_components int, progressive boolean, density_units int, "
+        "x_density int, y_density int, err string"
+    )
+    _SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+    def parse_one(b: bytes) -> dict:
+        if len(b) < 2 or b[:2] != b"\xff\xd8":
+            raise ValueError("missing SOI marker")
+        meta: dict = {
+            "density_units": None, "x_density": None, "y_density": None,
+        }
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                raise ValueError(f"bad marker byte at {i}")
+            marker = b[i + 1]
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+            seg = b[i + 4 : i + 2 + seglen]
+            if len(seg) != seglen - 2:
+                raise ValueError("truncated segment")
+            if marker == 0xE0 and seg[:5] == b"JFIF\x00":
+                meta["density_units"] = seg[7]
+                meta["x_density"], meta["y_density"] = struct.unpack(
+                    ">HH", seg[8:12]
+                )
+            elif marker in _SOF:
+                prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+                meta.update(
+                    width=w, height=h, precision=prec, n_components=ncomp,
+                    progressive=(marker == 0xC2),
+                )
+                return meta
+            elif marker == 0xDA:  # scan data before SOF: malformed
+                raise ValueError("SOS before SOF")
+            i += 2 + seglen
+        raise ValueError("no SOF marker found")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd2
+
+        cols = (
+            "doc_id", "ok", "width", "height", "precision", "n_components",
+            "progressive", "density_units", "x_density", "y_density", "err",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[jpeg_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    meta = parse_one(bytes(payload))
+                    rows["ok"].append(True)
+                    for k in cols[2:-1]:
+                        rows[k].append(meta.get(k))
+                    rows["err"].append(None)
+                except Exception as exc:  # noqa: BLE001 — quarantine
+                    rows["ok"].append(False)
+                    for k in cols[2:-1]:
+                        rows[k].append(None)
+                    rows["err"].append(str(exc)[:200])
+            yield pd2.DataFrame(rows)
+
+    return blobs.mapInPandas(parse, schema=out_schema)
+
+
 # ----------------------------------------------------------- WAV audio
 
 def synth_wav_blobs(

@@ -348,7 +348,10 @@ def fit_ivf_quantizer(
     At scale the quantizer is fit once (typically on a sample) and
     reused across every query batch; ``topk_ivf_probe`` is the
     per-batch path.  In a real deployment ``assigned`` is written
-    bucketed by ``cell`` so assignment is a one-time layout cost."""
+    bucketed by ``cell`` so assignment is a one-time layout cost.
+    (Callers fitting SEVERAL quantizers over one corpus — the N_CELLS
+    tuning sweep — use ``plans/llm_similarity._ncells_index`` instead:
+    one shared normalize pass + one multi-codebook assignment.)"""
     from .kmeans import assign_codes, lloyd_fit
 
     c = emb.select(

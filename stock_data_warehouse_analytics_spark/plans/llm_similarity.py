@@ -190,6 +190,177 @@ def sim_topk_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NPROBE_SWEEP = (1, 2, 4, 8, 16)  # 16 = n_cells ⇒ exhaustive = recall 1
 _TUNE_NQ = 8  # query set vec_id < 8, fixed like the other ANN entries
 _TUNE_K = 5
+_NCELLS_SWEEP = (4, 8, 16, 32)  # quantizer sizes; nprobe fixed below
+_NCELLS_NPROBE = 2
+
+# Per-(session, sf_dir, n_cells) quantizer cache for the N_CELLS sweep:
+# each sweep point is a DIFFERENT index (refit required), but within a
+# session each index is fit once — sampled via fit_sample_per_cell so
+# every Lloyd pass is codebook-sized, not corpus-sized.
+_NCELLS_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+# Shared brute-force truth for the tuning curves: the fixed
+# (vec_id < _TUNE_NQ, k=_TUNE_K) ground-truth list is identical for
+# every recall eval — ≤ k·|Q| rows, materialized once per
+# (session, sf_dir).
+_TUNE_TRUTH_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _tune_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_session = _TUNE_TRUTH_CACHE.setdefault(spark, {})
+    if sf_dir not in per_session:
+        e = load_table(spark, sf_dir, "embeddings")
+        queries = e.filter(F.col("vec_id") < _TUNE_NQ)
+        per_session[sf_dir] = topk_bruteforce(
+            e, queries, k=_TUNE_K
+        ).localCheckpoint(eager=True)
+    return per_session[sf_dir]
+
+
+def _lloyd_numpy(X, H, k: int, iters: int):
+    """Driver-side Lloyd over an ALREADY-BOUNDED sample array — the
+    exact math of ``operators.kmeans.lloyd_fit`` (md5-hash seeding:
+    k rows with the smallest (hash, order) keys; d² argmin assignment;
+    empty clusters keep their previous centroid) without its
+    per-iteration Spark job round.  Only ever called on the ≤
+    max(sweep)·fit_sample_per_cell-row fit sample (the bounded-by-
+    construction side of the state-size rule, like the k×dim centroid
+    table itself)."""
+    import numpy as np
+
+    order = np.lexsort((np.arange(len(H)), H))
+    centers = X[order[: min(k, len(X))]].astype(np.float64).copy()
+    k = centers.shape[0]
+    for _ in range(iters):
+        d2 = (
+            (X * X).sum(1)[:, None]
+            - 2.0 * X @ centers.T
+            + (centers * centers).sum(1)[None, :]
+        )
+        code = d2.argmin(1)
+        for ci in range(k):
+            mask = code == ci
+            if mask.any():
+                centers[ci] = X[mask].mean(0)
+    return centers
+
+
+def _ncells_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
+    """The whole N_CELLS sweep's index state, built ONCE per (session,
+    sf_dir): one normalize+materialize pass over the corpus, ONE
+    bounded sample collect feeding every sweep point's Lloyd fit on
+    the driver (nested ``fit_sample_per_cell``-style hash samples —
+    the collect is ≤ max(sweep)·200 rows BY CONSTRUCTION regardless of
+    corpus size, the same bounded-artifact contract as the k×dim
+    centroid table), then ONE multi-codebook assignment pass
+    (``assign_codes_multi``) emitting every index's cell column,
+    materialized — at scale this is the write-bucketed-by-cell layout
+    cost, paid once for the whole sweep instead of once per index.
+    Returns ``(multi_assigned, {n_cells: centers_df}, centers_all)``."""
+    import numpy as np
+
+    from ..operators.dedup import hash_int60
+    from ..operators.kmeans import assign_codes_multi
+    from ..operators.similarity import normalize
+
+    per_session = _NCELLS_CACHE.setdefault(spark, {})
+    if sf_dir not in per_session:
+        e = load_table(spark, sf_dir, "embeddings")
+        cp = e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            normalize(F.col("embedding")).alias("_cn"),
+        ).localCheckpoint(eager=True)
+        n = cp.count()
+        h60 = hash_int60(F.col("neighbor_id").cast("string"))
+        bucket = h60 % 1_000_000
+        max_target = max(_NCELLS_SWEEP) * 200
+        # ONE sample collect covers every sweep point: the per-nc hash
+        # samples are NESTED (keep_nc grows with the target), so
+        # filtering the widest sample driver-side reproduces each
+        # fit_sample_per_cell input exactly.  Bounded: ≤ max_target
+        # rows when n > max_target, ≤ n ≤ max_target otherwise.
+        keep_max = (
+            max(1, int(max_target * 1_000_000 // n)) if n > max_target else None
+        )
+        widest = cp if keep_max is None else cp.filter(bucket < keep_max)
+        sample = widest.select(
+            "neighbor_id", "_cn", h60.alias("_h"), bucket.alias("_b")
+        ).collect()  # BOUNDED: ≤ max(sweep)·fit_sample_per_cell rows
+        X_all = np.array([r._cn for r in sample], dtype=np.float64)
+        H_all = np.array([r._h for r in sample], dtype=np.int64)
+        B_all = np.array([r._b for r in sample], dtype=np.int64)
+        books: dict[int, "object"] = {}
+        for nc in _NCELLS_SWEEP:
+            target = nc * 200  # fit_sample_per_cell=200 discipline
+            X, H = X_all, H_all
+            if n > target:
+                keep = max(1, int(target * 1_000_000 // n))
+                m = B_all < keep
+                if int(m.sum()) >= nc:
+                    X, H = X_all[m], H_all[m]
+            # iters=3 (vs the production quantizer's 5): the sweep
+            # compares index SIZES, and the hash seeding does most of
+            # the placement — extra Lloyd rounds shift absolute recall
+            # a little but not the size comparison
+            books[nc] = _lloyd_numpy(X, H, k=nc, iters=3)
+        multi = assign_codes_multi(
+            # the checkpointed corpus is one local split — fan the
+            # Arrow kernel out (same single-split gotcha as the PNG
+            # codec stage)
+            cp.repartition(8),
+            {f"cell_{nc}": c for nc, c in books.items()},
+            vec_col="_cn",
+        ).localCheckpoint(eager=True)
+        centers = {
+            nc: spark.createDataFrame(
+                [(i, [float(x) for x in cen]) for i, cen in enumerate(c)],
+                "cell int, cvec array<double>",
+            ).coalesce(1)
+            for nc, c in books.items()
+        }
+        # ONE stacked centroid table as a LITERAL local relation (≤ Σ
+        # sweep rows × dim literals): a python-list createDataFrame is
+        # backed by a Python-RDD partition, so EVERY job over it pays
+        # a Python-worker round trip (~seconds on a loaded box) — a
+        # literal explode stays entirely JVM-side (same reasoning as
+        # the one-row crossJoin scalar pattern used repo-wide)
+        centers_all = spark.range(1).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(nc).alias("n_cells"),
+                            F.lit(i).alias("cell"),
+                            F.array(
+                                *[F.lit(float(x)) for x in cen]
+                            ).alias("cvec"),
+                        )
+                        for nc, c in books.items()
+                        for i, cen in enumerate(c)
+                    ]
+                )
+            ).alias("s")
+        ).select("s.n_cells", "s.cell", "s.cvec")
+        per_session[sf_dir] = (multi, centers, centers_all)
+    return per_session[sf_dir]
+
+
+def _ncells_quantizer(
+    spark: SparkSession, sf_dir: str, n_cells: int
+) -> tuple[DataFrame, DataFrame]:
+    """One sweep point's ``(assigned, centers)`` view over the shared
+    multi-index state — the same shape ``fit_ivf_quantizer`` returns,
+    so ``topk_ivf_probe`` runs against it unchanged (the pytest's
+    identity check does exactly that)."""
+    multi, centers, _ = _ncells_index(spark, sf_dir)
+    assigned = multi.select(
+        "neighbor_id", "_cn", F.col(f"cell_{n_cells}").alias("cell")
+    )
+    return assigned, centers[n_cells]
 
 
 @register(
@@ -233,7 +404,8 @@ def sim_ivf_nprobe_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     assigned, centers = ivf_quantizer(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < _TUNE_NQ)
-    truth = topk_bruteforce(e, queries, k=_TUNE_K)
+    truth = _tune_truth(spark, sf_dir)  # session-staged, shared with
+    # the N_CELLS curve (identical fixed query set and k)
 
     from pyspark.sql import Window
 
@@ -260,8 +432,13 @@ def sim_ivf_nprobe_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(prefs, ["query_id", "cell"])
         .select("query_id", "pr")
     )
-    pts = spark.createDataFrame(
-        [(p,) for p in _NPROBE_SWEEP], "nprobe int"
+    # literal local relation, not createDataFrame: python-list frames
+    # are Python-RDD-backed and every job over them pays a Python-
+    # worker round trip; the literal explode stays JVM-side
+    pts = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p) for p in _NPROBE_SWEEP])
+        ).alias("nprobe")
     )
     hits = (
         pts.join(tpr, F.col("pr") <= F.col("nprobe"), "left")
@@ -304,6 +481,128 @@ def sim_ivf_nprobe_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 sim_ivf_nprobe_tuning.__doc__ = sim_ivf_nprobe_tuning.__doc__.format(
     sweep=_NPROBE_SWEEP, k=_TUNE_K
+)
+
+
+@register(
+    "sim_ivf_ncells_tuning",
+    tags=("llm", "similarity", "ann", "ivf", "tuning", "eval"),
+    oracle=None,  # Lloyd cells aren't SQL-expressible (IVF family
+    # stance); curve invariants + the rank identity vs an executed
+    # probe are pinned by tests/test_streaming_multimodal.py::
+    # test_ivf_ncells_tuning_curve
+)
+def sim_ivf_ncells_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF RECALL-vs-N_CELLS TUNING CURVE — the remaining axis of the
+    ANN tuning family (round-8 handoff): for each quantizer size in
+    {sweep} at fixed nprobe={nprobe}, recall@{k} against the
+    brute-force truth next to the mean corpus fraction scanned — the
+    capacity-vs-recall trade an operator reads to size the index
+    (more cells ⇒ cheaper probes, lower recall at fixed nprobe).
+
+    Costs ONE truth pass for the whole sweep plus, per point, a
+    sampled codebook fit (``fit_sample_per_cell`` — Lloyd passes are
+    codebook-sized, cached per session by ``_ncells_quantizer``, never
+    refit per run) and one corpus assignment pass.  Recall per point
+    uses the same rank identity as ``sim_ivf_nprobe_tuning``, applied
+    per index: a truth item at global rank ≤ {k} survives the
+    nprobe={nprobe} cut IFF its cell is among the query's {nprobe}
+    preferred cells — everything ranked above it is itself truth — so
+    the curve needs only the truth list, each index's cell assignment,
+    and each index's |Q|×{nprobe} probe-preference rows; no per-point
+    ANN execution.  The identity is asserted against an independently
+    executed ``topk_ivf_probe`` in the pytest above."""
+    from ..operators.similarity import dot, normalize
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < _TUNE_NQ)
+    truth = _tune_truth(spark, sf_dir)  # ≤ k·|Q| rows, session-staged
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        normalize(F.col("embedding")).alias("_qn"),
+    )
+    tot = e.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+
+    from pyspark.sql import Window
+
+    multi, _centers_by_nc, centers_all = _ncells_index(spark, sf_dir)
+    # ONE plan across the sweep (not a 4-branch union): stack every
+    # index's centroids into (n_cells, cell, cvec) and the corpus
+    # assignment into (n_cells, neighbor_id, cell) — the per-point
+    # frames are tiny (centroids) or |corpus|×|sweep| rows of three
+    # ints (the stack happens AFTER the narrow projection), and the
+    # whole curve is then three grouped joins instead of 4× separate
+    # stage trees.
+    stack_expr = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(nc).alias("n_cells"),
+                    F.col(f"cell_{nc}").alias("cell"),
+                )
+                for nc in _NCELLS_SWEEP
+            ]
+        )
+    ).alias("s")
+    assigned_all = multi.select("neighbor_id", stack_expr).select(
+        "neighbor_id", "s.n_cells", "s.cell"
+    )
+
+    d2 = dot(F.col("cvec"), F.col("cvec")) - 2.0 * dot(
+        F.col("_qn"), F.col("cvec")
+    )
+    wpr = Window.partitionBy("n_cells", "query_id").orderBy("_d2", "cell")
+    prefs = (
+        q.crossJoin(F.broadcast(centers_all))
+        .withColumn("_d2", F.round(d2, 9))
+        .withColumn("pr", F.row_number().over(wpr))
+        .filter(F.col("pr") <= _NCELLS_NPROBE)
+        .select("n_cells", "query_id", "cell")
+    )
+    pts = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(nc) for nc in _NCELLS_SWEEP])
+        ).alias("n_cells")
+    )  # literal local relation — JVM-side, no Python-RDD task
+    hits = pts.join(
+        truth.select("query_id", "neighbor_id")
+        .join(assigned_all, "neighbor_id")
+        .join(prefs, ["n_cells", "query_id", "cell"])
+        .groupBy("n_cells")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits")),
+        "n_cells",
+        "left",
+    ).select(
+        "n_cells", F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits")
+    )  # a sweep point with ZERO recall must still emit its row
+    sizes = assigned_all.groupBy("n_cells", "cell").agg(
+        F.count(F.lit(1)).cast("long").alias("c_rows")
+    )
+    scan = (
+        prefs.join(F.broadcast(sizes), ["n_cells", "cell"])
+        .groupBy("n_cells")
+        .agg(F.sum("c_rows").cast("long").alias("sum_rows"))
+    )
+    return (
+        hits.join(scan, "n_cells")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_cells",
+            F.round(
+                F.col("n_hits").cast("double") / (_TUNE_K * _TUNE_NQ), 6
+            ).alias(f"recall_at{_TUNE_K}"),
+            F.round(
+                F.col("sum_rows").cast("double")
+                / (_TUNE_NQ * F.col("n_total").cast("double")),
+                6,
+            ).alias("mean_frac_scanned"),
+        )
+        .orderBy("n_cells")
+    )
+
+
+sim_ivf_ncells_tuning.__doc__ = sim_ivf_ncells_tuning.__doc__.format(
+    sweep=_NCELLS_SWEEP, k=_TUNE_K, nprobe=_NCELLS_NPROBE
 )
 
 

@@ -415,7 +415,10 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB-scale path for
     distinct counting.  No oracle: sketch estimates are engine-specific;
-    driver records the weaker rows-only check."""
+    driver records the weaker rows-only check.  Accuracy substitute:
+    tests/test_fast_aggregates.py::test_hll_estimate_within_rsd_band
+    pins the estimate within 5·rsd of the exact countDistinct at both
+    sf0.01 and sf0.1."""
     l = load_table(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_returnflag")

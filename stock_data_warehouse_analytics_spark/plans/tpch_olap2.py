@@ -8,7 +8,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.ranking import grouped_exact_quantiles
 from ..sources.tables import load_table
 from .exact import dsum, sql_dsum
 from .registry import register
@@ -79,19 +78,20 @@ def olap_percentiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile``'s buffer-the-group aggregation.  Same answers as
     ``olap_percentiles`` (the oracle is the same ``quantile_cont``),
     but no aggregation buffer ever holds a group — the plan that still
-    runs when one return-flag covers a third of 100 TB."""
-    l = load_table(spark, sf_dir, "lineitem")
-    out = grouped_exact_quantiles(
-        l.select("l_returnflag", "l_extendedprice"),
-        "l_returnflag",
-        "l_extendedprice",
-        [("p25_price", 0.25), ("p50_price", 0.5), ("p95_price", 0.95)],
+    runs when one return-flag covers a third of 100 TB.  Reads the
+    session-staged quantile panel (plans/quantile_store.py): one
+    bucketed-rank pass serves this, the winsorized stats, the sketch
+    audit and the MAD rule."""
+    from .quantile_store import quantile_panel
+
+    out = quantile_panel(
+        spark, sf_dir, "lineitem", "l_returnflag", "l_extendedprice"
     )
     return out.select(
         "l_returnflag",
-        F.round("p25_price", 6).alias("p25_price"),
-        F.round("p50_price", 6).alias("p50_price"),
-        F.round("p95_price", 6).alias("p95_price"),
+        F.round("q25", 6).alias("p25_price"),
+        F.round("q50", 6).alias("p50_price"),
+        F.round("q95", 6).alias("p95_price"),
     ).orderBy("l_returnflag")
 
 

@@ -302,12 +302,15 @@ def mining_mad_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both medians come from the bounded-memory exact-quantile operator
     (operators/ranking.grouped_exact_quantiles) — the scale path — and
     are rounded to 6 dp on BOTH engines before the comparison so the
-    outlier rule applies bit-identical thresholds."""
+    outlier rule applies bit-identical thresholds.  The value median
+    reads the session-staged panel (plans/quantile_store.py); the
+    abs_dev median cannot be staged (it depends on the first)."""
     from ..operators.ranking import grouped_exact_quantiles
+    from .quantile_store import quantile_panel
 
     e = load_table(spark, sf_dir, "events").select("event_type", "value")
-    med = grouped_exact_quantiles(e, "event_type", "value", [("med", 0.5)]).select(
-        "event_type", F.round("med", 6).alias("med")
+    med = quantile_panel(spark, sf_dir, "events", "event_type", "value").select(
+        "event_type", F.round("q50", 6).alias("med")
     )
     # dev feeds FOUR passes (mad sketch, mad counts, mad rank, final
     # agg) — materialize it once (localCheckpoint: the standard

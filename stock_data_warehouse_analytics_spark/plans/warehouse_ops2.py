@@ -103,24 +103,26 @@ def olap_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized (5%/95%-clipped) mean and std per return flag next to
     the raw moments — the robust-statistics companion to the MAD
     anomaly rule: how much of the group's variance is tail.  Cut points
-    from the bounded-memory exact-quantile operator (broadcast back as
-    a 3-row table, rounded to 6 dp on both engines so the clip picks
+    from the session-staged exact-quantile panel
+    (plans/quantile_store.py — one bounded-memory bucketed-rank pass
+    shared with the percentile/audit/MAD family, broadcast back as a
+    3-row table, rounded to 6 dp on both engines so the clip picks
     identical values); clipping is pure LEAST/GREATEST codegen; moments
     via exact decimal sums.  The 2-column projection feeds multiple
     passes — each a fresh COLUMNAR RESCAN with pushdown rather than a
     localCheckpoint: measured at sf0.1 the checkpoint write costs more
     than the rescans it saves (cold call 7.7 → 3.8 s, steady state
     equal), and at 100 TB materializing a 2-column copy of lineitem is
-    strictly worse than re-reading the pruned parquet stripes.  The
-    quantile rank pass additionally prunes to only the buckets
-    containing a target rank (operators/ranking.py) before sorting."""
+    strictly worse than re-reading the pruned parquet stripes."""
+    from .quantile_store import quantile_panel
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    cuts = grouped_exact_quantiles(
-        li, "l_returnflag", "l_extendedprice", [("lo", 0.05), ("hi", 0.95)]
+    cuts = quantile_panel(
+        spark, sf_dir, "lineitem", "l_returnflag", "l_extendedprice"
     ).select(
-        "l_returnflag", F.round("lo", 6).alias("lo"), F.round("hi", 6).alias("hi")
+        "l_returnflag", F.round("q05", 6).alias("lo"), F.round("q95", 6).alias("hi")
     )
     x = F.col("l_extendedprice")
     wx = F.least(F.greatest(x, F.col("lo")), F.col("hi"))

@@ -206,20 +206,24 @@ def dq_approx_vs_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     RANK error.  Rank error is the meaningful metric — the KLL-style
     sketch guarantees rank ε, not value ε, so a fat-tailed column can
     show large value gaps at tiny rank error (exactly what this report
-    makes visible).  Rows-only: the sketch is engine-specific by
-    nature; the bound is pinned in pytest instead."""
-    from ..operators.ranking import grouped_exact_quantiles
+    makes visible).  Exact side reads the session-staged quantile
+    panel (plans/quantile_store.py); with the exact passes staged, the
+    2-column projection feeds only two passes (approx agg + rank
+    audit) — columnar rescans with pushdown, no checkpoint (the
+    winsorized-stats measurement).  Rows-only: the sketch is
+    engine-specific by nature; the bound is pinned in pytest
+    instead."""
+    from .quantile_store import quantile_panel
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_returnflag", "l_extendedprice")
-        .localCheckpoint(eager=True)  # feeds exact passes + approx agg
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
     )
-    exact = grouped_exact_quantiles(
-        li,
+    exact = quantile_panel(
+        spark, sf_dir, "lineitem", "l_returnflag", "l_extendedprice"
+    ).select(
         "l_returnflag",
-        "l_extendedprice",
-        [("p50_exact", 0.5), ("p95_exact", 0.95)],
+        F.col("q50").alias("p50_exact"),
+        F.col("q95").alias("p95_exact"),
     )
     approx = li.groupBy("l_returnflag").agg(
         F.approx_percentile(

@@ -310,6 +310,11 @@ _BOUNDED_SINGLE_PARTITION = {
     "behavior_growth_accounting_mau",  # same, at month grain
     "sim_ivf_nprobe_tuning",  # one-row corpus-total scalar (SUM over
     #   the n_cells=16-row size table) broadcast into the 5-row curve
+    "sim_ivf_ncells_tuning",  # literal local relations (Σ sweep ≤ 60
+    #   centroid rows, 4 sweep points) + the |Q|×Σcells probe-prefs
+    #   window (≤ 8×60 rows) + the one-row corpus-total scalar —
+    #   every single-partition stage is sweep/centroid-sized, the
+    #   corpus-sized assignment and size rollups are hash-partitioned
     "layout_compaction_plan",  # one-row total scalar + the next-fit
     #   running sum over the CALENDAR-bounded day-grain file frame
     "behavior_weekday_seasonality",  # one-row grand-mean scalar over

@@ -1387,3 +1387,104 @@ def test_ivf_nprobe_tuning_curve(spark):
     want_recall = round(len(truth & got) / (_TUNE_K * _TUNE_NQ), 6)
     by_p = {r.nprobe: r[f"recall_at{_TUNE_K}"] for r in rows}
     assert abs(by_p[4] - want_recall) < 1e-9, (by_p[4], want_recall)
+
+
+def test_jpeg_header_parse_roundtrip(spark):
+    """The JPEG metadata parser is a REAL marker-segment walker: every
+    synthesized header parses back to the analytic generation rule
+    (dimensions, components, progressive flag, JFIF density); corrupt
+    (truncated) headers quarantine with ok=False; and a handcrafted
+    stream with an unknown APPn segment between JFIF and SOF still
+    parses (length-prefixed skip, not offset assumptions)."""
+    import struct
+
+    from stock_data_warehouse_analytics_spark.operators.multimodal import (
+        parse_jpeg_meta,
+        synth_jpeg_header_blobs,
+    )
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMALL, "documents").filter("doc_id < 80")
+    rows = {
+        r.doc_id: r
+        for r in parse_jpeg_meta(synth_jpeg_header_blobs(d)).collect()
+    }
+    assert len(rows) == 80
+    for doc_id, r in rows.items():
+        if doc_id % 13 == 0:
+            assert not r.ok and r.err and r.width is None, r
+            continue
+        assert r.ok, r
+        assert r.width == 160 + 16 * (doc_id % 11)
+        assert r.height == 120 + 8 * (doc_id % 7)
+        assert r.precision == 8
+        assert r.n_components == (1 if doc_id % 5 == 0 else 3)
+        assert r.progressive == (doc_id % 3 == 0)
+        assert r.density_units == doc_id % 3
+        assert r.x_density == 72 + 24 * (doc_id % 4)
+        assert r.y_density == 72 + 24 * (doc_id % 5)
+
+    # handcrafted: APP1 (Exif-shaped) segment the parser must skip
+    app0 = b"JFIF\x00\x01\x02" + struct.pack(">BHH", 1, 300, 200) + b"\x00\x00"
+    sof = struct.pack(">BHHB", 8, 33, 47, 3) + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    raw = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xe1" + struct.pack(">H", 10) + b"Exif\x00\x00ab"
+        + b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+        + b"\xff\xd9"
+    )
+    hand = spark.createDataFrame([(1, bytearray(raw))], "doc_id long, jpeg binary")
+    r = parse_jpeg_meta(hand).collect()[0]
+    assert (r.ok, r.width, r.height, r.n_components, r.progressive) == (
+        True, 47, 33, 3, True,
+    )
+    assert (r.density_units, r.x_density, r.y_density) == (1, 300, 200)
+
+
+def test_ivf_ncells_tuning_curve(spark):
+    """The N_CELLS tuning curve's contracts: (1) invariants — one row
+    per sweep point, scan fraction strictly positive and non-increasing
+    in n_cells (more cells ⇒ smaller probed slice at fixed nprobe);
+    (2) the per-index rank identity — recall at n_cells=8 must EQUAL
+    the recall measured by intersecting an independently executed IVF
+    search (topk_ivf_probe on the same cached quantizer at
+    nprobe=_NCELLS_NPROBE) with the brute-force truth."""
+    from stock_data_warehouse_analytics_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_ivf_probe,
+    )
+    from stock_data_warehouse_analytics_spark.plans.llm_similarity import (
+        _NCELLS_NPROBE,
+        _NCELLS_SWEEP,
+        _TUNE_K,
+        _TUNE_NQ,
+        _ncells_quantizer,
+        sim_ivf_ncells_tuning,
+    )
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+
+    rows = sim_ivf_ncells_tuning(spark, SF_SMALL).collect()
+    assert [r.n_cells for r in rows] == sorted(_NCELLS_SWEEP)
+    frac = [r.mean_frac_scanned for r in rows]
+    assert all(0.0 < f <= 1.0 for f in frac)
+    assert frac == sorted(frac, reverse=True), frac
+    rec = [r[f"recall_at{_TUNE_K}"] for r in rows]
+    assert all(0.0 <= r <= 1.0 for r in rec)
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < _TUNE_NQ)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_bruteforce(emb, q, k=_TUNE_K).collect()
+    }
+    assigned, centers = _ncells_quantizer(spark, SF_SMALL, 8)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_ivf_probe(
+            assigned, centers, q, k=_TUNE_K, nprobe=_NCELLS_NPROBE
+        ).collect()
+    }
+    want_recall = round(len(truth & got) / (_TUNE_K * _TUNE_NQ), 6)
+    by_nc = {r.n_cells: r[f"recall_at{_TUNE_K}"] for r in rows}
+    assert abs(by_nc[8] - want_recall) < 1e-9, (by_nc[8], want_recall)

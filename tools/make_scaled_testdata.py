@@ -39,7 +39,10 @@ SRC = "/root/testdata/sf0.1"
 DST_ROOT = "/tmp/sfscale"
 
 
-def make(k: int) -> str:
+def make(k: int, docs_only: bool = False) -> str:
+    """``docs_only`` scales documents/embeddings only and symlinks the
+    fact tables from sf0.1 — the ×100 dedup growth point needs a 500k-
+    doc corpus but not a 100M-row lineitem."""
     out = os.path.join(DST_ROOT, f"x{k}")
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
@@ -93,6 +96,15 @@ COPY (
         p = os.path.join(out, f"{t}.parquet")
         if os.path.islink(p):
             os.unlink(p)
+    if docs_only:
+        for t in (
+            "region", "nation", "customer", "supplier", "part", "events",
+            "orders", "lineitem",
+        ):
+            link = os.path.join(out, f"{t}.parquet")
+            if not os.path.exists(link):
+                os.symlink(os.path.join(SRC, f"{t}.parquet"), link)
+        return out
     con.execute(
         f"""
 COPY (
@@ -126,6 +138,8 @@ COPY (
 
 
 if __name__ == "__main__":
-    ks = [int(a) for a in sys.argv[1:]] or [2, 5, 10]
+    args = sys.argv[1:]
+    docs_only = "--docs-only" in args
+    ks = [int(a) for a in args if a != "--docs-only"] or [2, 5, 10]
     for k in ks:
-        print(make(k))
+        print(make(k, docs_only=docs_only))

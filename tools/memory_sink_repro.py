@@ -49,6 +49,29 @@ OBSERVED (2026-08-16, Spark 4.1.2, local[8], this container):
   ground truth (strictly more conservative, and immune to whatever
   the original interaction was), and nothing in the package builds on
   memory-sink accumulation semantics.
+
+OBSERVED (round 9, retry legs — closes the r8 remaining suspect
+"timeout-batch replay after a retry's checkpoint reuse"):
+  (a) Spark REFUSES to start a memory-sink query against an existing
+      checkpoint at all — AnalysisException "This query does not
+      support recovering from checkpoint location" — so replayed
+      timeout batches interacting with the sink's batchId dedup can
+      never occur: the replay hypothesis is structurally impossible,
+      not merely unobserved.
+  (b) A re-start under the same queryName (what any retry wrapper or
+      re-invoked helper does, necessarily with a fresh checkpoint per
+      (a)) RECREATES the table: rows the previous run emitted are
+      gone, and the table afterwards holds exactly what the LAST
+      attempt processed.  If the last attempt processes fewer batches
+      than the first (e.g. the FileStreamSource mtime-ordering +
+      watermark-drop gotcha in ROUND_NOTES, or an EventTimeTimeout
+      emitting expired state in batch 0 of the retry), the table shows
+      the one/final-batch-only picture.
+  DISPOSITION: closed — no sink defect, no replay path.  The r5/r7
+  empty-table flake was the DataSource module-unpickling bug (fixed
+  r8, sources/pydatasource.py); the one-batch-only retention matches
+  re-start recreation under (b).  foreachBatch remains the correct
+  ground truth for every stream≡batch parity test.
 """
 
 from __future__ import annotations
@@ -208,9 +231,98 @@ def main() -> int:
         "(expected 6 = 2 keys × 3 batches each)"
     )
 
+    # ---- retry legs (r8 remaining suspect: "timeout-batch replay
+    # after a retry's checkpoint reuse").  Two sub-questions:
+    #
+    # (a) CAN a memory-sink query even resume from a reused
+    #     checkpoint?  (If yes, replayed batchIds could interact with
+    #     the sink's dedup and drop rows.)
+    # (b) What does a RE-START of a same-named memory query (any retry
+    #     wrapper, fresh checkpoint) do to rows the previous run put
+    #     in the table?
+    src2 = os.path.join(work, "src_restart")
+    os.makedirs(src2)
+
+    def add_file(b: int) -> None:
+        stage = os.path.join(work, f"rstage{b}")
+        spark.range(b * 10, b * 10 + 10).coalesce(1).write.mode(
+            "overwrite"
+        ).json(stage)
+        (part,) = glob.glob(f"{stage}/part-*.json")
+        dst = f"{src2}/{b:03d}.json"
+        shutil.move(part, dst)
+        os.utime(dst, (2_000_000 + b, 2_000_000 + b))
+
+    add_file(0)
+    add_file(1)
+    stream2 = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src2)
+    )
+    ck_restart = os.path.join(work, "ckpt_restart")
+
+    def run_once(ckpt: str) -> list[tuple]:
+        q = (
+            stream2.writeStream.format("memory")
+            .queryName("memsink_restart")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return [(p.batchId, p.sink.numOutputRows) for p in q.recentProgress]
+
+    prog_run1 = run_once(ck_restart)
+    rows_run1 = sorted(r.id for r in spark.table("memsink_restart").collect())
+    add_file(2)  # arrives between run 1 and the retry
+
+    print("--- retry leg (a): checkpoint REUSE with a memory sink ---")
+    print(f"run 1 per-batch: {prog_run1}; table after run 1: {rows_run1}")
+    reuse_refused = False
+    try:
+        run_once(ck_restart)
+        rows_reuse = sorted(
+            r.id for r in spark.table("memsink_restart").collect()
+        )
+        print(f"checkpoint reuse SUCCEEDED; table now: {rows_reuse}")
+    except Exception as exc:  # AnalysisException expected
+        reuse_refused = "recovering from checkpoint" in str(exc)
+        print(
+            "RESULT: Spark REFUSES memory-sink recovery outright — "
+            f"{str(exc).splitlines()[0][:160]}"
+        )
+        print(
+            "⇒ the 'timeout-batch replay after checkpoint reuse' "
+            "suspect is STRUCTURALLY IMPOSSIBLE for a memory sink: no "
+            "run ever resumes a memory-sink checkpoint."
+        )
+
+    # (b) re-start with a FRESH checkpoint (what any retry wrapper or
+    # re-invoked helper actually does): the sink is recreated at
+    # start(), so run 1's rows vanish and the table afterwards holds
+    # exactly what the LAST attempt processed.
+    prog_run2 = run_once(os.path.join(work, "ckpt_restart2"))
+    rows_run2 = sorted(r.id for r in spark.table("memsink_restart").collect())
+    print("--- retry leg (b): re-start, same table name, fresh ckpt ---")
+    print(f"run 2 per-batch: {prog_run2}; table after run 2: {rows_run2}")
+    recreated = rows_run1 == list(range(20)) and rows_run2 == list(range(30))
+    print(
+        "RESULT: start() RECREATED the table — run 1's view is gone and "
+        "the table reflects only the last attempt's batches.  Any retry "
+        "wrapper (or a helper that re-invokes start()) therefore shows "
+        "the one/last-batch-only symptom with zero sink defect; combined "
+        "with leg (a)'s hard refusal, the r8 suspect is closed: replay "
+        "cannot happen, recreation explains what was seen."
+        if recreated
+        else f"RESULT: unexpected table contents after re-start: "
+        f"{rows_run2}"
+    )
+
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
-    return 0 if (ok and st_ok) else 1
+    return 0 if (ok and st_ok and reuse_refused and recreated) else 1
 
 
 if __name__ == "__main__":
