@@ -378,10 +378,14 @@ def fit_ivf_quantizer(
         fit_input, id_col="neighbor_id", vec_col="_cn", k=n_cells, iters=max_iter
     )
     assigned = assign_codes(c, centers, vec_col="_cn", code_col="cell")
-    centers_df = emb.sparkSession.createDataFrame(
+    from .localrel import literal_df
+
+    centers_df = literal_df(
+        emb.sparkSession,
         [(i, [float(x) for x in cen]) for i, cen in enumerate(centers)],
         "cell int, cvec array<double>",
-    )
+    )  # literal local relation: the broadcast probe side must not pay
+    # a Python-RDD worker round trip per query batch
     return assigned, centers_df
 
 
@@ -529,7 +533,10 @@ def neardup_exact_blocked(
     base = emb.select(
         F.col(id_col).alias("id"), normalize(F.col(vec_col)).alias("vn")
     )
-    bp = base.sparkSession.createDataFrame(
+    from .localrel import literal_df
+
+    bp = literal_df(
+        base.sparkSession,
         [(b1, b2) for b1 in range(n_blocks) for b2 in range(b1, n_blocks)],
         "b1 int, b2 int",
     )
@@ -1264,8 +1271,11 @@ def kcenter_select(
         cur = cur.withColumn(
             "_mind", F.least(F.col("_mind"), d2)
         ).localCheckpoint(eager=True)
+    from .localrel import literal_df
+
     spark = emb.sparkSession
-    return spark.createDataFrame(
+    return literal_df(
+        spark,
         [(r, i, round(d, 6)) for r, i, d in picks],
         f"sel_rank int, {id_col} long, dist_to_set double",
     )

@@ -154,7 +154,10 @@ def bpe_train_merges(
             "w", "freq", merged_syms.alias("syms")
         ).localCheckpoint(eager=True)
 
-    merges_df = spark.createDataFrame(
+    from .localrel import literal_df
+
+    merges_df = literal_df(
+        spark,
         merges,
         "round int, left string, right string, merged string, pair_count long",
     )

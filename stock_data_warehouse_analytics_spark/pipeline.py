@@ -173,6 +173,70 @@ def run_charts(spark: SparkSession, fact: DataFrame, charts_dir: str) -> list[st
         line_chart(series, title="MONTHLY AVG CLOSE - ALL TICKERS"),
         "00_monthly_close_combined.png",
     )
+
+    # reference chart parity beyond line/bar (olap_analysis.py:179-184
+    # heatmap; datavisualization.py:378-389 boxplot, :652,770 scatter,
+    # :699,714 corr/cov heatmaps) — every input is a REPORT-grain
+    # aggregate or an engine-side five-number summary; raw facts never
+    # reach the driver.
+    from .operators.stock_olap import quarterly_price
+    from .sources.charts import box_plot, heatmap, scatter_chart
+
+    qp = quarterly_price(df, tickers).collect()
+    save(
+        heatmap(
+            [f"{r.Year}Q{r.Quarter}" for r in qp],
+            tickers,
+            [[r[t] for t in tickers] for r in qp],
+            title="AVG CLOSE BY QUARTER",
+            cmap="rdylgn",
+        ),
+        "03_combined_heatmap_price.png",
+    )
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("Ticker").orderBy("Date")
+    with_ret = df.withColumn(
+        "Return",
+        (F.col("Close") / F.lag("Close").over(wd) - 1.0) * 100.0,
+    )  # C5 pct_change rule (functions/derivations.py)
+    ret_stats = (
+        with_ret.filter(F.col("Return").isNotNull())
+        .groupBy("Ticker")
+        .agg(
+            F.percentile("Return", F.lit(0.05)).alias("wlo"),
+            F.percentile("Return", F.lit(0.25)).alias("q1"),
+            F.percentile("Return", F.lit(0.5)).alias("med"),
+            F.percentile("Return", F.lit(0.75)).alias("q3"),
+            F.percentile("Return", F.lit(0.95)).alias("whi"),
+        )
+        .orderBy("Ticker")
+        .collect()
+    )
+    save(
+        box_plot(
+            [r.Ticker for r in ret_stats],
+            [(r.wlo, r.q1, r.med, r.q3, r.whi) for r in ret_stats],
+            title="DAILY RETURN RISK BY TICKER",
+        ),
+        "04_boxplot_risk.png",
+    )
+    sc = (
+        with_ret.filter(F.col("Return").isNotNull())
+        .select("Ticker", "Date", "Volume", "Return")
+        .orderBy("Ticker", "Date")
+        .collect()
+    )
+    by_t: dict[str, list[tuple[float, float]]] = {}
+    for r in sc:
+        by_t.setdefault(r.Ticker, []).append((float(r.Volume), r.Return))
+    save(
+        scatter_chart(
+            sorted(by_t.items()),
+            title="VOLUME VS DAILY RETURN",
+        ),
+        "05_scatter_volume_return.png",
+    )
     return written
 
 

@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 from ..operators.dedup import hash_int60
 from ..sources.tables import load_table
 from .llm_text import _sql_predicted_lang
+from ..operators.localrel import literal_df
 from .registry import register
 
 _SQL_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
@@ -138,8 +139,8 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = j.groupBy("sig").agg(
         F.expr("(sum(conv) * 1000000000) div count(*)").alias("v_nano")
     )
-    enum = spark.createDataFrame(
-        _shapley_enum(), "channel string, sig_wo string, sig_w string, w24 long"
+    enum = literal_df(
+        spark, _shapley_enum(), "channel string, sig_wo string, sig_w string, w24 long"
     )
     vw = v.select(F.col("sig").alias("sig_w"), F.col("v_nano").alias("vw"))
     vo = v.select(F.col("sig").alias("sig_wo"), F.col("v_nano").alias("vo"))
@@ -1678,7 +1679,8 @@ def dq_dp_budget_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_days")
     )
-    rows = spark.createDataFrame(
+    rows = literal_df(
+        spark,
         [
             (1, "dq_dp_noisy_counts", "count", 1, "types", _DP_EPS),
             (

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 from ..sources.tables import load_table
+from ..operators.localrel import literal_df
 from .registry import register
 
 _TR_VOCAB = 50  # top-V vocabulary (Heaps-bounded graph size)
@@ -176,8 +177,8 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr = {n: _TR_BASE + contrib.get(n, 0) for n in nodes}
     ranked = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[:_TR_TOP]
     rows = [(w, p, i + 1) for i, (w, p) in enumerate(ranked)]
-    return spark.createDataFrame(
-        rows, "word string, textrank_micro long, rank long"
+    return literal_df(
+        spark, rows, "word string, textrank_micro long, rank long"
     ).orderBy("rank")
 
 

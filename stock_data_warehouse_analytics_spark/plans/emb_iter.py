@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ..operators.localrel import literal_df
 from .registry import register
 
 # 40 rounds: the testdata covariance has a nearly-degenerate top pair
@@ -172,4 +173,4 @@ def emb_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
             d: math.floor(float(y[d]) / float(m) * _Q) for d in sorted(y)
         }
     out = [(int(d), int(v)) for d, v in sorted(x.items())]
-    return spark.createDataFrame(out, "dim int, pc1_micro long").orderBy("dim")
+    return literal_df(spark, out, "dim int, pc1_micro long").orderBy("dim")

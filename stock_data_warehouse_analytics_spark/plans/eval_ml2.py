@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
 from .mining2 import _SQL_QUALITY
+from ..operators.localrel import literal_df
 from .registry import register
 
 _SQL_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
@@ -826,8 +827,8 @@ def sim_binary_cand_depth_tuning(
     tranks = truth.join(hamm, ["query_id", "neighbor_id"]).select(
         "query_id", "h_rnk"
     )
-    pts = spark.createDataFrame(
-        [(p,) for p in _BD_SWEEP], "cand_depth int"
+    pts = literal_df(
+        spark, [(p,) for p in _BD_SWEEP], "cand_depth int"
     )
     return (
         pts.join(tranks, F.col("h_rnk") <= F.col("cand_depth"), "left")

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ..operators.localrel import literal_df
 from .registry import register
 
 N_ITERS = 8
@@ -383,7 +384,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fixed-round oracle provably converges"
         )
     rows = [(node, dist.get(node)) for node in sorted(node_set)]
-    out = spark.createDataFrame(rows, "node int, hops long")
+    out = literal_df(spark, rows, "node int, hops long")
     return (
         out.join(F.broadcast(n), F.col("node") == F.col("n_nationkey"))
         .select(F.col("n_name").alias("nation"), "hops")

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .exact import davg, dsum, sql_davg, sql_dsum
+from ..operators.localrel import literal_df
 from .registry import register
 
 
@@ -285,7 +286,7 @@ def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast costs O(|fact| × |bands|) comparisons with zero shuffle of
     the fact."""
     o = load_table(spark, sf_dir, "orders").select("o_totalprice")
-    bands = spark.createDataFrame(_BANDS, "lo double, hi double, band string")
+    bands = literal_df(spark, _BANDS, "lo double, hi double, band string")
     cond = (F.col("o_totalprice") >= F.col("lo")) & (
         F.col("o_totalprice") < F.col("hi")
     )

@@ -25,6 +25,7 @@ from ..operators.dedup import (
     span_coverage,
 )
 from ..sources.tables import load_table
+from ..operators.localrel import literal_df
 from .registry import register
 
 _SQL_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
@@ -1189,8 +1190,8 @@ def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hist = jac.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    grid = spark.createDataFrame(
-        _BT_GRID, "bands int, rows_per_band int, bin long, p_nano long"
+    grid = literal_df(
+        spark, _BT_GRID, "bands int, rows_per_band int, bin long, p_nano long"
     )
     joined = grid.join(F.broadcast(hist), "bin", "left").select(
         "bands",

@@ -315,11 +315,14 @@ def _ncells_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
             {f"cell_{nc}": c for nc, c in books.items()},
             vec_col="_cn",
         ).localCheckpoint(eager=True)
+        from ..operators.localrel import literal_df
+
         centers = {
-            nc: spark.createDataFrame(
+            nc: literal_df(
+                spark,
                 [(i, [float(x) for x in cen]) for i, cen in enumerate(c)],
                 "cell int, cvec array<double>",
-            ).coalesce(1)
+            )
             for nc, c in books.items()
         }
         # ONE stacked centroid table as a LITERAL local relation (≤ Σ

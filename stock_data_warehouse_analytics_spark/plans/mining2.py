@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ..operators.localrel import literal_df
 from .registry import register
 
 _TOPK = 50
@@ -285,7 +286,8 @@ def mining_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cols = ["intercept", "ntok_100", "punct", "stop_en"]
     beta = irls_logreg(feats, feature_cols=cols, label_col="y", iters=8)
-    return spark.createDataFrame(
+    return literal_df(
+        spark,
         [(c, round(b, 6)) for c, b in zip(cols, beta)],
         "feature string, beta double",
     )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .exact import dsum, sql_dsum
+from ..operators.localrel import literal_df
 from .registry import register
 
 
@@ -100,7 +101,8 @@ def mining_linreg_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         featuresCol="features", labelCol="l_extendedprice", regParam=0.0
     ).fit(data)
     s = model.summary
-    return spark.createDataFrame(
+    return literal_df(
+        spark,
         [
             (
                 float(model.intercept),

@@ -21,7 +21,15 @@ import zlib
 
 import numpy as np
 
-__all__ = ["encode_png", "Canvas", "line_chart", "bar_chart"]
+__all__ = [
+    "encode_png",
+    "Canvas",
+    "line_chart",
+    "bar_chart",
+    "heatmap",
+    "scatter_chart",
+    "box_plot",
+]
 
 # matplotlib default categorical palette (public 'tab10' values)
 PALETTE = [
@@ -263,4 +271,161 @@ def bar_chart(
         xr, _ = to_px(i + 0.35, v)
         c.rect(xl, yt, xr, y_base - 1, color)
         c.text((xl + xr) // 2 - 3 * len(str(lab)), c.h - _MARGIN_B + 6, lab)
+    return c
+
+
+# --- colormaps (public anchor values, linearly interpolated) ---------
+# RdYlGn / coolwarm / viridis endpoints+midpoints as published by
+# matplotlib's docs; 3-5 anchors are enough for chart-grade rendering.
+_CMAPS = {
+    "rdylgn": [(165, 0, 38), (255, 255, 191), (0, 104, 55)],
+    "coolwarm": [(59, 76, 192), (221, 221, 221), (180, 4, 38)],
+    "viridis": [
+        (68, 1, 84), (59, 82, 139), (33, 145, 140), (94, 201, 98),
+        (253, 231, 37),
+    ],
+}
+
+
+def _cmap_color(name: str, t: float) -> tuple[int, int, int]:
+    anchors = _CMAPS[name]
+    t = min(max(t, 0.0), 1.0)
+    pos = t * (len(anchors) - 1)
+    i = min(int(pos), len(anchors) - 2)
+    frac = pos - i
+    a, b = anchors[i], anchors[i + 1]
+    return tuple(int(round(a[k] + (b[k] - a[k]) * frac)) for k in range(3))
+
+
+def heatmap(
+    row_labels: list[str],
+    col_labels: list[str],
+    values: "list[list[float | None]]",
+    *,
+    title: str = "",
+    cmap: str = "rdylgn",
+    annot: bool = True,
+    w: int = 960,
+    h: int = 480,
+) -> Canvas:
+    """Annotated matrix heatmap — the reference's quarterly-price and
+    correlation/covariance heatmaps (olap_analysis.py:179-184,
+    datavisualization.py:254,699,714; sns.heatmap with RdYlGn /
+    coolwarm / viridis).  Cells colored by min-max-normalized value
+    through the interpolated colormap; None cells render grey.  Input
+    is a REPORT-grain pivot (rows × cols bounded by the report), never
+    raw facts."""
+    c = Canvas(w, h)
+    nr, nc = len(row_labels), len(col_labels)
+    if not nr or not nc:
+        return c
+    flat = [v for row in values for v in row if v is not None]
+    lo, hi = (min(flat), max(flat)) if flat else (0.0, 1.0)
+    rng = (hi - lo) or 1.0
+    px0, px1 = _MARGIN_L, w - _MARGIN_R
+    py0, py1 = _MARGIN_T, h - _MARGIN_B
+    cw, ch = (px1 - px0) / nc, (py1 - py0) / nr
+    for ri, row in enumerate(values):
+        for ci, v in enumerate(row):
+            x0 = int(px0 + ci * cw)
+            y0 = int(py0 + ri * ch)
+            x1 = int(px0 + (ci + 1) * cw) - 2
+            y1 = int(py0 + (ri + 1) * ch) - 2
+            color = (
+                GREY if v is None else _cmap_color(cmap, (v - lo) / rng)
+            )
+            c.rect(x0, y0, x1, y1, color)
+            if annot and v is not None and cw >= 40 and ch >= 12:
+                s = _fmt(v)
+                # dark annot on light cells, light on dark
+                lum = 0.299 * color[0] + 0.587 * color[1] + 0.114 * color[2]
+                c.text(
+                    (x0 + x1) // 2 - 3 * len(s),
+                    (y0 + y1) // 2 - 3,
+                    s,
+                    BLACK if lum > 140 else WHITE,
+                )
+    for ri, lab in enumerate(row_labels):
+        c.text(4, int(py0 + (ri + 0.5) * ch) - 3, str(lab))
+    for ci, lab in enumerate(col_labels):
+        c.text(
+            int(px0 + (ci + 0.5) * cw) - 3 * len(str(lab)),
+            h - _MARGIN_B + 6,
+            str(lab),
+        )
+    c.text(_MARGIN_L, 12, title, scale=2)
+    return c
+
+
+def scatter_chart(
+    series: list[tuple[str, list[tuple[float, float]]]],
+    *,
+    title: str = "",
+    w: int = 960,
+    h: int = 480,
+    x_fmt=None,
+    marker: int = 2,
+) -> Canvas:
+    """Multi-series scatter with legend — the reference's spike-vs-
+    return scatters (datavisualization.py:652,770; px.scatter /
+    sns.scatterplot).  Same frame/legend conventions as line_chart;
+    each point is a (2·marker+1)-px square."""
+    c = Canvas(w, h)
+    pts = [p for _, ps in series for p in ps]
+    if not pts:
+        return c
+    lo_x, hi_x = min(p[0] for p in pts), max(p[0] for p in pts)
+    lo_y, hi_y = min(p[1] for p in pts), max(p[1] for p in pts)
+    pad = (hi_y - lo_y) * 0.05 or 1.0
+    to_px = _frame(c, title, lo_x, hi_x, lo_y - pad, hi_y + pad, x_fmt)
+    for i, (label, ps) in enumerate(series):
+        color = PALETTE[i % len(PALETTE)]
+        for x, y in ps:
+            px, py = to_px(x, y)
+            c.rect(px - marker, py - marker, px + marker, py + marker, color)
+        ly = _MARGIN_T + 4 + 12 * i
+        c.rect(w - _MARGIN_R - 110, ly, w - _MARGIN_R - 98, ly + 8, color)
+        c.text(w - _MARGIN_R - 92, ly, label)
+    return c
+
+
+def box_plot(
+    labels: list[str],
+    stats: "list[tuple[float, float, float, float, float]]",
+    *,
+    title: str = "",
+    w: int = 960,
+    h: int = 480,
+) -> Canvas:
+    """Five-number-summary box plot — the reference's per-ticker risk
+    boxplot (datavisualization.py:378-389; sns.boxplot).  ``stats``
+    per label is (lo_whisker, q1, median, q3, hi_whisker) — computed
+    ENGINE-SIDE (grouped percentiles in Spark), so only the bounded
+    per-group summary reaches the driver; matplotlib instead ships the
+    raw column, which is exactly what does not scale."""
+    c = Canvas(w, h)
+    if not stats:
+        return c
+    lo_y = min(s[0] for s in stats)
+    hi_y = max(s[4] for s in stats)
+    pad = (hi_y - lo_y) * 0.05 or 1.0
+    to_px = _frame(
+        c, title, -0.5, len(stats) - 0.5, lo_y - pad, hi_y + pad
+    )
+    for i, (lab, (wlo, q1, med, q3, whi)) in enumerate(zip(labels, stats)):
+        color = PALETTE[i % len(PALETTE)]
+        xc, _ = to_px(i, 0)
+        xl, yq3 = to_px(i - 0.3, q3)
+        xr, yq1 = to_px(i + 0.3, q1)
+        _, ymed = to_px(i, med)
+        _, ylo = to_px(i, wlo)
+        _, yhi = to_px(i, whi)
+        c.line(xc, yhi, xc, yq3, BLACK)  # upper whisker
+        c.line(xc, yq1, xc, ylo, BLACK)  # lower whisker
+        c.line(xl, yhi, xr, yhi, BLACK)
+        c.line(xl, ylo, xr, ylo, BLACK)
+        c.rect(xl, yq3, xr, yq1, color)
+        c.rect(xl, yq3, xr, yq1, BLACK, fill=False)
+        c.line(xl, ymed, xr, ymed, BLACK, width=2)
+        c.text(xc - 3 * len(str(lab)), c.h - _MARGIN_B + 6, str(lab))
     return c

@@ -88,9 +88,12 @@ def test_chart_roundtrip_through_own_ppm_decoder(spark):
 
 
 def test_pipeline_charts_stage(spark, tmp_path):
-    """run_charts writes one PNG per (ticker, chart) plus the combined
-    chart, every file a well-formed PNG of the canvas dimensions."""
+    """run_charts writes one PNG per (ticker, chart) plus the four
+    combined charts (multi-line, price heatmap, risk boxplot, volume-
+    return scatter — the reference's non-line/bar chart types), every
+    file a well-formed PNG of the canvas dimensions."""
     import datetime
+    import os
 
     from stock_data_warehouse_analytics_spark.pipeline import run_charts
 
@@ -102,8 +105,67 @@ def test_pipeline_charts_stage(spark, tmp_path):
             rows.append((t, d, 10.0 + i % 7, 100 + i))
     fact = spark.createDataFrame(rows, ["Ticker", "Date", "Close", "Volume"])
     written = run_charts(spark, fact, str(tmp_path / "charts"))
-    assert len(written) == 2 * 3 + 1
+    assert len(written) == 2 * 3 + 4
+    names = {os.path.basename(p) for p in written}
+    assert {
+        "00_monthly_close_combined.png",
+        "03_combined_heatmap_price.png",
+        "04_boxplot_risk.png",
+        "05_scatter_volume_return.png",
+    } <= names
     for path in written:
         with open(path, "rb") as f:
             png = f.read()
         assert _png_dims(png) == (960, 480)
+
+
+def test_heatmap_scatter_box_render():
+    """The three non-line/bar builders: deterministic output, colormap
+    endpoints hit (heatmap min→first anchor, max→last anchor), scatter
+    draws each series' palette color, boxplot draws the box fill and a
+    black median/whisker."""
+    import numpy as np
+
+    from stock_data_warehouse_analytics_spark.sources.charts import (
+        _CMAPS,
+        PALETTE,
+        box_plot,
+        heatmap,
+        scatter_chart,
+    )
+
+    hm = heatmap(
+        ["R1", "R2"], ["C1", "C2"],
+        [[0.0, 1.0], [None, 0.5]],
+        title="HM", cmap="coolwarm", annot=False, w=320, h=200,
+    )
+    png = hm.png()
+    assert _png_dims(png) == (320, 200)
+    assert heatmap(
+        ["R1", "R2"], ["C1", "C2"],
+        [[0.0, 1.0], [None, 0.5]],
+        title="HM", cmap="coolwarm", annot=False, w=320, h=200,
+    ).png() == png
+    flat = {tuple(p) for row in _png_pixels(png) for p in row}
+    lo_anchor, hi_anchor = _CMAPS["coolwarm"][0], _CMAPS["coolwarm"][-1]
+    assert tuple(lo_anchor) in flat  # min cell
+    assert tuple(hi_anchor) in flat  # max cell
+    assert (210, 210, 210) in flat  # None cell renders GREY
+
+    sc = scatter_chart(
+        [("A", [(0.0, 0.0), (1.0, 2.0)]), ("B", [(0.5, 1.0)])],
+        title="SC", w=320, h=200,
+    )
+    flat = {tuple(p) for row in _png_pixels(sc.png()) for p in row}
+    assert tuple(PALETTE[0]) in flat and tuple(PALETTE[1]) in flat
+
+    bp = box_plot(
+        ["T1", "T2"],
+        [(-2.0, -1.0, 0.0, 1.0, 2.0), (0.0, 1.0, 1.5, 2.0, 3.0)],
+        title="BP", w=320, h=200,
+    )
+    px = _png_pixels(bp.png())
+    flat = {tuple(p) for row in px for p in row}
+    assert tuple(PALETTE[0]) in flat and tuple(PALETTE[1]) in flat
+    assert (0, 0, 0) in flat  # median/whisker strokes
+    assert isinstance(px, np.ndarray)
