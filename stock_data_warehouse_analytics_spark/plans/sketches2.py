@@ -937,3 +937,100 @@ def sketch_misra_gries_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 sketch_misra_gries_topk.__doc__ = sketch_misra_gries_topk.__doc__.format(
     buckets=_MG_BUCKETS, k=_MG_K, top=_MG_TOP
 )
+
+
+# ------------------------------------------------------- KMV distinct
+
+_KMV_K = 8
+_KMV_BUCKETS = 16
+_KMV_2P60 = "1152921504606846976e0"  # 2^60 as an exact double literal
+
+
+@register(
+    "sketch_kmv_distinct",
+    tags=("sketch", "kmv", "distinct", "agg"),
+    oracle=f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+         {_SQL_H60.format(x="user_id::VARCHAR")} AS h60
+  FROM events
+),
+rk AS (
+  SELECT event_type, h60,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h60) AS rk
+  FROM d
+),
+hk AS (SELECT event_type, h60 AS h_k FROM rk WHERE rk = {_KMV_K}),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT ex.event_type, ex.exact_distinct,
+  ROUND(({_KMV_K} - 1) * {_KMV_2P60} / hk.h_k, 4) AS kmv_estimate,
+  ROUND(ABS(({_KMV_K} - 1) * {_KMV_2P60} / hk.h_k - ex.exact_distinct)
+        / ex.exact_distinct, 4) AS rel_err
+FROM ex JOIN hk USING (event_type)
+ORDER BY ex.event_type
+""",
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-MINIMUM-VALUES distinct sketch (Bar-Yossef et al.), ORACLE-
+    EXACT — the sketch the HLL family can't oracle-check becomes
+    checkable when the hash is the shared md5 primitive: per event
+    type, the k={k} smallest distinct 60-bit user hashes give the
+    estimate (k−1)·2⁶⁰/h₍ₖ₎, reported next to the exact distinct count
+    and the relative error (which shrinks as groups grow with scale —
+    the audit shape of ``dq_approx_vs_exact_quantiles``).
+
+    Scale shape: the k-smallest extraction is the BUCKETED two-stage
+    rank (the ``bucketed_global_rank`` discipline): stage 1 ranks
+    within (group, h60 % {b}) buckets and keeps ≤ k per bucket, so no
+    window ever sorts a whole group; stage 2 ranks the ≤ {b}·k
+    survivors per group.  On a cluster the stage-1 partials are
+    exactly a KMV sketch merge: each partition's k smallest values,
+    combined by a k-smallest-of-unions — mergeable like every sketch
+    here."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    d = (
+        e.select(
+            "event_type", hash_int60(F.col("user_id").cast("string")).alias("h60")
+        )
+        .distinct()
+        .withColumn("_b", F.pmod(F.col("h60"), F.lit(_KMV_BUCKETS)))
+    )
+    w1 = Window.partitionBy("event_type", "_b").orderBy("h60")
+    w2 = Window.partitionBy("event_type").orderBy("h60")
+    hk = (
+        d.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= _KMV_K)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") == _KMV_K)
+        .select("event_type", F.col("h60").alias("h_k"))
+    )
+    ex = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = F.lit(float(_KMV_K - 1)) * F.lit(1152921504606846976.0) / F.col(
+        "h_k"
+    ).cast("double")
+    return (
+        ex.join(hk, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            F.round(est, 4).alias("kmv_estimate"),
+            F.round(
+                F.abs(est - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+sketch_kmv_distinct.__doc__ = sketch_kmv_distinct.__doc__.format(
+    k=_KMV_K, b=_KMV_BUCKETS
+)

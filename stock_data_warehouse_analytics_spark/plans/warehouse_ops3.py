@@ -419,6 +419,53 @@ def multimodal_image_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_multimodal_meta_gate",
+    tags=("streaming", "llm", "multimodal", "jpeg", "admission", "dq"),
+    oracle="""
+WITH arriving AS (
+  SELECT doc_id,
+         (doc_id % 13 = 0) AS corrupt,
+         (doc_id % 3 = 0)  AS progressive,
+         (doc_id % 5 = 0)  AS gray,
+         160 + 16 * (doc_id % 11) AS w,
+         120 + 8 * (doc_id % 7)   AS h
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT doc_id,
+  NOT corrupt AS ok,
+  CASE WHEN corrupt THEN NULL ELSE w END AS width,
+  CASE WHEN corrupt THEN NULL ELSE h END AS height,
+  CASE WHEN corrupt THEN NULL WHEN gray THEN 1 ELSE 3 END AS n_components,
+  CASE WHEN corrupt THEN NULL ELSE progressive END AS progressive,
+  (NOT corrupt AND NOT gray AND NOT progressive AND w * h >= 24000)
+    AS admitted,
+  CASE WHEN corrupt THEN 'corrupt'
+       WHEN gray THEN 'grayscale'
+       WHEN progressive THEN 'progressive'
+       WHEN w * h < 24000 THEN 'too_small' END AS reason
+FROM arriving
+ORDER BY doc_id
+""",
+)
+def stream_multimodal_meta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the MULTIMODAL metadata admission gate
+    (``streaming/admission.jpeg_meta_gate_columns``) — the sixth
+    streaming admission gate, covering the multimodal×streaming
+    intersection: odd-doc_id documents play the arriving stream, each
+    synthesized into a JPEG header byte stream and GENUINELY parsed
+    (marker-segment walk) before the row-local ingest rule fires —
+    quarantine corrupt, reject grayscale/progressive/under-resolution.
+    ORACLE-EXACT (parsed fields are doc_id arithmetic while Spark
+    parses real bytes, like ``multimodal_image_jpeg_meta``); stream ≡
+    batch pinned by tests/test_streaming_multimodal.py::
+    test_stream_jpeg_meta_gate_equals_batch."""
+    from ..streaming.admission import jpeg_meta_gate_columns
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    return jpeg_meta_gate_columns(d.select("doc_id")).orderBy("doc_id")
+
+
 # Session-scoped decoded-image store: synth + PNG decode + perceptual
 # hash run ONCE per (session, sf_dir) and every image query reads the
 # resulting narrow table (one row per image: stats + 64-bit ahash).

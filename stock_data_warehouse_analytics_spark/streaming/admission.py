@@ -574,3 +574,68 @@ def streaming_nb_admission(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def jpeg_meta_gate_columns(docs):
+    """Shared column-builder for the MULTIMODAL metadata admission gate
+    (batch twin + readStream run the same plan): synthesize each doc's
+    JPEG header stream, walk the marker segments
+    (operators/multimodal.parse_jpeg_meta — real bytes, not doc_id
+    shortcuts), and apply the ingest rule a multimodal pipeline runs
+    BEFORE any codec: quarantine corrupt headers, reject grayscale
+    (n_components != 3), progressive scans (no incremental decode in
+    the training loader) and under-resolution images
+    (declared pixels < 24 000).  Completely stateless — no state
+    store, no watermark, no join: header parse is an Arrow-batched
+    map, the rule is row-local codegen."""
+    from ..operators.multimodal import parse_jpeg_meta, synth_jpeg_header_blobs
+
+    meta = parse_jpeg_meta(synth_jpeg_header_blobs(docs))
+    px = F.col("width").cast("long") * F.col("height")
+    admitted = (
+        F.col("ok")
+        & (F.col("n_components") == 3)
+        & ~F.col("progressive")
+        & (px >= 24_000)
+    )
+    reason = (
+        F.when(~F.col("ok"), "corrupt")
+        .when(F.col("n_components") != 3, "grayscale")
+        .when(F.col("progressive"), "progressive")
+        .when(px < 24_000, "too_small")
+    )
+    return meta.select(
+        "doc_id",
+        "ok",
+        "width",
+        "height",
+        "n_components",
+        "progressive",
+        admitted.alias("admitted"),
+        reason.alias("reason"),
+    )
+
+
+def streaming_jpeg_meta_gate(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    checkpoint_dir: str,
+    out_table: str = "stream_multimodal_meta_gate",
+):
+    """True readStream version of the multimodal metadata gate: json
+    doc stream → header synth + marker-segment parse (stateless
+    mapInPandas) → admission rule → memory sink (append,
+    availableNow)."""
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        source_dir
+    )
+    out = jpeg_meta_gate_columns(stream)
+    return (
+        out.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1488,3 +1488,48 @@ def test_ivf_ncells_tuning_curve(spark):
     want_recall = round(len(truth & got) / (_TUNE_K * _TUNE_NQ), 6)
     by_nc = {r.n_cells: r[f"recall_at{_TUNE_K}"] for r in rows}
     assert abs(by_nc[8] - want_recall) < 1e-9, (by_nc[8], want_recall)
+
+
+def test_stream_jpeg_meta_gate_equals_batch(spark, tmp_path):
+    """The stateless readStream multimodal metadata gate (header synth
+    + marker-segment parse + row-local admission rule, no join, no
+    state store) must produce EXACTLY the batch twin's row per
+    arriving doc — same bytes, same parser, so equality is bit-exact;
+    and every admission outcome (admitted + all four reject reasons)
+    must be exercised."""
+    from stock_data_warehouse_analytics_spark.plans import get_queries
+    from stock_data_warehouse_analytics_spark.sources.tables import load_table
+    from stock_data_warehouse_analytics_spark.streaming.admission import (
+        streaming_jpeg_meta_gate,
+    )
+
+    d = load_table(spark, SF_SMALL, "documents")
+    src = str(tmp_path / "docs")
+    d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text").coalesce(
+        2
+    ).write.mode("overwrite").json(src)
+    q = streaming_jpeg_meta_gate(
+        spark, src, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    def key(r):
+        return (
+            r.ok, r.width, r.height, r.n_components, r.progressive,
+            r.admitted, r.reason,
+        )
+
+    got = {
+        r.doc_id: key(r)
+        for r in spark.table("stream_multimodal_meta_gate").collect()
+    }
+    want = {
+        r.doc_id: key(r)
+        for r in get_queries()["stream_multimodal_meta_gate"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert want and got == want
+    reasons = {v[-1] for v in want.values()}
+    assert reasons >= {None, "corrupt", "grayscale", "progressive"}
+    assert any(v[-2] for v in want.values())
