@@ -460,9 +460,14 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     max_df: int | str | None = "auto",
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup: inverted-index self-join on shingle →
     per-pair intersection count → |A∪B| from per-doc sizes.
+
+    ``sh`` — a prebuilt (doc_id, shingle) table (e.g. the session-staged
+    canonical one from ``plans/dedup_store.py``); when given, ``docs``/
+    ``k``/``max_df`` are ignored for the representation.
 
     The shingle join is the scalable formulation (candidates only where
     at least one shingle collides), and :func:`shingle_table`'s
@@ -471,7 +476,8 @@ def ngram_jaccard_pairs(
     the self-join O(n²) on exactly the keys that matter at 100 TB.
     Jaccard is computed over the capped representation (sizes from the
     same capped table) so the score and the candidacy agree."""
-    sh = shingle_table(docs, text_col, k, max_df=max_df)
+    if sh is None:
+        sh = shingle_table(docs, text_col, k, max_df=max_df)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = sh.alias("a")
@@ -508,14 +514,18 @@ def minhash_signatures(
     k: int = 3,
     text_col: str = "text",
     max_df: int | str | None = "auto",
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: shingle → 60-bit hash → per-permutation
     ``(a·(h mod p) + b) mod p`` → min per doc.  One explode + one
     grouped agg; signature is ``n_hashes`` long columns.  Signatures
     are taken over the df-capped shingle set (see
     :func:`shingle_table`) so the sketch estimates Jaccard of the SAME
-    representation the exact paths use."""
-    sh = shingle_table(docs, text_col, k, max_df=max_df)
+    representation the exact paths use.  ``sh`` — prebuilt shingle
+    table override (session staging), as in
+    :func:`ngram_jaccard_pairs`."""
+    if sh is None:
+        sh = shingle_table(docs, text_col, k, max_df=max_df)
     hm = hash_int60(F.col("shingle")) % MINHASH_PRIME
     sig_cols = [
         F.min((F.lit(a) * hm + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
@@ -532,15 +542,18 @@ def banded_signatures(
     k: int = 3,
     text_col: str = "text",
     max_df: int | str | None = "auto",
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band, band_hash) — the LSH band INDEX over MinHash
     signatures: the table a production pipeline persists (bucketed by
     (band, band_hash)) so that batch self-joins AND incremental
-    new-vs-corpus probes are bucket-local lookups."""
+    new-vs-corpus probes are bucket-local lookups.  ``sig`` — prebuilt
+    signature table override (session staging)."""
     rows = n_hashes // bands
-    sig = minhash_signatures(
-        docs, n_hashes=n_hashes, k=k, text_col=text_col, max_df=max_df
-    )
+    if sig is None:
+        sig = minhash_signatures(
+            docs, n_hashes=n_hashes, k=k, text_col=text_col, max_df=max_df
+        )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -565,13 +578,16 @@ def minhash_candidate_pairs(
     k: int = 3,
     text_col: str = "text",
     max_df: int | str | None = "auto",
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature (rows = n/bands),
     hash each band, self-join per (band, band_hash) bucket.  Distinct
     pairs out; verification (true Jaccard) composes via
-    :func:`ngram_jaccard_pairs` on the candidates."""
+    :func:`ngram_jaccard_pairs` on the candidates.  ``sig`` — prebuilt
+    signature table override (session staging)."""
     banded = banded_signatures(
-        docs, n_hashes=n_hashes, bands=bands, k=k, text_col=text_col, max_df=max_df
+        docs, n_hashes=n_hashes, bands=bands, k=k, text_col=text_col,
+        max_df=max_df, sig=sig,
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (

@@ -123,14 +123,27 @@ def hyperplane_signature(
     """Random-hyperplane LSH signature (sign bits of plane·v) packed
     into a long.  Planes are deterministic (md5-derived), so buckets are
     reproducible across runs and engines."""
-    sig = F.lit(0).cast("long")
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(x) for x in _plane(dim, p)])
-        d = dot(plane, vec)
-        sig = sig + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sig
+    import json
+
+    # One 2-D JSON literal instead of n_planes × dim F.lit calls: each
+    # F.lit is a py4j round trip and a Catalyst literal node (16×64
+    # planes ≈ 1k calls, seconds of driver time per plan build);
+    # from_json(lit) is constant-folded by the optimizer into the same
+    # nested-array literal, so the executed expression is unchanged.
+    # Bit-identical: json round-trips doubles exactly, dot() is the
+    # same left-fold, and the bit-sum accumulates in the same order.
+    planes = F.from_json(
+        F.lit(json.dumps([_plane(dim, p) for p in range(n_planes)])),
+        "array<array<double>>",
+    )
+    bits = F.array(*[F.lit(1 << p).cast("long") for p in range(n_planes)])
+    terms = F.transform(
+        planes,
+        lambda pl, i: F.when(
+            dot(pl, vec) > 0, F.element_at(bits, i + F.lit(1))
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
 def topk_lsh(

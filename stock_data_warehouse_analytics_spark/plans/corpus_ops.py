@@ -82,7 +82,9 @@ def text_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket, see operators.dedup.shingle_table), with
     the keep/drop boundary as an integer cross-multiply so no float
     threshold decides membership."""
-    sh = shingle_table(load_table(spark, sf_dir, "documents"))
+    from .dedup_store import staged_shingles
+
+    sh = staged_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

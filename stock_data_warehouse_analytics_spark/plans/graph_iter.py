@@ -209,12 +209,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges, one membership join to close them; shuffle volume
     O(Σ deg²) with NO direction-doubling.  Degrees/wedges come from one
     grouped count.  The one-row report aggregates are sketch-sized."""
-    from ..operators.dedup import minhash_candidate_pairs
+    from .dedup_store import staged_candidates
 
-    d = load_table(spark, sf_dir, "documents")
-    edges = minhash_candidate_pairs(d, n_hashes=16, bands=4).localCheckpoint(
-        eager=True
-    )
+    edges = staged_candidates(spark, sf_dir)
     deg = (
         edges.select(F.col("doc_a").alias("node"))
         .unionByName(edges.select(F.col("doc_b").alias("node")))

@@ -102,8 +102,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cap that keeps the join from going O(df²) on stop-shingles at
     100 TB (no-op on this corpus: max df ≪ cap; skew behavior pinned
     by tests/test_dedup_recall.py)."""
-    d = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, k=3, threshold=0.5).orderBy("doc_a", "doc_b")
+    from .dedup_store import staged_shingles
+
+    return ngram_jaccard_pairs(
+        None, threshold=0.5, sh=staged_shingles(spark, sf_dir)
+    ).orderBy("doc_a", "doc_b")
 
 
 def _sql_minhash_ctes(n_hashes: int = 16, bands: int = 4) -> str:
@@ -152,10 +155,9 @@ ORDER BY doc_a, doc_b
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands) candidate pairs — deterministic
     md5-derived permutation hashes, bucket join, no O(n²)."""
-    d = load_table(spark, sf_dir, "documents")
-    return minhash_candidate_pairs(d, n_hashes=16, bands=4).orderBy(
-        "doc_a", "doc_b"
-    )
+    from .dedup_store import staged_candidates
+
+    return staged_candidates(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 # Per-session memo of the MinHash-CC cluster assignment per sf_dir —
@@ -180,8 +182,9 @@ def _cc_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo is never invalidated; inputs are immutable per session."""
     per_session = _CC_CACHE.setdefault(spark, {})
     if sf_dir not in per_session:
-        d = load_table(spark, sf_dir, "documents")
-        edges = minhash_candidate_pairs(d, n_hashes=16, bands=4)
+        from .dedup_store import staged_candidates
+
+        edges = staged_candidates(spark, sf_dir)
         per_session[sf_dir] = (
             connected_components(edges, src="doc_a", dst="doc_b")
             .select(
@@ -275,10 +278,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, hamming ≤ 8.  Complete for hamming ≤ 3 (pigeonhole over 4
     bands); approximate-recall beyond — see
     ``operators.dedup.simhash_near_pairs`` and the recall test."""
-    d = load_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(d, max_hamming=8, bands=4).orderBy(
-        "doc_a", "doc_b"
-    )
+    from .dedup_store import staged_simhash_pairs
+
+    return staged_simhash_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 @register(
@@ -770,11 +772,10 @@ def dedup_detector_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-mirrored ones — the ensemble adds one co-partitioned outer
     join on the pair key, tiny next to either generator.
     Oracle-exact."""
-    d = load_table(spark, sf_dir, "documents")
-    mh = minhash_candidate_pairs(d, n_hashes=16, bands=4).withColumn(
-        "_mh", F.lit(True)
-    )
-    sh = simhash_near_pairs(d, max_hamming=8, bands=4).select(
+    from .dedup_store import staged_candidates, staged_simhash_pairs
+
+    mh = staged_candidates(spark, sf_dir).withColumn("_mh", F.lit(True))
+    sh = staged_simhash_pairs(spark, sf_dir).select(
         "doc_a", "doc_b"
     ).withColumn("_sh", F.lit(True))
     joined = mh.join(sh, ["doc_a", "doc_b"], "full_outer")
@@ -935,9 +936,14 @@ def dedup_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
     index score with the sketch at scale.  All three inputs (pairs,
     signatures, shingle sizes) come from the same capped representation
     so the comparison is apples-to-apples.  Oracle-exact."""
-    d = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(d, n_hashes=16)
-    pairs = minhash_candidate_pairs(d, n_hashes=16, bands=4)
+    from .dedup_store import (
+        staged_candidates,
+        staged_shingles,
+        staged_signatures,
+    )
+
+    sig = staged_signatures(spark, sf_dir)
+    pairs = staged_candidates(spark, sf_dir)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)],
@@ -953,9 +959,7 @@ def dedup_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
     est = pairs.join(sa, "doc_a").join(sb, "doc_b").select(
         "doc_a", "doc_b", n_agree.cast("long").alias("n_agree")
     )
-    from ..operators.dedup import shingle_table
-
-    sh = shingle_table(d, "text", 3, max_df="auto")
+    sh = staged_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a2, b2 = sh.alias("a"), sh.alias("b")
     common = (
@@ -1146,10 +1150,9 @@ def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded candidate generation) → a 10-row histogram → joined to a
     50-row literal grid; everything after the histogram is
     constant-size."""
-    from ..operators.dedup import shingle_table
+    from .dedup_store import staged_shingles
 
-    d = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(d, "text", 3, max_df="auto")
+    sh = staged_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -1281,10 +1284,10 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     generate-then-verify split; the two text lookups join at pair
     grain and stay UNHINTED (documents grows with SF — the planner
     sizes them; the round-7 broadcast guard bans forcing it)."""
-    from ..operators.dedup import minhash_candidate_pairs
+    from .dedup_store import staged_candidates
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(d, n_hashes=16, bands=4)
+    pairs = staged_candidates(spark, sf_dir)
     txt = d.select("doc_id", "text")
     ta = txt.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
     tb = txt.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))

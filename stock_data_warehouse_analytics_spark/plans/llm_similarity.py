@@ -325,29 +325,19 @@ def _ncells_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
             )
             for nc, c in books.items()
         }
-        # ONE stacked centroid table as a LITERAL local relation (≤ Σ
-        # sweep rows × dim literals): a python-list createDataFrame is
-        # backed by a Python-RDD partition, so EVERY job over it pays
-        # a Python-worker round trip (~seconds on a loaded box) — a
-        # literal explode stays entirely JVM-side (same reasoning as
-        # the one-row crossJoin scalar pattern used repo-wide)
-        centers_all = spark.range(1).select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(nc).alias("n_cells"),
-                            F.lit(i).alias("cell"),
-                            F.array(
-                                *[F.lit(float(x)) for x in cen]
-                            ).alias("cvec"),
-                        )
-                        for nc, c in books.items()
-                        for i, cen in enumerate(c)
-                    ]
-                )
-            ).alias("s")
-        ).select("s.n_cells", "s.cell", "s.cvec")
+        # ONE stacked centroid table as a LITERAL local relation
+        # (literal_df's from_json encoding: one string literal carries
+        # all Σsweep × dim doubles across py4j — the per-cell F.lit
+        # form cost ~4 s of driver→JVM calls for this table alone)
+        centers_all = literal_df(
+            spark,
+            [
+                (nc, i, [float(x) for x in cen])
+                for nc, c in books.items()
+                for i, cen in enumerate(c)
+            ],
+            "n_cells int, cell int, cvec array<double>",
+        )
         per_session[sf_dir] = (multi, centers, centers_all)
     return per_session[sf_dir]
 

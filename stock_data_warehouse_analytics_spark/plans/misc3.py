@@ -77,8 +77,9 @@ def text_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     path (df-capped, see operators.dedup.shingle_table — signatures and
     truth share the same capped representation), never all-pairs;
     per-level means sum through scale-15 decimals."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(d)
+    from .dedup_store import staged_candidates, staged_shingles, staged_signatures
+
+    sh = staged_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -88,7 +89,7 @@ def text_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    cand = minhash_candidate_pairs(d, n_hashes=_MH_N, bands=4)
+    cand = staged_candidates(spark, sf_dir)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     truth = (
@@ -103,7 +104,7 @@ def text_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("true_j"),
         )
     )
-    sig = minhash_signatures(d, n_hashes=_MH_N)
+    sig = staged_signatures(spark, sf_dir)
     siga = sig.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_MH_N)]
     )

@@ -348,6 +348,7 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces costs O(corpus) per day; the incremental form costs
     O(batch + collisions)."""
     from ..operators.dedup import banded_signatures
+    from .dedup_store import staged_signatures
 
     d = load_table(spark, sf_dir, "documents")
     cut = d.agg(
@@ -358,9 +359,9 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cut")
     )
-    banded = banded_signatures(d, n_hashes=16, bands=4).crossJoin(
-        F.broadcast(cut)
-    )
+    banded = banded_signatures(
+        d, n_hashes=16, bands=4, sig=staged_signatures(spark, sf_dir)
+    ).crossJoin(F.broadcast(cut))
     newb = banded.filter(F.col("doc_id") > F.col("cut")).drop("cut")
     oldb = banded.filter(F.col("doc_id") <= F.col("cut")).drop("cut")
     vs_corpus = (
@@ -423,10 +424,10 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     table at runtime (AQE broadcasts the smaller side) rather than a
     hint force-shipping a 100 TB-scale projection; one grouped count
     over the pair table."""
-    from ..operators.dedup import minhash_candidate_pairs
+    from .dedup_store import staged_candidates
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(d, n_hashes=16, bands=4)
+    pairs = staged_candidates(spark, sf_dir)
     src = d.select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))

@@ -142,6 +142,22 @@ def get_spark(
         # full-registry bench 309s -> 178s with this set).  90s keeps
         # cleanup ahead of accumulation at negligible GC cost.
         .config("spark.cleaner.periodicGC.interval", "90s")
+        # ContextCleaner's periodic trigger is a System.gc() — by
+        # default that is a STOP-THE-WORLD G1 Full GC, and on a 24g
+        # heap with accumulated garbage it stalls every task for
+        # seconds.  Measured on full-registry benches: a ~2-minute
+        # window of 2-17× degraded queries recurring at the SAME
+        # cumulative position run after run (the 90s cadence is
+        # deterministic against an identical query sequence).
+        # ExplicitGCInvokesConcurrent turns the explicit call into a
+        # concurrent G1 cycle: broadcast/shuffle cleanup still runs
+        # (weak refs are processed during the concurrent cycle), tasks
+        # keep executing.  Not a local-mode hack — any long-lived
+        # driver/executor JVM that relies on periodic explicit GC for
+        # ContextCleaner wants this flag.
+        .config(
+            "spark.driver.extraJavaOptions", "-XX:+ExplicitGCInvokesConcurrent"
+        )
         # Python workers connect back to the JVM over a local socket
         # with a default 15s auth/handshake window; raise it so a
         # saturated box can't kill a worker mid-handshake.  (NOT the

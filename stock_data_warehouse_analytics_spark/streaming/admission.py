@@ -315,8 +315,10 @@ def lm_score_columns(
         F.size("_t") >= 2
     )
     if path == "literal":
-        c2m = F.create_map(*[F.lit(x) for kv in c2.items() for x in kv])
-        c1m = F.create_map(*[F.lit(x) for kv in c1.items() for x in kv])
+        from ..operators.localrel import literal_map
+
+        c2m = literal_map({k: int(x) for k, x in c2.items()})
+        c1m = literal_map({k: int(x) for k, x in c1.items()})
         scored = (
             tokenized.withColumn("_c2m", c2m)
             .withColumn("_c1m", c1m)
@@ -470,8 +472,10 @@ def nb_langid_columns(
         .withColumn("_langs", langs_arr)
     )
     if path == "literal":
-        cltm = F.create_map(*[F.lit(x) for kv in clt.items() for x in kv])
-        clm = F.create_map(*[F.lit(x) for kv in cl.items() for x in kv])
+        from ..operators.localrel import literal_map
+
+        cltm = literal_map({k: int(x) for k, x in clt.items()})
+        clm = literal_map({k: int(x) for k, x in cl.items()})
         scored = (
             base.withColumn("_cltm", cltm)
             .withColumn("_clm", clm)
