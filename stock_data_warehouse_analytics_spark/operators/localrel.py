@@ -133,3 +133,15 @@ def literal_map(d: dict, value_type: str = "bigint"):
     strings; values must match ``value_type`` (default bigint)."""
     payload = json.dumps(dict(d), ensure_ascii=False)
     return F.from_json(F.lit(payload), f"map<string,{value_type}>")
+
+
+def literal_double_array(values):
+    """A CONSTANT array<double> column via ONE ``from_json`` literal —
+    the dim-sized analog of :func:`literal_map` for per-iteration
+    vector constants (k-center picks, power-iteration states), where a
+    per-element ``F.lit`` loop costs dim py4j round trips per
+    iteration.  Constant-folded; floats survive exactly."""
+    vals = [float(x) for x in values]
+    if not all(math.isfinite(v) for v in vals):
+        return F.array(*[F.lit(v) for v in vals])
+    return F.from_json(F.lit(json.dumps(vals)), "array<double>")

@@ -150,8 +150,11 @@ def bucketed_global_rank(
     df = _materialize_if_needed(df, checkpoint_input)
     lead = order_cols[0]
     qs = [i / n_buckets for i in range(1, n_buckets)]
+    # accuracy 1000 (was 10000): cut quality only steers load balance —
+    # offsets are derived from the ACTUAL per-bucket counts, so ranks
+    # are exact under any cuts; the cheaper sketch is the right one
     cuts_row = df.select(
-        F.approx_percentile(F.col(lead).cast("double"), F.array(*[F.lit(q) for q in qs]), 10_000).alias("cuts")
+        F.approx_percentile(F.col(lead).cast("double"), F.array(*[F.lit(q) for q in qs]), 1_000).alias("cuts")
     ).first()
     cuts = sorted(set(cuts_row["cuts"] or []))
 
@@ -410,9 +413,11 @@ def bucketed_global_cumsum(
 
     lead = order_cols[0]
     qs = [i / n_buckets for i in range(1, n_buckets)]
+    # accuracy 1000 (was 10000): same reasoning as bucketed_global_rank
+    # — offsets carry exact decimal partial sums, cuts only balance
     cuts_row = df.select(
         F.approx_percentile(
-            F.col(lead).cast("double"), F.array(*[F.lit(q) for q in qs]), 10_000
+            F.col(lead).cast("double"), F.array(*[F.lit(q) for q in qs]), 1_000
         ).alias("cuts")
     ).first()
     cuts = sorted(set(cuts_row["cuts"] or []))

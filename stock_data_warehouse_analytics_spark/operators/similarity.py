@@ -1275,7 +1275,9 @@ def kcenter_select(
             break
         pid, pvec, pmind = top[0]._id, top[0]._v, float(top[0]._mind)
         picks.append((rank, pid, 0.0 if pmind == float("inf") else pmind))
-        pv = F.array(*[F.lit(float(x)) for x in pvec])
+        from .localrel import literal_double_array
+
+        pv = literal_double_array(pvec)
         d2 = F.aggregate(
             F.zip_with(F.col("_v"), pv, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),

@@ -526,16 +526,16 @@ def chunk_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hybrid RAG index.  No RNG, no Python UDF; vectors are integer
     counts cast to double, so downstream cosine ranking is
     reproducible everywhere."""
-    d = load_table(spark, sf_dir, "documents")
-    # single-split local scan: fan the map-side chunk+shingle work out
-    # before the explode (at scale the corpus is already multi-split)
-    ch = chunk_documents(
-        d.repartition(32, "doc_id"),
-        chunk_tokens=CHUNK_TOKENS,
-        overlap=OVERLAP,
-        keep_text=True,
+    # built from the SESSION-staged chunk+shingle table (the corpus
+    # explode runs once for the whole chunk family; the key encoding
+    # and every downstream expression are unchanged)
+    sh = _chunk_tf_for(spark, sf_dir).select(
+        (F.col("doc_id") * CHUNK_KEY_MUL + F.col("chunk_id")).alias(
+            "chunk_key"
+        ),
+        "term",
     )
-    return hashed_chunk_vectors(ch)
+    return _densify_hashed(sh)
 
 
 def hashed_chunk_vectors(ch: DataFrame) -> DataFrame:
@@ -544,7 +544,6 @@ def hashed_chunk_vectors(ch: DataFrame) -> DataFrame:
     plan; that query's substitute tests pin it) for reuse by the
     end-to-end RAG composition over a DEDUPED chunk table."""
     from ..functions.text import shingles
-    from ..operators.dedup import hash_int60
 
     sh = ch.select(
         (F.col("doc_id") * CHUNK_KEY_MUL + F.col("chunk_id")).alias(
@@ -552,6 +551,13 @@ def hashed_chunk_vectors(ch: DataFrame) -> DataFrame:
         ),
         F.explode(shingles(F.col("chunk_text"), SHINGLE_K)).alias("term"),
     ).filter(F.length("term") > 0)
+    return _densify_hashed(sh)
+
+
+def _densify_hashed(sh: DataFrame) -> DataFrame:
+    """Densify (chunk_key, term) into the HASH_DIM count vector."""
+    from ..operators.dedup import hash_int60
+
     tf = sh.groupBy(
         "chunk_key", (hash_int60(F.col("term")) % HASH_DIM).cast("int").alias("b")
     ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
@@ -817,18 +823,41 @@ def _hybrid_legs_for(
     session or key on a dir fingerprint)."""
     per_session = _LEGS_CACHE.setdefault(spark, {})
     if sf_dir not in per_session:
+        sparse, dense = _legs_from_tf(
+            _chunk_tf_for(spark, sf_dir), leg_depth=_HY_DEPTH
+        )
+        per_session[sf_dir] = (
+            sparse.localCheckpoint(eager=True),
+            dense.localCheckpoint(eager=True),
+        )
+    return per_session[sf_dir]
+
+
+def _chunk_tf_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-staged (doc_id, chunk_id, term) chunk+shingle table
+    over the STANDARD chunking — the substrate both the hybrid legs
+    and the hashed-vector build (``chunk_hashed_vectors``) start from;
+    staged once per (session, sf_dir) so the corpus explode runs once
+    for the whole chunk family.  Same staleness contract as
+    ``_hybrid_legs_for``."""
+    from ..functions.text import shingles
+
+    per_session = _LEGS_CACHE.setdefault(spark, {})
+    key = (sf_dir, "_tf")
+    if key not in per_session:
         ch = chunk_documents(
             load_table(spark, sf_dir, "documents"),
             chunk_tokens=CHUNK_TOKENS,
             overlap=OVERLAP,
             keep_text=True,
         )
-        sparse, dense = _hybrid_legs(ch, leg_depth=_HY_DEPTH)
-        per_session[sf_dir] = (
-            sparse.localCheckpoint(eager=True),
-            dense.localCheckpoint(eager=True),
-        )
-    return per_session[sf_dir]
+        tf = ch.select(
+            "doc_id",
+            "chunk_id",
+            F.explode(shingles(F.col("chunk_text"), SHINGLE_K)).alias("term"),
+        ).filter(F.length("term") > 0)
+        per_session[key] = tf.localCheckpoint(eager=True)
+    return per_session[key]
 
 
 def _hybrid_legs(
@@ -843,7 +872,6 @@ def _hybrid_legs(
     from ONE pair of staged legs instead of re-deriving the shingle
     pipeline per ranking (the round-6 verdict's leg-sharing action)."""
     from ..functions.text import shingles
-    from ..operators.dedup import hash_int60
 
     tf = (
         ch.select(
@@ -858,6 +886,17 @@ def _hybrid_legs(
         # production retrieval pipeline writes once per corpus batch
         .localCheckpoint(eager=True)
     )
+    return _legs_from_tf(tf, leg_depth=leg_depth)
+
+
+def _legs_from_tf(
+    tf: DataFrame, *, leg_depth: int = _HY_DEPTH
+) -> tuple[DataFrame, DataFrame]:
+    """The leg construction proper, over an already-materialized
+    (doc_id, chunk_id, term) table (``_chunk_tf_for`` or
+    ``_hybrid_legs``'s own checkpoint) — identical expressions either
+    way."""
+    from ..operators.dedup import hash_int60
 
     # ---------------- sparse leg (df-capped shingle-set cosine)
     surviving = (
