@@ -53,6 +53,15 @@ def _to_json_value(v, dt):
     if name in ("integer", "long", "short", "byte"):
         if isinstance(v, bool) or not isinstance(v, int):
             raise ValueError(v)
+        # Range-check against the target type: an out-of-range value
+        # would reach from_json in PERMISSIVE mode and silently null
+        # the ENTIRE row, where the legacy F.lit path wraps or fails
+        # loudly — raising here routes such rows to the legacy path
+        # instead (advisor r9, medium).
+        bits = {"byte": 8, "short": 16, "integer": 32, "long": 64}[name]
+        lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+        if not (lo <= v <= hi):
+            raise ValueError(v)
         return v
     if name in ("double", "float"):
         if isinstance(v, bool) or not isinstance(v, (int, float)):
@@ -62,7 +71,13 @@ def _to_json_value(v, dt):
             raise ValueError(v)
         return f
     if name == "string":
-        return v if isinstance(v, str) else str(v)
+        # Non-str values coerced with Python str() diverge from the
+        # legacy F.lit(v).cast('string') (True → 'True' vs 'true',
+        # 1e20 → '1e+20' vs '1.0E20') — require str so non-str inputs
+        # fall back to the legacy cast path (advisor r9, low).
+        if not isinstance(v, str):
+            raise ValueError(v)
+        return v
     if name == "boolean":
         if not isinstance(v, bool):
             raise ValueError(v)
@@ -131,7 +146,15 @@ def literal_map(d: dict, value_type: str = "bigint"):
     The optimizer constant-folds ``from_json`` of a literal, so the
     executed expression is the identical map literal.  Keys must be
     strings; values must match ``value_type`` (default bigint)."""
-    payload = json.dumps(dict(d), ensure_ascii=False)
+    d = dict(d)
+    # Enforce the documented key contract: json.dumps would silently
+    # coerce int/float keys to strings — a semantic divergence from
+    # the create_map this replaces, and mixed-type dicts could even
+    # collide (1 and '1') (advisor r9, low).
+    bad = [k for k in d if not isinstance(k, str)]
+    if bad:
+        raise TypeError(f"literal_map keys must be str, got {bad[:3]!r}")
+    payload = json.dumps(d, ensure_ascii=False)
     return F.from_json(F.lit(payload), f"map<string,{value_type}>")
 
 

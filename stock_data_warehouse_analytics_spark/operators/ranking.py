@@ -241,7 +241,20 @@ def grouped_exact_quantiles(
     if checkpoint_input:
         df = df.localCheckpoint(eager=True)
     lead = F.col(value_col).cast("double")
-    if _plan_size_bytes(df) <= _QUANTILE_SMALL_BYTES:
+    small = _plan_size_bytes(df) <= _QUANTILE_SMALL_BYTES
+    if small:
+        # Log the routing so a stats-misestimate that sends a large
+        # input down the whole-group-sort path is diagnosable
+        # (advisor r9, low) — stats are exact for scans and
+        # localCheckpointed frames, the two shapes every registered
+        # caller feeds this operator.
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "grouped_exact_quantiles: small-input fast path (stats <= %d bytes)",
+            _QUANTILE_SMALL_BYTES,
+        )
+    if small:
         # small-input fast path: zero cuts → every row lands in bucket
         # 0, the rank window below degrades to one whole-group sort per
         # group (still partitioned by group), and the sketch action is

@@ -157,6 +157,8 @@ def topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fast: bool = False,
+    cand_sigs: DataFrame | None = None,
+    query_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """ANN via hyperplane LSH: candidates are corpus vectors whose
     signature is within ``max_hamming`` sign-bits of the query's, then
@@ -171,7 +173,15 @@ def topk_lsh(
     kernel (:func:`hyperplane_signatures_fast`) instead of the
     interpreted fold — use on ROWS-ONLY paths only (a matmul
     knife-edge sign flip would change the candidate set an oracle
-    hash-compares; survivors are exact-cosine re-ranked either way)."""
+    hash-compares; survivors are exact-cosine re-ranked either way).
+
+    ``cand_sigs`` / ``query_sigs`` (fast path only) — pre-computed
+    signature tables, columns (neighbor_id, _cn, _csig) /
+    (query_id, _qn, _qsig): the "signatures computed once at ingest"
+    shape made explicit, so a caller whose queries are a subset of the
+    corpus can run ONE kernel pass and derive the query side by a
+    filter+rename instead of a second Arrow pass (the dedup-store
+    ``sh=``/``sig=`` override stance)."""
     from pyspark.sql import Window
 
     if fast:
@@ -187,8 +197,12 @@ def topk_lsh(
                 dim=dim, n_planes=n_planes,
             )
 
-        q = _sig_norm(queries, "query_id", "_qn", "_qsig")
-        c = _sig_norm(emb, "neighbor_id", "_cn", "_csig")
+        q = query_sigs if query_sigs is not None else _sig_norm(
+            queries, "query_id", "_qn", "_qsig"
+        )
+        c = cand_sigs if cand_sigs is not None else _sig_norm(
+            emb, "neighbor_id", "_cn", "_csig"
+        )
         score_expr = F.round(_dot_einsum(F.col("_qn"), F.col("_cn")), 6)
     else:
         sig = lambda c: hyperplane_signature(c, dim=dim, n_planes=n_planes)  # noqa: E731

@@ -600,30 +600,46 @@ def chunk_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer column computed once at ingest, the corpus never
     shuffles, candidates are hamming-filtered before any vector
     math — identical economics to the learned-embedding path."""
-    from ..operators.similarity import topk_lsh
+    from ..operators.similarity import _hyperplane_sigs_norms, topk_lsh
 
-    # 8 partitions for the ~25k-row vector table: the two Arrow
-    # (mapInPandas) signature passes and the checkpoint write are
-    # task-overhead-bound at 32 partitions (measured 8.6 → 2.9 s build,
-    # 7.1 → 4.8 s probe); at scale this is a repartition sized to
-    # ~100 MB of vectors per partition, not a constant
-    vecs = (
+    # ONE fused job builds the (id, normalized vector, signature)
+    # table: densify flows straight into the Arrow kernel and the
+    # narrow result is checkpointed — r9 ran this as TWO Arrow passes
+    # (corpus + query side) over a separately checkpointed vector
+    # table; the query side is a subset of the corpus, so it is now a
+    # filter+rename over the one staged pass (topk_lsh's
+    # cand_sigs/query_sigs overrides).  8 partitions: the Arrow pass
+    # is task-overhead-bound at 32 on ~25k rows; at scale this is a
+    # repartition sized to ~100 MB of vectors per partition, not a
+    # constant.
+    sigs = _hyperplane_sigs_norms(
         chunk_hashed_vectors(spark, sf_dir)
         .coalesce(8)
-        .localCheckpoint(eager=True)
-    )
-    queries = vecs.filter(
-        F.col("chunk_key") < N_QUERY_DOCS * CHUNK_KEY_MUL
+        .select(F.col("chunk_key").alias("neighbor_id"), "embedding"),
+        vec_col="embedding",
+        vn_col="_cn",
+        sig_col="_csig",
+        dim=HASH_DIM,
+        n_planes=16,
+    ).localCheckpoint(eager=True)
+    qsigs = sigs.filter(
+        F.col("neighbor_id") < N_QUERY_DOCS * CHUNK_KEY_MUL
+    ).select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("_cn").alias("_qn"),
+        F.col("_csig").alias("_qsig"),
     )
     return topk_lsh(
-        vecs,
-        queries,
+        None,
+        None,
         k=TOPK,
         dim=HASH_DIM,
         n_planes=16,
         max_hamming=6,
         id_col="chunk_key",
         fast=True,  # rows-only path: numpy signature kernel
+        cand_sigs=sigs,
+        query_sigs=qsigs,
     ).orderBy("query_id", "rnk")
 
 

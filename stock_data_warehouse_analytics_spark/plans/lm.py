@@ -391,18 +391,47 @@ def _train_bigram_lm(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
     ).localCheckpoint(eager=True)  # consumed by both prune passes
-    c2 = {
-        f"{r.w1} {r.w2}": r.c12
-        for r in bi.orderBy(F.desc("c12"), "w1", "w2").limit(_LM_CAP).collect()
-    }
-    c1_df = bi.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
-    c1 = {
-        r.w1: r.c1
-        for r in c1_df.orderBy(F.desc("c1"), "w1").limit(_LM_CAP).collect()
-    }
-    v = toks.select(F.explode("t").alias("w")).agg(
-        F.countDistinct("w").alias("v")
-    ).first()["v"]
+    # ONE unioned collect replaces the former THREE driver actions
+    # (c2 top-N, c1 top-N, vocab count): each leg keeps its exact
+    # former plan (same total order, same limit, same countDistinct),
+    # tagged and stacked so the driver round-trips once.  Rows stay
+    # VOCABULARY-bounded: ≤ 2·cap + 1.
+    leg_c2 = (
+        bi.orderBy(F.desc("c12"), "w1", "w2")
+        .limit(_LM_CAP)
+        .select(
+            F.lit("c2").alias("k"),
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("n"),
+        )
+    )
+    leg_c1 = (
+        bi.groupBy("w1")
+        .agg(F.sum("c12").cast("long").alias("c1"))
+        .orderBy(F.desc("c1"), "w1")
+        .limit(_LM_CAP)
+        .select(
+            F.lit("c1").alias("k"),
+            "w1",
+            F.lit(None).cast("string").alias("w2"),
+            F.col("c1").alias("n"),
+        )
+    )
+    leg_v = (
+        toks.select(F.explode("t").alias("w"))
+        .agg(F.countDistinct("w").cast("long").alias("v"))
+        .select(
+            F.lit("v").alias("k"),
+            F.lit(None).cast("string").alias("w1"),
+            F.lit(None).cast("string").alias("w2"),
+            F.col("v").alias("n"),
+        )
+    )
+    rows = leg_c2.unionByName(leg_c1).unionByName(leg_v).collect()
+    c2 = {f"{r.w1} {r.w2}": r.n for r in rows if r.k == "c2"}
+    c1 = {r.w1: r.n for r in rows if r.k == "c1"}
+    v = next(r.n for r in rows if r.k == "v")
     return c2, c1, int(v)
 
 

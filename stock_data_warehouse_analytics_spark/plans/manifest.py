@@ -260,6 +260,15 @@ def mix_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "contaminated"
             ),
         )
+        # consumed by BOTH the budget chain (clean → cum → sel) and the
+        # funnel agg: without this the quality/langid/token regex
+        # expression trees and the two doc_id joins run twice per
+        # collect (measured 3.5 → 2.3 s steady at sf0.1).  The
+        # materialized frame is flag-grain — (doc_id, corpus, n_tokens,
+        # 3 booleans) — never text-sized, so the checkpoint is bounded
+        # at any corpus size (guide §5: reuse only when recompute costs
+        # more than the memory it pins).
+        .localCheckpoint(eager=True)
     )
     clean_flag = (
         F.col("q_keep") & F.col("survivor") & ~F.col("contaminated")

@@ -46,6 +46,10 @@ _PANELS: dict[tuple[str, str, str], list[tuple[str, float]]] = {
         ("q50", 0.5),
         ("q95", 0.95),
     ],
+    # olap_percentiles' quantity median (r10: that query now reads the
+    # panels instead of re-buffering every group in an exact
+    # `percentile` aggregation — same bit-exact interpolation rule)
+    ("lineitem", "l_returnflag", "l_quantity"): [("q50", 0.5)],
     ("events", "event_type", "value"): [("q50", 0.5)],
 }
 

@@ -33,8 +33,10 @@ from .chunking import (
     CHUNK_TOKENS,
     N_QUERY_DOCS,
     OVERLAP,
+    _chunk_tf_for,
+    _legs_from_tf,
+    _rrf_fuse,
     hashed_chunk_vectors,
-    hybrid_fused_candidates,
 )
 from .registry import register
 
@@ -44,23 +46,34 @@ _RAG_LAMBDA = 0.7  # MMR relevance weight (sim_mmr_diversify's literal)
 _RAG_CTX_TOKENS = 48  # context-window token budget for the packer
 
 
-def dedup_chunk_table(ch: DataFrame) -> DataFrame:
-    """Drop NON-CANONICAL cross-doc duplicate chunks from the corpus
-    side before indexing — the ``chunk_crossdoc_duplicates`` convention
-    made into a filter: among full-width corpus chunks with
-    byte-identical text, the (doc_id, chunk_id)-minimal copy survives;
-    query-document chunks are never dropped.  One md5 hash-groupBy
-    shuffle, linear in corpus size."""
+def _dup_chunk_keys(ch: DataFrame) -> DataFrame:
+    """(doc_id, chunk_id) of the NON-CANONICAL cross-doc duplicate
+    chunks: among full-width corpus chunks with byte-identical text,
+    every copy except the (doc_id, chunk_id)-minimal one.  One md5
+    hash-groupBy shuffle, linear in corpus size; output is
+    duplicate-grain (small)."""
     full = ch.filter(
         (F.col("doc_id") >= N_QUERY_DOCS)
         & (F.col("n_tokens") == CHUNK_TOKENS)
     )
     w = Window.partitionBy(F.md5("chunk_text")).orderBy("doc_id", "chunk_id")
-    dup = (
+    return (
         full.withColumn("occ", F.row_number().over(w))
         .filter(F.col("occ") > 1)
         .select("doc_id", "chunk_id")
     )
+
+
+def dedup_chunk_table(ch: DataFrame, dup: DataFrame | None = None) -> DataFrame:
+    """Drop NON-CANONICAL cross-doc duplicate chunks from the corpus
+    side before indexing — the ``chunk_crossdoc_duplicates`` convention
+    made into a filter: among full-width corpus chunks with
+    byte-identical text, the (doc_id, chunk_id)-minimal copy survives;
+    query-document chunks are never dropped.  ``dup`` — pass a
+    pre-materialized :func:`_dup_chunk_keys` frame to share the md5
+    window across consumers (r10)."""
+    if dup is None:
+        dup = _dup_chunk_keys(ch)
     return ch.join(dup, ["doc_id", "chunk_id"], "left_anti")
 
 
@@ -107,14 +120,33 @@ def rag_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = chunk_documents(
         d, chunk_tokens=CHUNK_TOKENS, overlap=OVERLAP, keep_text=True
     )
+    # duplicate keys materialized ONCE (duplicate-grain, small): they
+    # filter both the chunk table below and the staged tf substrate
+    dup = _dup_chunk_keys(ch).localCheckpoint(eager=True)
     # consumed by THREE stages (retriever core, vector build, token
     # join) — stage the deduped chunk table once, the round-6 staged-
     # frame discipline (ROUND_NOTES session-2)
-    ch2 = dedup_chunk_table(ch).localCheckpoint(eager=True)
+    ch2 = dedup_chunk_table(ch, dup=dup).localCheckpoint(eager=True)
+    # r10: the retriever legs start from the SESSION-STAGED standard
+    # chunk+shingle tf (`_chunk_tf_for`) minus the duplicate chunks —
+    # row-identical to exploding the deduped chunk table (shingles are
+    # chunk-local, so dropping a chunk drops exactly its tf rows; rag
+    # uses the same CHUNK_TOKENS/OVERLAP/SHINGLE_K constants), which
+    # removes the per-invocation corpus explode + checkpoint the
+    # retriever core paid (guide §2.4; measured 6.3 → ~4.2 s steady).
+    # The dedup-before-census semantics are intact: the df census and
+    # both legs are computed on the anti-joined tf.  No checkpoint on
+    # the tf: its upstream is a checkpoint scan + a small-broadcast
+    # anti-join, cheap for each of the five leg branches (the explode
+    # it replaces was the expensive re-run).
+    tf_dedup = _chunk_tf_for(spark, sf_dir).join(
+        dup, ["doc_id", "chunk_id"], "left_anti"
+    )
+    sparse_leg, dense_leg = _legs_from_tf(tf_dedup, leg_depth=_RAG_FUSED)
     # staged: consumed by the candidate-key semi-join AND the final
     # cand join — without this the whole two-leg retriever runs twice
-    fused = hybrid_fused_candidates(
-        ch2, leg_depth=_RAG_FUSED, out_depth=_RAG_FUSED
+    fused = _rrf_fuse(
+        sparse_leg, dense_leg, out_depth=_RAG_FUSED
     ).localCheckpoint(eager=True)
     # vector/token work is QUERY-sized, not corpus-sized: only the
     # fused candidates (≤ query-chunks × _RAG_FUSED rows) ever reach

@@ -562,23 +562,60 @@ def _train_nb_langid(
         .groupBy("lang", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
     ).localCheckpoint(eager=True)  # consumed by both the prune and the totals
-    clt = {
-        f"{r.lang}|{r.tok}": r.c
-        for r in clt_df.orderBy(F.desc("c"), "lang", "tok")
+    # ONE unioned collect replaces the former FOUR driver actions
+    # (clt top-N, per-lang totals, vocab count, per-lang doc counts):
+    # each leg keeps its exact former plan, tagged and stacked so the
+    # driver round-trips once.  Rows stay (classes × vocab)-bounded:
+    # ≤ cap + 2·langs + 1.
+    leg_clt = (
+        clt_df.orderBy(F.desc("c"), "lang", "tok")
         .limit(_NB_CAP)
-        .collect()
-    }
-    cl = {
-        r.lang: r.n_tok
-        for r in clt_df.groupBy("lang")
-        .agg(F.sum("c").cast("long").alias("n_tok"))
-        .collect()
-    }
-    v = int(
-        clt_df.agg(F.countDistinct("tok").alias("v")).first()["v"]
+        .select(
+            F.lit("clt").alias("k"),
+            "lang",
+            "tok",
+            F.col("c").cast("long").alias("n"),
+        )
     )
-    prior_rows = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).collect()
-    total = sum(r.n_docs for r in prior_rows)
+    leg_cl = (
+        clt_df.groupBy("lang")
+        .agg(F.sum("c").cast("long").alias("n_tok"))
+        .select(
+            F.lit("cl").alias("k"),
+            "lang",
+            F.lit(None).cast("string").alias("tok"),
+            F.col("n_tok").alias("n"),
+        )
+    )
+    leg_v = clt_df.agg(
+        F.countDistinct("tok").cast("long").alias("v")
+    ).select(
+        F.lit("v").alias("k"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("tok"),
+        F.col("v").alias("n"),
+    )
+    leg_prior = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(
+            F.lit("prior").alias("k"),
+            "lang",
+            F.lit(None).cast("string").alias("tok"),
+            F.col("n_docs").alias("n"),
+        )
+    )
+    rows = (
+        leg_clt.unionByName(leg_cl)
+        .unionByName(leg_v)
+        .unionByName(leg_prior)
+        .collect()
+    )
+    clt = {f"{r.lang}|{r.tok}": r.n for r in rows if r.k == "clt"}
+    cl = {r.lang: r.n for r in rows if r.k == "cl"}
+    v = int(next(r.n for r in rows if r.k == "v"))
+    prior_rows = [r for r in rows if r.k == "prior"]
+    total = sum(r.n for r in prior_rows)
     import math
 
     def _round_half_away(x: float) -> int:
@@ -588,7 +625,7 @@ def _train_nb_langid(
         return int(math.copysign(math.floor(abs(x) + 0.5), x))
 
     prior_lpm = {
-        r.lang: _round_half_away(math.log(r.n_docs / total) * 1000000)
+        r.lang: _round_half_away(math.log(r.n / total) * 1000000)
         for r in prior_rows
     }
     return clt, cl, prior_lpm, v

@@ -28,33 +28,37 @@ ORDER BY l_returnflag
 """,
 )
 def olap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolated percentiles (Spark ``percentile`` ↔
-    DuckDB ``quantile_cont``, same (1−g)·lo + g·hi rule).
+    """Exact linear-interpolated percentiles (↔ DuckDB
+    ``quantile_cont``, same (1−g)·lo + g·hi rule), served from the
+    SESSION-STAGED exact-quantile panels (plans/quantile_store.py).
 
-    Memory bound: exact ``percentile`` buffers each group's values in
-    its aggregation buffer — O(rows per group) heap, NOT streamable.
-    Safe here only because the grouping key is ``l_returnflag`` (3
-    values) at driver-gate scale; this is the documented small/medium-
-    group exact path.  The scale paths are (a)
-    ``olap_approx_percentiles`` — t-digest sketch, one pass, bounded
-    memory at any group size — and (b)
-    ``olap_percentiles_distributed`` — exact quantiles via bucketed
-    global rank, bounded memory, for when approximation is not
-    acceptable."""
-    l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias(
-                "median_price"
-            ),
-            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias(
-                "p95_price"
-            ),
-            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
-        )
-        .orderBy("l_returnflag")
+    r10: this query previously ran Spark's exact ``percentile``
+    aggregation, which buffers EVERY group's values in its aggregation
+    buffer — O(rows per group) heap, not streamable, and measured
+    3.2 s steady at sf0.1 (three separate value buffers over 600k
+    rows, one task per group).  The staged panel computes the same
+    bit-exact interpolated quantiles via the bounded-memory
+    bucketed-rank operator (``grouped_exact_quantiles`` — the same
+    (1−g)·lo + g·hi expression, parity pinned by the SAME DuckDB
+    oracle on ``olap_percentiles_distributed`` since r8), shared with
+    the winsorized stats, the sketch audit and the MAD rule.  The
+    quantity median extends the panel registry with a
+    (lineitem, l_returnflag, l_quantity) entry.  At 100 TB this is
+    the only formulation that survives a group covering a third of
+    the table; ``olap_approx_percentiles`` remains the sketch path."""
+    from .quantile_store import quantile_panel
+
+    price = quantile_panel(
+        spark, sf_dir, "lineitem", "l_returnflag", "l_extendedprice"
+    ).select(
+        "l_returnflag",
+        F.round("q50", 6).alias("median_price"),
+        F.round("q95", 6).alias("p95_price"),
     )
+    qty = quantile_panel(
+        spark, sf_dir, "lineitem", "l_returnflag", "l_quantity"
+    ).select("l_returnflag", F.round("q50", 6).alias("median_qty"))
+    return price.join(qty, "l_returnflag").orderBy("l_returnflag")
 
 
 @register(

@@ -155,8 +155,16 @@ def get_spark(
         # keep executing.  Not a local-mode hack — any long-lived
         # driver/executor JVM that relies on periodic explicit GC for
         # ContextCleaner wants this flag.
+        # Appended to any deployment-provided options (via
+        # SPARK_GRAFT_DRIVER_JAVA_OPTS) instead of clobbering them;
+        # under spark-submit client mode the driver JVM is already
+        # started and this is a no-op either way (advisor r9, low).
         .config(
-            "spark.driver.extraJavaOptions", "-XX:+ExplicitGCInvokesConcurrent"
+            "spark.driver.extraJavaOptions",
+            (
+                os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")
+                + " -XX:+ExplicitGCInvokesConcurrent"
+            ).strip(),
         )
         # Python workers connect back to the JVM over a local socket
         # with a default 15s auth/handshake window; raise it so a
