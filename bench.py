@@ -98,6 +98,27 @@ def main() -> None:
         k: payload[k]
         for k in ("metric", "value", "unit", "n_queries", "sec_per_query", "sf")
     }
+    # r10 (verdict item 2): the driver's capture keeps only the last
+    # ~2000 bytes of stdout, so the full per-query map on the first
+    # line never reached it (PERF per_query was empty two rounds
+    # running).  ADD to the final summary line as many of the SLOWEST
+    # per-query timings as fit within the capture window — additions
+    # only (the first line keeps the complete map, the summary keeps
+    # every existing key), bounded so the final line stays parseable
+    # inside the tail.  "queries_partial" marks the truncation.
+    _BUDGET = 1900  # bytes for the whole final line
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    top: dict[str, float] = {}
+    for name, sec in slowest:
+        trial = dict(summary)
+        trial["queries"] = {**top, name: round(sec, 2)}
+        trial["queries_partial"] = True
+        if len(json.dumps(trial, separators=(",", ":"))) > _BUDGET:
+            break
+        top[name] = round(sec, 2)
+    if top:
+        summary["queries"] = top
+        summary["queries_partial"] = len(top) < len(timings)
     print(json.dumps(summary, separators=(",", ":")), flush=True)
     spark.stop()
 

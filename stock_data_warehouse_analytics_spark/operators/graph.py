@@ -45,6 +45,33 @@ def connected_components(
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
         eager=True
     )
+
+    # Small-graph fast path (r10): the connected-component PARTITION of
+    # a graph is unique and the label is canonical (min node id per
+    # component), so ANY correct algorithm returns bit-identical rows —
+    # when the materialized edge list is small by exact post-checkpoint
+    # Catalyst stats, a driver union-find replaces the 2-actions-per-
+    # round propagation loop (≈10 tiny jobs on candidate-pair graphs —
+    # pure scheduling overhead; the same bounded-state stance as the
+    # trainer collects: dedup candidate-pair tables are pair-grain,
+    # orders of magnitude below corpus grain).  Past the threshold the
+    # pointer-jumping loop runs unchanged — that is the 100 TB path.
+    import os
+
+    try:
+        est = int(
+            fwd._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — stats are advisory; assume big
+        est = 1 << 62
+    small_bytes = int(
+        os.environ.get("SPARK_GRAFT_CC_SMALL_BYTES", str(8 << 20))
+    )
+    if est <= small_bytes:
+        out = _connected_components_driver(fwd)
+        if out is not None:
+            return out
+
     sym = fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
 
     labels = (
@@ -81,3 +108,45 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def _connected_components_driver(fwd: DataFrame):
+    """Driver union-find over a collected (a, b) edge list — the
+    small-graph body of :func:`connected_components`.  Returns the
+    same (node, comp) frame (comp = min member id, components are
+    unique), as a literal relation; None when the node type cannot
+    ride a literal plan (caller falls back to the distributed loop)."""
+    from .localrel import literal_df
+
+    node_t = fwd.schema["a"].dataType.simpleString()
+    if node_t not in ("bigint", "int", "smallint", "tinyint", "string"):
+        return None
+    pairs = [(r.a, r.b) for r in fwd.collect()]
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = comp_min.get(r)
+        # Python < on str is code-point order == UTF-8 binary order ==
+        # Spark's string min; ints are exact either way
+        if m is None or n < m:
+            comp_min[r] = n
+    rows = sorted((n, comp_min[find(n)]) for n in parent)
+    return literal_df(
+        fwd.sparkSession, rows, f"node {node_t}, comp {node_t}"
+    )

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bucketed_global_rank",
+    "bucketed_global_rank_multi",
     "bucketed_global_cumsum",
     "exact_ntile",
     "grouped_exact_quantiles",
@@ -180,6 +181,81 @@ def bucketed_global_rank(
         (offset_map[F.col(_BUCKET)] + F.row_number().over(w)).cast("long"),
     ).drop(_BUCKET)
     return ranked, n_rows
+
+
+def bucketed_global_rank_multi(
+    df: DataFrame,
+    order_specs: dict[str, Sequence[str]],
+    *,
+    n_buckets: int = 32,
+    rank_col: str = "global_rank",
+    checkpoint_input: bool | None = None,
+) -> tuple[dict[str, DataFrame], int]:
+    """:func:`bucketed_global_rank` for SEVERAL alternative orderings
+    of the SAME input — the layout-audit shape, where one table is
+    ranked by each candidate layout key.  ONE sketch action computes
+    every ordering's cut array (one ``approx_percentile`` aggregate
+    per ordering in a single job) and ONE counts action computes every
+    ordering's bucket counts (a joint groupBy over all bucket columns;
+    marginals are exact sums on the driver, bounded by
+    ``n_buckets^len(order_specs)`` rows).  Ranks are EXACT under any
+    cuts (offsets come from actual counts — the
+    :func:`bucketed_global_rank` invariant), so sharing the sketch job
+    cannot change results.  Returns ``({name: ranked_df}, n_rows)``."""
+    df = _materialize_if_needed(df, checkpoint_input)
+    leads = {name: cols[0] for name, cols in order_specs.items()}
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    qarr = F.array(*[F.lit(q) for q in qs])
+    sk_row = df.select(
+        *[
+            F.approx_percentile(
+                F.col(lead).cast("double"), qarr, 1_000
+            ).alias(name)
+            for name, lead in leads.items()
+        ]
+    ).first()
+    cuts = {name: sorted(set(sk_row[name] or [])) for name in leads}
+    bcols = {name: f"_rkb_{name}" for name in leads}
+    bucketed = df.select(
+        "*",
+        *[
+            _bucket_of(F.col(leads[name]).cast("double"), cuts[name]).alias(
+                bcols[name]
+            )
+            for name in leads
+        ],
+    )
+    joint = (
+        bucketed.groupBy(*bcols.values())
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    n_rows = sum(r["cnt"] for r in joint)
+    out: dict[str, DataFrame] = {}
+    for name, order_cols in order_specs.items():
+        counts: dict[int, int] = {}
+        for r in joint:
+            b = r[bcols[name]]
+            counts[b] = counts.get(b, 0) + r["cnt"]
+        offsets: dict[int, int] = {}
+        acc = 0
+        for b in sorted(counts):
+            offsets[b] = acc
+            acc += counts[b]
+        offset_map = F.create_map(
+            *[F.lit(v) for kv in offsets.items() for v in kv]
+        )
+        w = Window.partitionBy(bcols[name]).orderBy(*order_cols)
+        out[name] = (
+            bucketed.withColumn(
+                rank_col,
+                (offset_map[F.col(bcols[name])] + F.row_number().over(w)).cast(
+                    "long"
+                ),
+            )
+            .drop(*bcols.values())
+        )
+    return out, n_rows
 
 
 def exact_ntile(

@@ -116,6 +116,38 @@ def bpe_train_merges(
     ).localCheckpoint(eager=True)
 
     spark = docs.sparkSession
+
+    # Small-input fast path (r10, the grouped_exact_quantiles stance):
+    # the word-frequency table is Heaps-bounded (≪ corpus), and once
+    # the checkpoint above makes its Catalyst size estimate exact, a
+    # table under the threshold is collected ONCE and the merge rounds
+    # run on the driver — this is exactly how production BPE trainers
+    # work (subword-nmt/HuggingFace aggregate word counts distributed,
+    # then iterate in memory), and it removes ~2·rounds driver actions
+    # (per-round argmax collect + per-round checkpoint) whose job
+    # overhead dominates when the vocab is small.  The driver loop
+    # replicates the relational path operation-for-operation: same
+    # freq-weighted adjacent-pair counts, same (count desc, left asc,
+    # right asc) tie-break (Python str order == UTF-8 binary order ==
+    # Spark string order), same greedy leftmost non-overlapping fold —
+    # parity is pinned by the pre-existing pure-Python differential
+    # test plus test_r10_optimizations' cross-path pin.  Past the
+    # threshold (a genuinely huge vocabulary) the relational loop runs
+    # unchanged.
+    try:
+        est = int(
+            vocab._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — stats are advisory; assume big
+        est = 1 << 62
+    small_bytes = int(
+        __import__("os").environ.get(
+            "SPARK_GRAFT_BPE_SMALL_BYTES", str(64 << 20)
+        )
+    )
+    if est <= small_bytes:
+        return _bpe_train_merges_driver(spark, vocab, rounds=rounds)
+
     merges: list[tuple[int, str, str, str, int]] = []
     for rnd in range(1, rounds + 1):
         pair = F.zip_with(
@@ -162,3 +194,56 @@ def bpe_train_merges(
         "round int, left string, right string, merged string, pair_count long",
     )
     return merges_df, vocab
+
+
+def _bpe_train_merges_driver(
+    spark, vocab: DataFrame, *, rounds: int
+) -> tuple[DataFrame, DataFrame]:
+    """Driver-side merge loop over a COLLECTED (w, freq, syms) table —
+    the small-vocabulary body of :func:`bpe_train_merges`.  Every step
+    mirrors the relational loop exactly (see the call site comment);
+    both returned frames are literal relations, so downstream joins
+    and windows see the same bounded tables the checkpoint path
+    produced."""
+    from .localrel import literal_df
+
+    words: list[tuple[str, int, list[str]]] = [
+        (r.w, int(r.freq), list(r.syms)) for r in vocab.collect()
+    ]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rnd in range(1, rounds + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for _w, freq, syms in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        m = l + r
+        merges.append((rnd, l, r, m, int(cnt)))
+        new_words = []
+        for w, freq, syms in words:
+            out: list[str] = []
+            for s in syms:
+                # greedy leftmost non-overlapping, identical to the
+                # relational fold: merge iff the accumulator's last
+                # symbol is `l` and the incoming symbol is `r`
+                if out and out[-1] == l and s == r:
+                    out[-1] = m
+                else:
+                    out.append(s)
+            new_words.append((w, freq, out))
+        words = new_words
+    merges_df = literal_df(
+        spark,
+        merges,
+        "round int, left string, right string, merged string, pair_count long",
+    )
+    vocab_df = literal_df(
+        spark,
+        words,
+        "w string, freq long, syms array<string>",
+    )
+    return merges_df, vocab_df

