@@ -480,16 +480,16 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     confusion table (map-side partial agg); everything after is
     arithmetic on that bounded table — the one-row report aggregates
     are confusion-table-sized, never corpus-sized."""
-    from ..functions.text import predicted_lang
+    from ..functions.text import with_predicted_lang
 
     # single-file local scans are ONE partition (round-5 gotcha) — fan
-    # the regex-heavy predicted_lang across tasks before evaluating it
+    # the regex-heavy predicted_lang across tasks before evaluating it;
+    # r10: scores bound once per row (with_predicted_lang), not
+    # re-evaluated through the chained argmax
     d = load_table(spark, sf_dir, "documents").repartition(32)
     cells = (
-        d.select(
-            F.col("lang").alias("a"),
-            predicted_lang(F.col("text")).alias("b"),
-        )
+        with_predicted_lang(d.select("lang", "text"), "text", "b")
+        .select(F.col("lang").alias("a"), "b")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)  # ≤25 rows, consumed by 3 branches

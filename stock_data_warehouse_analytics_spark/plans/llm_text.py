@@ -16,7 +16,6 @@ from ..functions.text import (
     avg_word_len,
     bpe_token_count,
     md5_fingerprint,
-    predicted_lang,
     punct_ratio,
     quality_score,
     rolling_hash,
@@ -101,9 +100,12 @@ ORDER BY 1, 2
 def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (stopword densities, argmax) aggregated as
     a labelled-vs-predicted confusion table."""
+    from ..functions.text import with_predicted_lang
+
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.select("lang", predicted_lang(F.col("text")).alias("predicted"))
+        with_predicted_lang(d.select("lang", "text"), "text", "predicted")
+        .select("lang", "predicted")
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "predicted")

@@ -13,7 +13,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
-    predicted_lang,
     quality_score,
     shingles,
     token_count,
@@ -167,16 +166,23 @@ def docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     + quality-score floor, aggregated per (lang, keep).  One map-side
     expression per document, one grouped agg — no shuffle beyond the
     group keys."""
+    from ..functions.text import with_predicted_lang
+
     d = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    q = F.round(quality_score(t), 6)
+    # r10: language scores AND the quality score bound once per row
+    # (with_predicted_lang + a _q alias) — the keep predicate and the
+    # rounded report column previously re-evaluated the regex-heavy
+    # quality_score tree
     keep = (
-        (predicted_lang(t) == F.col("lang"))
+        (F.col("_plang") == F.col("lang"))
         & token_count(t).between(_MIN_TOKENS, _MAX_TOKENS)
-        & (quality_score(t) >= _MIN_QUALITY)
+        & (F.col("_q") >= _MIN_QUALITY)
     )
     return (
-        d.select("lang", keep.alias("keep"), q.alias("q"))
+        with_predicted_lang(d.select("lang", "text"), "text", "_plang")
+        .withColumn("_q", quality_score(t))
+        .select("lang", keep.alias("keep"), F.round(F.col("_q"), 6).alias("q"))
         .groupBy("lang", "keep")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -35,7 +35,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import predicted_lang, quality_score, token_count
+from ..functions.text import (
+    quality_score,
+    token_count,
+    with_predicted_lang,
+)
 from ..operators.dedup import hash_int60
 from ..sources.tables import load_table
 from .llm_dedup import (
@@ -227,8 +231,9 @@ def mix_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # stage 1 flags + domain tag + token counts, even-half pool
     t = F.col("text")
+    # r10: language scores bound once per row (with_predicted_lang)
     q_keep = (
-        (predicted_lang(t) == F.col("lang"))
+        (F.col("_plang") == F.col("lang"))
         & token_count(t).between(_MIN_TOKENS, _MAX_TOKENS)
         & (quality_score(t) >= _MIN_QUALITY)
     )
@@ -238,7 +243,9 @@ def mix_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("code")
     )
     pool = (
-        d.filter(F.col("doc_id") % 2 == 0)
+        with_predicted_lang(
+            d.filter(F.col("doc_id") % 2 == 0), "text", "_plang"
+        )
         .select(
             "doc_id",
             corpus.alias("corpus"),
