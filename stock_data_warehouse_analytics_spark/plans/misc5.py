@@ -353,11 +353,15 @@ def olap_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(b, lo_r, hi_r, hi_r - lo_r + 1) for b, lo_r, hi_r in spans],
         "bucket bigint, _lo bigint, _hi bigint, n_rows bigint",
     )
+    # no broadcast hint on the hits side (it descends from the fact
+    # scan — the registry audit bans hints over scale-growing tables);
+    # both sides are ≤ 2·k rows here and the literal tgt side
+    # auto-broadcasts from its own size estimate
     return (
-        tgt.join(F.broadcast(hits), F.col("_lo") == F.col("_r"))
+        hits.join(tgt, F.col("_lo") == F.col("_r"))
         .select("bucket", "n_rows", F.col("x").alias("lo"), "_hi")
         .join(
-            F.broadcast(hits.select(F.col("_r").alias("_r2"), F.col("x").alias("hi"))),
+            hits.select(F.col("_r").alias("_r2"), F.col("x").alias("hi")),
             F.col("_hi") == F.col("_r2"),
         )
         .select("bucket", "n_rows", "lo", "hi")

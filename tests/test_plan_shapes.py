@@ -237,6 +237,11 @@ _BOUNDED_SINGLE_PARTITION = {
     # the single partition, never raw facts
     "q11_important_parts",
     "q15_top_supplier",
+    # r10: the global order count rides the plan as a one-row
+    # count_distinct scalar (broadcast cross join) instead of an eager
+    # driver action — partial aggregation means O(#tasks) rows reach
+    # the single partition, never raw facts (same category as q11/q15)
+    "mining_basket_lift",
     "stream_left_outer_join",
     "stream_full_outer_join",
     "join_interval_overlap_bucketed",
